@@ -1,0 +1,204 @@
+package graft
+
+import graft.analysis.Analyzer
+import graft.search._
+
+/** DuckDB oracle-SQL generator, kept in lockstep with the Spark engine by
+  * construction: both sides consume the same [[graft.search.Query]] AST,
+  * and the BM25 arithmetic here uses the exact operand order of
+  * [[graft.search.Bm25]] (1-ulp libm differences absorbed by round(.,4)).
+  *
+  * The transcripts CTE mirrors
+  * [[graft.model.Transcripts.fromDocuments]] and the token CTEs mirror
+  * [[graft.analysis.Analyzer]] (ASCII-equivalent regex — the testdata is
+  * lowercase ASCII).
+  */
+object OracleSql {
+
+  private def sq(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  private val stopList = Analyzer.StopWordsSeq.map(sq).mkString(", ")
+
+  /** Shared prelude: transcripts derivation, docid assignment, analysis
+    * chain, postings, doc lengths, collection stats, term dictionary,
+    * per-(term,docid) BM25 partial scores. */
+  val prelude: String =
+    s"""WITH transcripts AS (
+       |  SELECT 'c' || lpad(CAST(doc_id // 8 AS VARCHAR), 6, '0') AS conv_id,
+       |         CAST(doc_id % 8 AS INTEGER) AS turn_idx,
+       |         CASE WHEN doc_id % 8 = 0 THEN 'system'
+       |              WHEN doc_id % 8 = 6 THEN 'tool'
+       |              WHEN doc_id % 2 = 1 THEN 'assistant'
+       |              ELSE 'user' END AS role,
+       |         text,
+       |         CASE WHEN doc_id % 8 = 6 THEN source ELSE NULL END AS tool,
+       |         TIMESTAMP '2025-01-01 00:00:00' + CAST(doc_id AS INTEGER) * INTERVAL 1 MINUTE AS ts
+       |  FROM documents),
+       |docs AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS BIGINT) AS docid,
+       |         conv_id, turn_idx, role, text, tool, ts
+       |  FROM transcripts),
+       |rawtok AS (
+       |  SELECT docid,
+       |         list_transform(regexp_extract_all(lower(text), '[a-z0-9]+(''[a-z0-9]+)*'),
+       |                        s -> regexp_replace(s, '''s$$', '')) AS toks
+       |  FROM docs),
+       |tok AS (
+       |  SELECT docid, CAST(pos - 1 AS INTEGER) AS pos, toks[pos] AS term
+       |  FROM (SELECT docid, toks, generate_subscripts(toks, 1) AS pos FROM rawtok)
+       |  WHERE toks[pos] NOT IN ($stopList)
+       |    AND length(toks[pos]) <= 255 AND length(toks[pos]) > 0),
+       |postings AS (
+       |  SELECT term, docid, CAST(count(*) AS BIGINT) AS tf,
+       |         list_sort(list(pos)) AS positions
+       |  FROM tok GROUP BY term, docid),
+       |doclens AS (
+       |  SELECT d.docid, CAST(coalesce(t.len, 0) AS BIGINT) AS len
+       |  FROM docs d LEFT JOIN (SELECT docid, count(*) AS len FROM tok GROUP BY docid) t USING (docid)),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(len) AS DOUBLE) / count(*) AS avgdl
+       |  FROM doclens),
+       |dict AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+       |  FROM postings GROUP BY term),
+       |scored AS (
+       |  SELECT p.term, p.docid, p.tf, p.positions, l.len, s.avgdl, s.n,
+       |         ln(1.0 + (CAST(s.n AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+       |           * (p.tf * 2.2) / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.len / s.avgdl)) AS tscore
+       |  FROM postings p JOIN dict d USING (term)
+       |       JOIN doclens l USING (docid) CROSS JOIN stats s)""".stripMargin
+
+  /** Summed idf of a term multiset (phrase weight), duplicates kept. */
+  private def sumIdfSql(terms: Seq[String]): String = {
+    val vals = terms.map(t => s"(${sq(t)})").mkString(", ")
+    s"""(SELECT sum(ln(1.0 + (CAST(st.n AS DOUBLE) - d.df + 0.5) / (d.df + 0.5)))
+       | FROM (VALUES $vals) q(t) JOIN dict d ON d.term = q.t CROSS JOIN stats st)""".stripMargin
+  }
+
+  private var aliasCounter = 0
+  private def al(): String = synchronized { aliasCounter += 1; s"q$aliasCounter" }
+
+  /** Derived table producing (docid, score), mirroring Searcher.score. */
+  def scoreSql(q: Query): String = q match {
+    case TermQ(t) =>
+      s"(SELECT docid, tscore AS score FROM scored WHERE term = ${sq(t)})"
+
+    case BoolQ(must, should, mustNot, msm) =>
+      val a = al()
+      def union(cs: Seq[Query]): String =
+        cs.map(c => s"SELECT docid, score FROM ${scoreSql(c)} ${al()}")
+          .mkString(" UNION ALL ")
+      val notFilter =
+        if (mustNot.isEmpty) ""
+        else s" WHERE $a.docid NOT IN (SELECT docid FROM (${union(mustNot)}) ${al()})"
+      val inner =
+        if (must.nonEmpty && should.nonEmpty)
+          s"""SELECT m.docid, m.score + coalesce(s.sscore, 0.0) AS score
+             | FROM (SELECT docid, sum(score) AS score FROM (${union(must)}) ${al()}
+             |       GROUP BY docid HAVING count(*) = ${must.size}) m
+             | LEFT JOIN (SELECT docid, sum(score) AS sscore, count(*) AS scnt
+             |            FROM (${union(should)}) ${al()} GROUP BY docid) s ON s.docid = m.docid
+             | WHERE coalesce(s.scnt, 0) >= $msm""".stripMargin
+        else if (must.nonEmpty)
+          s"""SELECT docid, sum(score) AS score FROM (${union(must)}) ${al()}
+             | GROUP BY docid HAVING count(*) = ${must.size}""".stripMargin
+        else
+          s"""SELECT docid, sum(score) AS score FROM (${union(should)}) ${al()}
+             | GROUP BY docid HAVING count(*) >= ${math.max(1, msm)}""".stripMargin
+      s"(SELECT $a.docid, $a.score FROM ($inner) $a$notFilter)"
+
+    case PhraseQ(terms, 0) =>
+      val conds = terms.zipWithIndex.tail.map { case ((_, offk), k) =>
+        s"list_contains(p$k.positions, p + ${offk - terms.head._2})"
+      }
+      val lam = if (conds.isEmpty) "p -> true" else s"p -> ${conds.mkString(" AND ")}"
+      val joins = terms.zipWithIndex.tail.map { case ((t, _), k) =>
+        s"JOIN scored p$k ON p$k.docid = p0.docid AND p$k.term = ${sq(t)}"
+      }.mkString(" ")
+      s"""(SELECT j.docid,
+         |   ${sumIdfSql(terms.map(_._1))} * (j.tfp * 2.2)
+         |     / (j.tfp + 1.2 * (1.0 - 0.75 + 0.75 * j.len / j.avgdl)) AS score
+         | FROM (SELECT p0.docid, p0.len, p0.avgdl,
+         |              CAST(len(list_filter(p0.positions, $lam)) AS DOUBLE) AS tfp
+         |       FROM scored p0 $joins WHERE p0.term = ${sq(terms.head._1)}) j
+         | WHERE j.tfp > 0)""".stripMargin
+
+    case PhraseQ(terms, slop) =>
+      require(terms.size == 2, "sloppy phrase oracle supports 2 terms")
+      val gap = terms(1)._2 - terms.head._2
+      s"""(SELECT g.docid,
+         |   ${sumIdfSql(terms.map(_._1))} * (g.tfp * 2.2)
+         |     / (g.tfp + 1.2 * (1.0 - 0.75 + 0.75 * l.len / st.avgdl)) AS score
+         | FROM (SELECT docid, sum(1.0 / (mind + 1.0)) AS tfp
+         |       FROM (SELECT a.docid, a.pos,
+         |                    CAST(min(abs((b.pos - a.pos) - $gap)) AS DOUBLE) AS mind
+         |             FROM tok a JOIN tok b ON b.docid = a.docid AND b.term = ${sq(terms(1)._1)}
+         |                  AND abs((b.pos - a.pos) - $gap) <= $slop
+         |             WHERE a.term = ${sq(terms.head._1)}
+         |             GROUP BY a.docid, a.pos) m
+         |       GROUP BY docid) g
+         | JOIN doclens l ON l.docid = g.docid CROSS JOIN stats st)""".stripMargin
+
+    case PrefixQ(p) =>
+      // prefixes come from the analyzer alphabet (no LIKE metachars)
+      s"""(SELECT DISTINCT docid, 1.0 AS score FROM postings
+         | WHERE term LIKE ${sq(p + "%")})""".stripMargin
+
+    case WildcardQ(pat) =>
+      s"""(SELECT DISTINCT docid, 1.0 AS score FROM postings
+         | WHERE regexp_matches(term, ${sq(Searcher.globToRegex(pat))}))""".stripMargin
+
+    case TermRangeQ(lo, hi, il, ih) =>
+      val conds = Seq(
+        lo.map(v => s"term ${if (il) ">=" else ">"} ${sq(v)}"),
+        hi.map(v => s"term ${if (ih) "<=" else "<"} ${sq(v)}")).flatten
+      val w = if (conds.isEmpty) "TRUE" else conds.mkString(" AND ")
+      s"(SELECT DISTINCT docid, 1.0 AS score FROM postings WHERE $w)"
+
+    case FuzzyQ(t, maxEdits) =>
+      s"""(SELECT docid, sum(boosted) AS score FROM
+         |  (SELECT p.docid, p.tscore * (1.0 - CAST(levenshtein(p.term, ${sq(t)}) AS DOUBLE)
+         |          / CAST(least(length(p.term), ${t.length}) AS DOUBLE)) AS boosted
+         |   FROM scored p WHERE levenshtein(p.term, ${sq(t)}) <= $maxEdits) ${al()}
+         | GROUP BY docid)""".stripMargin
+
+    case MatchAllQ => "(SELECT docid, 1.0 AS score FROM docs)"
+
+    case MatchNoneQ => "(SELECT docid, 1.0 AS score FROM docs WHERE FALSE)"
+
+    case KeywordQ(field, value) =>
+      s"(SELECT docid, 1.0 AS score FROM docs WHERE $field = ${sq(value)})"
+
+    case RangeQ(field, lo, hi) =>
+      val conds = Seq(lo.map(v => s"$field >= $v"), hi.map(v => s"$field < $v")).flatten
+      s"(SELECT docid, 1.0 AS score FROM docs WHERE ${conds.mkString(" AND ")})"
+
+    case ConstantScoreQ(sub, s) =>
+      s"(SELECT docid, CAST($s AS DOUBLE) AS score FROM ${scoreSql(sub)} ${al()})"
+
+    case BoostQ(sub, b) =>
+      s"(SELECT docid, score * $b AS score FROM ${scoreSql(sub)} ${al()})"
+
+    case DisMaxQ(ds, tie) =>
+      val u = ds.map(c => s"SELECT docid, score FROM ${scoreSql(c)} ${al()}")
+        .mkString(" UNION ALL ")
+      s"""(SELECT docid, max(score) + $tie * (sum(score) - max(score)) AS score
+         | FROM ($u) ${al()} GROUP BY docid)""".stripMargin
+  }
+
+  /** Full oracle statement for a top-k query: rank + docid + rounded score,
+    * (score desc, docid asc) tie-break per TopScoreDocCollector.cs:56-64. */
+  def topK(q: Query, k: Int): String =
+    s"""$prelude
+       |SELECT CAST(row_number() OVER (ORDER BY sq.score DESC, sq.docid) AS BIGINT) AS rank,
+       |       sq.docid, round(sq.score, 4) AS score
+       |FROM ${scoreSql(q)} sq
+       |ORDER BY sq.score DESC, sq.docid
+       |LIMIT $k""".stripMargin
+
+  /** Count-only oracle (TotalHitCountCollector analog). */
+  def countQ(q: Query): String =
+    s"""$prelude
+       |SELECT CAST(count(*) AS BIGINT) AS hits FROM ${scoreSql(q)} sq""".stripMargin
+}

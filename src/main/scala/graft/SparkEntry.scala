@@ -1,13 +1,145 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.search._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator is declared ONCE as a [[Spec]] (query AST + output
+  * shape); the Spark plan and the DuckDB oracle SQL are both generated
+  * from that spec ([[Engine]] / [[OracleSql]]), so engine and oracle
+  * cannot drift apart.
+  */
 object SparkEntry {
+
+  sealed trait Spec
+  /** BM25 top-k: (rank, docid, score) — TopScoreDocCollector analog. */
+  final case class TopK(q: Query, k: Int = 10) extends Spec
+  /** Total hit count — TotalHitCountCollector analog. */
+  final case class Count(q: Query) extends Spec
+  /** Facet counts over a keyword column — SimpleFacetedSearch analog. */
+  final case class Facet(q: Query, field: String) extends Spec
+  /** Raw SQL pair for index-table dumps and non-query ops. */
+  final case class Raw(spark: (SparkSession, String) => DataFrame,
+      sql: String) extends Spec
+
+  // ---------------------------------------------------------------------
+  // The operator inventory (SURVEY.md §2) as specs
+  // ---------------------------------------------------------------------
+
+  private def ftSpecs: Seq[(String, Spec)] = Seq(
+    // --- index tables (ingest pipeline §2.3; stored fields §2.1) ---
+    "ft_docs" -> Raw(
+      (s, dir) => Engine.index(s, dir).docs
+        .select("docid", "conv_id", "turn_idx", "role", "tool", "text")
+        .orderBy("docid"),
+      s"""${OracleSql.prelude}
+         |SELECT docid, conv_id, turn_idx, role, tool, text FROM docs
+         |ORDER BY docid""".stripMargin),
+    "ft_doclens" -> Raw(
+      (s, dir) => Engine.index(s, dir).docLens.orderBy("docid"),
+      s"""${OracleSql.prelude}
+         |SELECT docid, len FROM doclens ORDER BY docid""".stripMargin),
+    "ft_dict" -> Raw(
+      (s, dir) => Engine.index(s, dir).termDict
+        .select("term", "df", "cf").orderBy("term"),
+      s"""${OracleSql.prelude}
+         |SELECT term, df, cf FROM dict ORDER BY term""".stripMargin),
+    "ft_postings" -> Raw(
+      (s, dir) => Engine.index(s, dir).postings
+        .select(col("term"), col("docid"), col("tf"), col("len"),
+          col("positions")).orderBy("term", "docid"),
+      s"""${OracleSql.prelude}
+         |SELECT p.term, p.docid, p.tf, l.len, p.positions
+         |FROM postings p JOIN doclens l USING (docid)
+         |ORDER BY p.term, p.docid""".stripMargin),
+
+    // --- scorer algebra (§2.5) ---
+    "ft_term_hot" -> TopK(TermQ("table")),
+    "ft_term_rare" -> TopK(TermQ("dup")),
+    "ft_term_count" -> Count(TermQ("merge")),
+    "ft_bool_and" -> TopK(BoolQ(must = Seq(TermQ("table"), TermQ("merge")))),
+    "ft_bool_or_msm" -> TopK(BoolQ(
+      should = Seq(TermQ("spark"), TermQ("query"), TermQ("window")),
+      minShouldMatch = 2)),
+    "ft_bool_not" -> TopK(BoolQ(must = Seq(TermQ("batch")),
+      mustNot = Seq(TermQ("slow")))),
+    "ft_req_opt" -> TopK(BoolQ(must = Seq(TermQ("join")),
+      should = Seq(TermQ("fast")))),
+    "ft_nested_bool" -> TopK(BoolQ(
+      must = Seq(BoolQ(should = Seq(TermQ("scan"), TermQ("filter"))),
+        TermQ("row")),
+      mustNot = Seq(TermQ("dup")))),
+    "ft_matchall_count" -> Count(MatchAllQ),
+
+    // --- phrases (§2.5 PhraseQuery/SloppyPhraseScorer) ---
+    "ft_phrase" -> TopK(PhraseQ(Seq("key" -> 0, "agg" -> 1))),
+    "ft_phrase_gap" -> TopK(PhraseQ(Seq("table" -> 0, "merge" -> 2))),
+    "ft_phrase_sloppy" -> TopK(PhraseQ(Seq("table" -> 0, "merge" -> 1),
+      slop = 3)),
+
+    // --- multi-term rewrites (§2.5 MultiTermQuery family) ---
+    "ft_prefix_count" -> Count(PrefixQ("st")),
+    "ft_prefix" -> TopK(BoolQ(must = Seq(PrefixQ("sp"), TermQ("key")))),
+    "ft_wildcard" -> TopK(BoolQ(must = Seq(WildcardQ("s*n"), TermQ("value")))),
+    "ft_fuzzy" -> TopK(FuzzyQ("tble", 2)),
+    "ft_term_range" -> Count(TermRangeQ(Some("query"), Some("sort"))),
+
+    // --- filters / keyword + numeric fields (§2.5 Filter family) ---
+    "ft_keyword_role" -> TopK(BoolQ(
+      must = Seq(KeywordQ("role", "assistant"), TermQ("table")))),
+    "ft_ts_range" -> TopK(BoolQ(must = Seq(
+      RangeQ("ts", Some("TIMESTAMP '2025-01-01 02:00:00'"),
+        Some("TIMESTAMP '2025-01-01 05:00:00'")),
+      TermQ("query")))),
+
+    // --- scoring composition (§2.5 DisMax, boosts, constant score) ---
+    "ft_dismax" -> TopK(DisMaxQ(Seq(TermQ("spark"), TermQ("hash")), 0.3)),
+    "ft_boost" -> TopK(BoolQ(should = Seq(BoostQ(TermQ("spark"), 2.0),
+      TermQ("column")))),
+    "ft_constant_score" -> TopK(BoolQ(
+      must = Seq(ConstantScoreQ(PrefixQ("qu"), 0.5), TermQ("line")))),
+
+    // --- collectors / facets (§2.6) ---
+    "ft_facet_role" -> Facet(TermQ("table"), "role"),
+  )
+
+  private def compile(spec: Spec): ((SparkSession, String) => DataFrame, String) =
+    spec match {
+      case TopK(q, k) =>
+        ((s, dir) => Engine.topK(s, dir, q, k), OracleSql.topK(q, k))
+      case Count(q) =>
+        ((s, dir) => Engine.countQ(s, dir, q), OracleSql.countQ(q))
+      case Facet(q, field) =>
+        ((s, dir) => {
+          val idx = Engine.index(s, dir)
+          new Searcher(idx).score(q)
+            .join(idx.docs.select("docid", field), Seq("docid"))
+            .groupBy(field).agg(count(lit(1)).as("hits"))
+            .orderBy(field)
+        },
+          s"""${OracleSql.prelude}
+             |SELECT d.$field, CAST(count(*) AS BIGINT) AS hits
+             |FROM ${OracleSql.scoreSql(q)} sq JOIN docs d ON d.docid = sq.docid
+             |GROUP BY d.$field ORDER BY d.$field""".stripMargin)
+      case Raw(f, sql) => (f, sql)
+    }
+
+  private lazy val compiled: Seq[(String, ((SparkSession, String) => DataFrame, String))] =
+    ftSpecs.map { case (n, s) => n -> compile(s) }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Engine.topK(spark, "/root/testdata/sf0.001", TermQ("table"), 10)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    compiled.map { case (n, (f, _)) => n -> f }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    compiled.map { case (n, (_, sql)) => n -> sql }.toMap
 }

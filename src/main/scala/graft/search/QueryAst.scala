@@ -1,0 +1,79 @@
+package graft.search
+
+/** Query algebra — the reference's Query class hierarchy re-expressed as a
+  * small ADT (reference: /root/reference/src/core/Search/; SURVEY.md
+  * §2.5). Every node evaluates to a (docid, score) relation; composition
+  * semantics follow BooleanScorer2 (BooleanQuery.cs:350-424) with the
+  * coord factor dropped (BM25-era choice, documented in SURVEY.md §7.7).
+  */
+sealed trait Query
+
+/** TermQuery.cs:33 — one posting list, BM25-scored. */
+final case class TermQ(term: String) extends Query
+
+/** BooleanQuery.cs:34 — MUST / SHOULD / MUST_NOT + minimumNumberShouldMatch. */
+final case class BoolQ(
+    must: Seq[Query] = Nil,
+    should: Seq[Query] = Nil,
+    mustNot: Seq[Query] = Nil,
+    minShouldMatch: Int = 0) extends Query
+
+/** PhraseQuery.cs:35 — terms at analyzer positions (stop-gap offsets kept,
+  * like QueryParser's analyzed phrases); slop=0 → ExactPhraseScorer,
+  * slop>0 → sloppy matching. */
+final case class PhraseQ(terms: Seq[(String, Int)], slop: Int = 0) extends Query
+
+/** PrefixQuery.cs:35 — constant-score rewrite (MultiTermQuery.cs:84-114). */
+final case class PrefixQ(prefix: String) extends Query
+
+/** WildcardQuery.cs:42 — `*`/`?` glob, constant-score rewrite. */
+final case class WildcardQ(pattern: String) extends Query
+
+/** TermRangeQuery.cs:40 — lexicographic term range, constant-score. */
+final case class TermRangeQ(lo: Option[String], hi: Option[String],
+    incLo: Boolean = true, incHi: Boolean = true) extends Query
+
+/** FuzzyQuery.cs:41 — scoring-boolean rewrite; per-term boost =
+  * 1 - dist/min(|term|,|query|) (FuzzyTermEnum.cs:135-178 similarity). */
+final case class FuzzyQ(term: String, maxEdits: Int = 2) extends Query
+
+/** MatchAllDocsQuery.cs:31 — every doc, constant score 1. */
+case object MatchAllQ extends Query
+
+/** No docs (an all-stopword query parses to this — Lucene returns zero
+  * hits for an effectively-empty BooleanQuery). */
+case object MatchNoneQ extends Query
+
+/** ConstantScoreQuery.cs:29. */
+final case class ConstantScoreQ(q: Query, score: Double = 1.0) extends Query
+
+/** Query boost (Query.cs SetBoost) — multiplies the sub-score. */
+final case class BoostQ(q: Query, boost: Double) extends Query
+
+/** DisjunctionMaxQuery.cs:40 — max + tieBreaker*(sum-max). */
+final case class DisMaxQ(disjuncts: Seq[Query], tieBreaker: Double = 0.0)
+  extends Query
+
+/** Keyword-field filter (role/tool/conv_id — NOT_ANALYZED fields). Scored
+  * as constant 1 when standalone; typically a MUST filter clause.
+  * Reference analog: TermQuery on a NOT_ANALYZED field / TermsFilter. */
+final case class KeywordQ(field: String, value: String) extends Query
+
+/** Numeric/timestamp range on a forward column (NumericRangeQuery.cs:156 —
+  * Catalyst-native predicate replaces the trie). Bounds are SQL literals. */
+final case class RangeQ(field: String, loSql: Option[String],
+    hiSql: Option[String]) extends Query
+
+object QueryAst {
+  /** Collect every analyzed text term mentioned by leaf queries (for the
+    * broadcast dictionary lookup at plan time). */
+  def terms(q: Query): Set[String] = q match {
+    case TermQ(t) => Set(t)
+    case BoolQ(m, s, n, _) => (m ++ s ++ n).flatMap(terms).toSet
+    case PhraseQ(ts, _) => ts.map(_._1).toSet
+    case ConstantScoreQ(s, _) => terms(s)
+    case BoostQ(s, _) => terms(s)
+    case DisMaxQ(ds, _) => ds.flatMap(terms).toSet
+    case _ => Set.empty
+  }
+}

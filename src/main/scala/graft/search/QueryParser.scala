@@ -1,0 +1,193 @@
+package graft.search
+
+import graft.analysis.Analyzer
+
+/** Hand-rolled recursive-descent parser for the reference's query syntax
+  * (grammar: /root/reference/src/core/QueryParser/QueryParser.JJ, LL
+  * parser QueryParser.cs:130). Supported subset, semantics copied from
+  * the cited methods:
+  *  - bare terms (analyzed via the StandardAnalyzer chain,
+  *    GetFieldQuery QueryParser.cs:500); default operator OR
+  *    (QueryParser.cs:144-150)
+  *  - +term / -term / NOT / AND / OR / && / || (QueryParser.cs:453-469)
+  *  - "quoted phrases" with ~slop (QueryParser.cs:684); analyzer
+  *    positions kept, so stopwords leave gaps
+  *  - [a TO b] inclusive / {a TO b} exclusive ranges (GetRangeQuery:749)
+  *  - prefix* (QueryParser.cs:1037), wild*card / wild?card (:995)
+  *  - fuzzy~ / fuzzy~N (edits; :1063 — the reference's float similarity
+  *    is mapped to integer max-edits, Lucene-4 style)
+  *  - ^boost, ( grouping )
+  *  - field:... — `role`/`tool`/`conv_id` are NOT_ANALYZED keyword fields
+  */
+object QueryParser {
+
+  private val KeywordFields = Set("role", "tool", "conv_id")
+
+  def parse(input: String): Query = {
+    val p = new P(input)
+    val q = p.parseBool()
+    p.skipWs()
+    require(p.eof, s"unconsumed query input at ${p.pos}: '${p.rest}'")
+    q
+  }
+
+  private sealed trait Occur
+  private case object Should extends Occur
+  private case object Must extends Occur
+  private case object MustNot extends Occur
+
+  private final class P(s: String) {
+    var pos = 0
+    def eof: Boolean = pos >= s.length
+    def rest: String = s.substring(math.min(pos, s.length))
+    def peek: Char = s.charAt(pos)
+    def skipWs(): Unit = while (!eof && s.charAt(pos).isWhitespace) pos += 1
+
+    private def word(): String = {
+      val start = pos
+      while (!eof && !s.charAt(pos).isWhitespace &&
+        !"()\"^[]{}".contains(s.charAt(pos))) pos += 1
+      s.substring(start, pos)
+    }
+
+    private def tryKeyword(kw: String): Boolean = {
+      skipWs()
+      if (s.regionMatches(pos, kw, 0, kw.length) &&
+        (pos + kw.length >= s.length || !s.charAt(pos + kw.length).isLetter)) {
+        pos += kw.length; true
+      } else false
+    }
+
+    /** clause list with Lucene's conjunction upgrading: `a AND b` marks
+      * both MUST (QueryParser.AddClause semantics). */
+    def parseBool(): Query = {
+      val clauses = scala.collection.mutable.ArrayBuffer.empty[(Occur, Query)]
+      var first = true
+      while ({ skipWs(); !eof && peek != ')' }) {
+        var conjAnd = false
+        var conjOr = false
+        if (!first) {
+          if (tryKeyword("AND") || tryKeyword("&&")) conjAnd = true
+          else if (tryKeyword("OR") || tryKeyword("||")) conjOr = true
+        }
+        skipWs()
+        var occ: Occur = Should
+        if (!eof && peek == '+') { occ = Must; pos += 1 }
+        else if (!eof && peek == '-') { occ = MustNot; pos += 1 }
+        else if (tryKeyword("NOT")) occ = MustNot
+        skipWs()
+        if (!eof && peek != ')') {
+          val q = parseClause()
+          if (conjAnd) {
+            if (occ == Should) occ = Must
+            // upgrade the previous clause too (a AND b => +a +b)
+            if (clauses.nonEmpty && clauses.last._1 == Should)
+              clauses(clauses.size - 1) = (Must, clauses.last._2)
+          }
+          val _ = conjOr // OR keeps both SHOULD — the default
+          q.foreach(qq => clauses += ((occ, qq)))
+        }
+        first = false
+      }
+      val must = clauses.collect { case (Must, q) => q }.toSeq
+      val should = clauses.collect { case (Should, q) => q }.toSeq
+      val not = clauses.collect { case (MustNot, q) => q }.toSeq
+      // single-positive-clause collapse (BooleanQuery.Rewrite analog,
+      // BooleanQuery.cs:482-520)
+      if (must.isEmpty && should.isEmpty) MatchNoneQ // all clauses dropped
+      else if (not.isEmpty && must.isEmpty && should.size == 1) should.head
+      else if (not.isEmpty && should.isEmpty && must.size == 1) must.head
+      else BoolQ(must, should, not)
+    }
+
+    /** One clause: [field:] atom [^boost] */
+    private def parseClause(): Option[Query] = {
+      skipWs()
+      // field prefix
+      var field = "text"
+      val save = pos
+      val w0 = {
+        val start = pos
+        while (!eof && (s.charAt(pos).isLetterOrDigit || s.charAt(pos) == '_'))
+          pos += 1
+        s.substring(start, pos)
+      }
+      if (!eof && peek == ':' && w0.nonEmpty) { field = w0; pos += 1 }
+      else pos = save
+
+      val base: Option[Query] =
+        if (eof) None
+        else peek match {
+          case '(' =>
+            pos += 1
+            val q = parseBool()
+            skipWs(); require(!eof && peek == ')', "expected )"); pos += 1
+            Some(q)
+          case '"' =>
+            pos += 1
+            val start = pos
+            while (!eof && peek != '"') pos += 1
+            require(!eof, "unterminated phrase")
+            val text = s.substring(start, pos); pos += 1
+            var slop = 0
+            if (!eof && peek == '~') {
+              pos += 1
+              slop = number().getOrElse(0.0).toInt
+            }
+            val terms = Analyzer.tokenize(text).map(t => (t.term, t.pos))
+            if (terms.isEmpty) None
+            else if (terms.size == 1) Some(TermQ(terms.head._1))
+            else Some(PhraseQ(terms, slop))
+          case '[' | '{' =>
+            val incLo = peek == '['
+            pos += 1
+            skipWs(); val lo = word(); skipWs()
+            require(tryKeyword("TO"), "expected TO in range")
+            skipWs(); val hi = word(); skipWs()
+            require(!eof && (peek == ']' || peek == '}'), "expected range end")
+            val incHi = peek == ']'
+            pos += 1
+            def bound(v: String): Option[String] =
+              if (v == "*" || v.isEmpty) None
+              else Some(Analyzer.analyzeQuery(v).headOption.getOrElse(v))
+            Some(TermRangeQ(bound(lo), bound(hi), incLo, incHi))
+          case _ =>
+            val w = word()
+            if (w.isEmpty) { pos += 1; None }
+            else if (KeywordFields.contains(field)) Some(KeywordQ(field, w))
+            else if (w.endsWith("~") || w.matches(".*~\\d+$")) {
+              val idx = w.lastIndexOf('~')
+              val t = w.substring(0, idx).toLowerCase
+              val edits =
+                if (idx == w.length - 1) 2 else w.substring(idx + 1).toInt
+              Some(FuzzyQ(Analyzer.stripPossessive(t), edits))
+            } else if (w.contains('*') || w.contains('?')) {
+              val t = w.toLowerCase
+              if (t.endsWith("*") && !t.dropRight(1).exists(c => c == '*' || c == '?'))
+                Some(PrefixQ(t.dropRight(1)))
+              else Some(WildcardQ(t))
+            } else {
+              Analyzer.analyzeQuery(w) match {
+                case Vector() => None // stopword-only clause drops out
+                case Vector(t) => Some(TermQ(t))
+                case ts => Some(PhraseQ(ts.zipWithIndex.map {
+                  case (t, i) => (t, i) }, 0))
+              }
+            }
+        }
+      // ^boost
+      skipWs()
+      if (!eof && peek == '^') {
+        pos += 1
+        val b = number().getOrElse(1.0)
+        base.map(BoostQ(_, b))
+      } else base
+    }
+
+    private def number(): Option[Double] = {
+      val start = pos
+      while (!eof && (s.charAt(pos).isDigit || s.charAt(pos) == '.')) pos += 1
+      if (pos > start) Some(s.substring(start, pos).toDouble) else None
+    }
+  }
+}

@@ -1,0 +1,248 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.index.InvertedIndex
+
+/** Query execution: AST → (docid, score) DataFrame plans.
+  *
+  * The reference's scorer tree (doc-at-a-time merges over sorted docID
+  * iterators, /root/reference/src/core/Search/Scorer.cs:41) maps onto
+  * joins + hash aggregations on docid (SURVEY.md §2.5):
+  *   AND  → groupBy(docid) count-filter        (ConjunctionScorer.cs:25)
+  *   OR   → groupBy(docid) sum + minShouldMatch (DisjunctionSumScorer.cs:28)
+  *   NOT  → left anti join                      (ReqExclScorer.cs:30)
+  *   req+opt → left outer join + coalesce       (ReqOptSumScorer.cs:28)
+  * Coord factor intentionally dropped (BM25-era Lucene drops it; SURVEY §7.7).
+  *
+  * Determinism: clause scores are summed in sorted clause order via
+  * aggregate(sort_array(collect_list(...))) — float addition order is
+  * fixed regardless of shuffle layout, so scores are bit-stable run to run
+  * (SURVEY §7 hard-part #1).
+  */
+final class Searcher(idx: InvertedIndex) {
+
+  /** Per-(term, docid) BM25 partial scores for a set of query terms.
+    * Broadcast dictionary join supplies df (TermInfosReader analog —
+    * SURVEY §4.2: term dict is broadcastable per the north rule). */
+  def termScores(terms: Set[String]): DataFrame = {
+    val ts = terms.toSeq
+    val dict = idx.termDict.filter(col("term").isin(ts: _*))
+      .select(col("term"), col("df"))
+    idx.postings
+      .filter(col("term").isin(ts: _*))
+      .join(broadcast(dict), Seq("term"))
+      .select(col("term"), col("docid"),
+        Bm25.score(idx.numDocs, idx.avgdl, col("df"), col("tf"), col("len"))
+          .as("tscore"))
+  }
+
+  /** Deterministic per-doc sum: collect (ord, score) pairs, sort by ord,
+    * fold — fixed float addition order. Returns (docid, score, cnt). */
+  private def detSum(parts: Seq[DataFrame]): DataFrame = {
+    val u = parts.reduce(_ unionByName _)
+    u.groupBy(col("docid")).agg(
+      aggregate(
+        sort_array(collect_list(struct(col("ord"), col("score")))),
+        lit(0.0), (acc, x) => acc + x.getField("score")).as("score"),
+      count(lit(1)).as("cnt"))
+  }
+
+  private def withOrd(df: DataFrame, ord: String): DataFrame =
+    df.select(col("docid"), col("score"), lit(ord).as("ord"))
+
+  /** Evaluate to one row per matching doc: (docid: long, score: double). */
+  def score(q: Query): DataFrame = q match {
+    case TermQ(t) =>
+      termScores(Set(t)).select(col("docid"), col("tscore").as("score"))
+
+    case BoolQ(must, should, mustNot, msm) =>
+      require(must.nonEmpty || should.nonEmpty, "empty BooleanQuery")
+      val mustD =
+        if (must.isEmpty) None
+        else Some(detSum(must.zipWithIndex.map { case (c, i) =>
+          withOrd(score(c), f"m$i%03d") })
+          .filter(col("cnt") === must.size)
+          .select(col("docid"), col("score").as("mscore")))
+      val shouldD =
+        if (should.isEmpty) None
+        else Some(detSum(should.zipWithIndex.map { case (c, i) =>
+          withOrd(score(c), f"s$i%03d") })
+          .select(col("docid"), col("score").as("sscore"),
+            col("cnt").as("scnt")))
+      val combined = (mustD, shouldD) match {
+        case (Some(m), Some(s)) =>
+          m.join(s, Seq("docid"), "left")
+            .filter(coalesce(col("scnt"), lit(0L)) >= msm)
+            .select(col("docid"),
+              (col("mscore") + coalesce(col("sscore"), lit(0.0))).as("score"))
+        case (Some(m), None) =>
+          m.select(col("docid"), col("mscore").as("score"))
+        case (None, Some(s)) =>
+          s.filter(col("scnt") >= math.max(1, msm))
+            .select(col("docid"), col("sscore").as("score"))
+        case _ => sys.error("unreachable")
+      }
+      if (mustNot.isEmpty) combined
+      else {
+        val excl = mustNot.map(score(_).select(col("docid")))
+          .reduce(_ unionByName _).distinct()
+        combined.join(excl, Seq("docid"), "left_anti")
+      }
+
+    case p: PhraseQ => phrase(p)
+
+    case PrefixQ(p) =>
+      constantOverTerms(col("term").startsWith(p))
+
+    case WildcardQ(pat) =>
+      constantOverTerms(col("term").rlike(Searcher.globToRegex(pat)))
+
+    case TermRangeQ(lo, hi, il, ih) =>
+      val conds = Seq(
+        lo.map(v => if (il) col("term") >= v else col("term") > v),
+        hi.map(v => if (ih) col("term") <= v else col("term") < v)).flatten
+      constantOverTerms(conds.reduceOption(_ && _).getOrElse(lit(true)))
+
+    case FuzzyQ(t, maxEdits) =>
+      // scoring-boolean rewrite with similarity boost (FuzzyTermEnum):
+      // boost = 1 - dist / min(|candidate|, |query|)
+      val dict = idx.termDict
+        .filter(levenshtein(col("term"), lit(t)) <= maxEdits)
+        .select(col("term"), col("df"),
+          (lit(1.0) - levenshtein(col("term"), lit(t)).cast("double") /
+            least(length(col("term")), lit(t.length)).cast("double"))
+            .as("boost"))
+      val scored = idx.postings.join(broadcast(dict), Seq("term"))
+        .select(col("docid"), col("term").as("ord"),
+          (Bm25.score(idx.numDocs, idx.avgdl, col("df"), col("tf"),
+            col("len")) * col("boost")).as("score"))
+      scored.groupBy(col("docid")).agg(
+        aggregate(
+          sort_array(collect_list(struct(col("ord"), col("score")))),
+          lit(0.0), (acc, x) => acc + x.getField("score")).as("score"))
+
+    case MatchAllQ =>
+      idx.docs.select(col("docid"), lit(1.0).as("score"))
+
+    case MatchNoneQ =>
+      idx.docs.select(col("docid"), lit(1.0).as("score")).filter(lit(false))
+
+    case KeywordQ(field, value) =>
+      idx.docs.filter(col(field) === value)
+        .select(col("docid"), lit(1.0).as("score"))
+
+    case RangeQ(field, lo, hi) =>
+      val conds = Seq(lo.map(v => col(field) >= expr(v)),
+        hi.map(v => col(field) < expr(v))).flatten
+      idx.docs.filter(conds.reduceOption(_ && _).getOrElse(lit(true)))
+        .select(col("docid"), lit(1.0).as("score"))
+
+    case ConstantScoreQ(sub, s) =>
+      score(sub).select(col("docid"), lit(s).as("score"))
+
+    case BoostQ(sub, b) =>
+      score(sub).select(col("docid"), (col("score") * b).as("score"))
+
+    case DisMaxQ(ds, tie) =>
+      val u = ds.zipWithIndex.map { case (c, i) => withOrd(score(c), f"d$i%03d") }
+        .reduce(_ unionByName _)
+      u.groupBy(col("docid")).agg(
+        max(col("score")).as("mx"),
+        aggregate(
+          sort_array(collect_list(struct(col("ord"), col("score")))),
+          lit(0.0), (acc, x) => acc + x.getField("score")).as("sm"))
+        .select(col("docid"),
+          (col("mx") + lit(tie) * (col("sm") - col("mx"))).as("score"))
+  }
+
+  /** Constant-score multi-term rewrite (MultiTermQuery.cs:84-114): match
+    * the dictionary predicate, semi-join into postings, dedup docs. */
+  private def constantOverTerms(dictPred: Column): DataFrame = {
+    val terms = idx.termDict.filter(dictPred).select(col("term"))
+    idx.postings.join(broadcast(terms), Seq("term"))
+      .select(col("docid")).distinct()
+      .select(col("docid"), lit(1.0).as("score"))
+  }
+
+  /** Phrase scoring. Exact (slop=0): n-way docid join of the term posting
+    * rows, then count aligned start positions with array expressions
+    * (positions stay packed — no row explosion). tf_phrase feeds the BM25
+    * tf slot with the SUMMED idf of all phrase terms (PhraseWeight
+    * semantics, PhraseQuery.cs:35). Sloppy (slop>0, 2 terms): freq =
+    * sum over driving positions of 1/(minDist+1) (DefaultSimilarity
+    * SloppyFreq, DefaultSimilarity.cs:69; greedy-repeat handling of the
+    * reference is intentionally simplified — documented deviation). */
+  private def phrase(p: PhraseQ): DataFrame = {
+    require(p.terms.nonEmpty, "empty phrase")
+    val dfs = dfOf(p.terms.map(_._1).toSet)
+    // a term absent from the dictionary makes the n-way join empty anyway;
+    // its idf contribution uses df=0 (irrelevant — no rows survive)
+    val sumIdf = p.terms
+      .map { case (t, _) => Bm25.idf(idx.numDocs, dfs.getOrElse(t, 0L)) }.sum
+
+    val slots = p.terms.zipWithIndex.map { case ((t, _), i) =>
+      val base = idx.postings.filter(col("term") === t)
+      if (i == 0)
+        base.select(col("docid"), col("positions").as(s"pos$i"), col("len"))
+      else base.select(col("docid"), col("positions").as(s"pos$i"))
+    }
+    val joined = slots.reduce((a, b) => a.join(b, Seq("docid")))
+    val off0 = p.terms.head._2
+
+    val tfp: Column =
+      if (p.slop == 0) {
+        // count p in pos0 s.t. every slot k has (p + offk - off0) in posk
+        val pred: Column => Column = pp =>
+          p.terms.zipWithIndex.tail.map { case ((_, offk), k) =>
+            array_contains(col(s"pos$k"), pp + lit(offk - off0))
+          }.reduceOption(_ && _).getOrElse(lit(true))
+        size(filter(col("pos0"), pred)).cast("double")
+      } else {
+        require(p.terms.size == 2, "sloppy phrase supports 2 terms")
+        val gap = p.terms(1)._2 - off0
+        // per driving position: minimal |displacement|; contribute
+        // 1/(minDist+1) if minDist <= slop
+        val dists: Column => Column = pp =>
+          transform(
+            filter(col("pos1"), j => abs(j - pp - lit(gap)) <= p.slop),
+            j => abs(j - pp - lit(gap)))
+        aggregate(col("pos0"), lit(0.0), (acc, pp) =>
+          acc + coalesce(
+            lit(1.0) / (array_min(dists(pp)).cast("double") + lit(1.0)),
+            lit(0.0)))
+      }
+
+    joined
+      .withColumn("tfp", tfp)
+      .filter(col("tfp") > 0)
+      .select(col("docid"),
+        (lit(sumIdf) * Bm25.tfNorm(col("tfp"), col("len"), idx.avgdl))
+          .as("score"))
+  }
+
+  /** Driver-side dictionary lookup (TermInfosReader analog — tiny:
+    * |query terms| rows). */
+  def dfOf(terms: Set[String]): Map[String, Long] =
+    idx.termDict.filter(col("term").isin(terms.toSeq: _*))
+      .select(col("term"), col("df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Top-k with the mandatory (score desc, docid asc) tie-break
+    * (TopScoreDocCollector.cs:56-64,90). Catalyst compiles orderBy.limit
+    * to TakeOrderedAndProject: per-partition heaps merged at the driver —
+    * exactly the reference's MultiSearcher merge. */
+  def topK(q: Query, k: Int): DataFrame =
+    score(q).orderBy(col("score").desc, col("docid").asc).limit(k)
+}
+
+object Searcher {
+  def globToRegex(glob: String): String =
+    "^" + glob.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
+      case c => c.toString
+    } + "$"
+}
