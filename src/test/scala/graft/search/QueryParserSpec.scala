@@ -1,0 +1,79 @@
+package graft.search
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parser semantics per the reference grammar
+  * (/root/reference/src/core/QueryParser/QueryParser.JJ; QueryParser.cs). */
+class QueryParserSpec extends AnyFunSuite {
+
+  test("bare term analyzed + single-clause collapse") {
+    assert(QueryParser.parse("Spark") == TermQ("spark"))
+  }
+
+  test("default operator OR") {
+    assert(QueryParser.parse("spark table") ==
+      BoolQ(Nil, Seq(TermQ("spark"), TermQ("table")), Nil))
+  }
+
+  test("AND upgrades both sides to MUST") {
+    assert(QueryParser.parse("spark AND table") ==
+      BoolQ(Seq(TermQ("spark"), TermQ("table")), Nil, Nil))
+  }
+
+  test("+/- modifiers") {
+    assert(QueryParser.parse("+spark -dup table") ==
+      BoolQ(Seq(TermQ("spark")), Seq(TermQ("table")), Seq(TermQ("dup"))))
+  }
+
+  test("NOT") {
+    assert(QueryParser.parse("spark AND NOT dup") ==
+      BoolQ(Seq(TermQ("spark")), Nil, Seq(TermQ("dup"))))
+  }
+
+  test("phrase with analyzer positions and slop") {
+    assert(QueryParser.parse("\"merge the table\"") ==
+      PhraseQ(Seq("merge" -> 0, "table" -> 2), 0))
+    assert(QueryParser.parse("\"key agg\"~3") ==
+      PhraseQ(Seq("key" -> 0, "agg" -> 1), 3))
+    // single surviving token collapses to TermQ
+    assert(QueryParser.parse("\"the spark\"") == TermQ("spark"))
+  }
+
+  test("ranges") {
+    assert(QueryParser.parse("[query TO sort]") ==
+      TermRangeQ(Some("query"), Some("sort"), incLo = true, incHi = true))
+    assert(QueryParser.parse("{query TO sort}") ==
+      TermRangeQ(Some("query"), Some("sort"), incLo = false, incHi = false))
+    assert(QueryParser.parse("[* TO sort]") ==
+      TermRangeQ(None, Some("sort"), incLo = true, incHi = true))
+  }
+
+  test("prefix / wildcard / fuzzy") {
+    assert(QueryParser.parse("spar*") == PrefixQ("spar"))
+    assert(QueryParser.parse("s*n") == WildcardQ("s*n"))
+    assert(QueryParser.parse("w?ndow") == WildcardQ("w?ndow"))
+    assert(QueryParser.parse("tble~") == FuzzyQ("tble", 2))
+    assert(QueryParser.parse("tble~1") == FuzzyQ("tble", 1))
+  }
+
+  test("boost and grouping") {
+    assert(QueryParser.parse("spark^2") == BoostQ(TermQ("spark"), 2.0))
+    assert(QueryParser.parse("(spark OR table) AND merge") ==
+      BoolQ(Seq(BoolQ(Nil, Seq(TermQ("spark"), TermQ("table")), Nil),
+        TermQ("merge")), Nil, Nil))
+  }
+
+  test("keyword fields") {
+    assert(QueryParser.parse("role:assistant") == KeywordQ("role", "assistant"))
+    assert(QueryParser.parse("role:assistant AND spark") ==
+      BoolQ(Seq(KeywordQ("role", "assistant"), TermQ("spark")), Nil, Nil))
+  }
+
+  test("stopword-only input yields MatchNoneQ") {
+    assert(QueryParser.parse("the a to") == MatchNoneQ)
+  }
+
+  test("unbalanced parens rejected") {
+    intercept[IllegalArgumentException](QueryParser.parse("(spark table"))
+  }
+}

@@ -1,0 +1,186 @@
+package graft.search
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.analysis.Analyzer
+import graft.index.{IndexBuilder, InvertedIndex}
+import graft.model.TranscriptTurn
+
+/** CheckHits analog (reference test/core/Search/CheckHits.cs:89,197):
+  * engine results vs an in-test scalar Scala BM25 oracle — expected docID
+  * sets exact, scores within 1e-9 (both sides are doubles over the same
+  * math). */
+object TinyCorpus {
+  val turns: Seq[TranscriptTurn] = Seq(
+    "error in the spark job",                      // 0
+    "spark spark spark everywhere",                // 1
+    "the quick brown fox",                         // 2
+    "deploy failed with error",                    // 3
+    "quick deploy of the spark table",             // 4
+    "a an and are as at be",                       // 5 (all stopwords)
+    "error error error error deploy",              // 6
+    "fox jumps over the lazy dog",                 // 7
+    "spark table merge job",                       // 8
+    "merge the table then merge again"             // 9
+  ).zipWithIndex.map { case (txt, i) =>
+    TranscriptTurn(f"c${i / 4}%03d", i % 4,
+      if (i % 2 == 0) "user" else "assistant", txt, None,
+      new Timestamp(1735689600000L + i * 1000L))
+  }
+
+  // scalar oracle structures
+  val docs: Vector[Vector[Analyzer.Token]] =
+    turns.sortBy(t => (t.conv_id, t.turn_idx))
+      .map(t => Analyzer.tokenize(t.text)).toVector
+  val n: Int = docs.size
+  val lens: Vector[Int] = docs.map(_.size)
+  val avgdl: Double = lens.sum.toDouble / n
+  def df(term: String): Int = docs.count(_.exists(_.term == term))
+  def tf(term: String, d: Int): Int = docs(d).count(_.term == term)
+  def idf(term: String): Double =
+    math.log(1.0 + (n - df(term) + 0.5) / (df(term) + 0.5))
+  def bm25(term: String, d: Int): Double = {
+    val f = tf(term, d)
+    if (f == 0) 0.0
+    else idf(term) * (f * 2.2) / (f + 1.2 * (1 - 0.75 + 0.75 * lens(d) / avgdl))
+  }
+
+  lazy val index: InvertedIndex = {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    IndexBuilder.build(spark.createDataset(turns).toDF(), 4)
+  }
+}
+
+class SearcherSpec extends AnyFunSuite {
+  import TinyCorpus._
+
+  private def run(q: Query): Map[Long, Double] =
+    new Searcher(index).score(q).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  private def assertScores(got: Map[Long, Double], want: Map[Long, Double]): Unit = {
+    assert(got.keySet == want.keySet, s"docID sets differ: got=${got.keySet} want=${want.keySet}")
+    got.foreach { case (d, s) =>
+      assert(math.abs(s - want(d)) < 1e-9, s"doc $d: got $s want ${want(d)}")
+    }
+  }
+
+  private def oracleTerm(t: String): Map[Long, Double] =
+    (0 until n).filter(d => tf(t, d) > 0)
+      .map(d => d.toLong -> bm25(t, d)).toMap
+
+  test("term query matches scalar BM25 oracle") {
+    for (t <- Seq("spark", "error", "deploy", "merge", "fox"))
+      assertScores(run(TermQ(t)), oracleTerm(t))
+  }
+
+  test("term query on absent / stopword term is empty") {
+    assert(run(TermQ("zzz")).isEmpty)
+    assert(run(TermQ("the")).isEmpty) // stopwords never indexed
+  }
+
+  test("docid assignment is dense over (conv_id, turn_idx)") {
+    val ids = index.docs.select("docid").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (0L until n.toLong))
+    assert(index.numDocs == n)
+    assert(math.abs(index.avgdl - avgdl) < 1e-12)
+  }
+
+  test("AND = intersection with summed scores") {
+    val want = (0 until n)
+      .filter(d => tf("spark", d) > 0 && tf("table", d) > 0)
+      .map(d => d.toLong -> (bm25("spark", d) + bm25("table", d))).toMap
+    assertScores(run(BoolQ(must = Seq(TermQ("spark"), TermQ("table")))), want)
+  }
+
+  test("OR = union; minShouldMatch filters") {
+    val terms = Seq("error", "deploy")
+    val want = (0 until n)
+      .filter(d => terms.exists(tf(_, d) > 0))
+      .map(d => d.toLong -> terms.map(bm25(_, d)).sum).toMap
+    assertScores(run(BoolQ(should = terms.map(TermQ(_)))), want)
+    val want2 = (0 until n)
+      .filter(d => terms.count(tf(_, d) > 0) >= 2)
+      .map(d => d.toLong -> terms.map(bm25(_, d)).sum).toMap
+    assertScores(run(BoolQ(should = terms.map(TermQ(_)), minShouldMatch = 2)), want2)
+  }
+
+  test("NOT excludes; req+opt adds optional score") {
+    val want = (0 until n)
+      .filter(d => tf("error", d) > 0 && tf("deploy", d) == 0)
+      .map(d => d.toLong -> bm25("error", d)).toMap
+    assertScores(run(BoolQ(must = Seq(TermQ("error")),
+      mustNot = Seq(TermQ("deploy")))), want)
+
+    val wantRO = (0 until n).filter(d => tf("spark", d) > 0)
+      .map(d => d.toLong -> (bm25("spark", d) + bm25("job", d))).toMap
+    assertScores(run(BoolQ(must = Seq(TermQ("spark")),
+      should = Seq(TermQ("job")))), wantRO)
+  }
+
+  test("exact phrase: positions align, stop gaps respected") {
+    // "spark table": docs 4 ("...spark table") and 8 ("spark table ...")
+    val hits = run(PhraseQ(Seq("spark" -> 0, "table" -> 1)))
+    assert(hits.keySet == Set(4L, 8L))
+    // "merge <gap> table": doc 9 "merge the table" -> offsets 0,2
+    val gap = run(PhraseQ(Seq("merge" -> 0, "table" -> 2)))
+    assert(gap.keySet == Set(9L))
+    // phrase tf feeds BM25 with summed idf
+    val sumIdf = idf("spark") + idf("table")
+    val d = 4
+    val wantScore = sumIdf * (1 * 2.2) / (1 + 1.2 * (1 - 0.75 + 0.75 * lens(d) / avgdl))
+    assert(math.abs(hits(4L) - wantScore) < 1e-9)
+  }
+
+  test("sloppy phrase widens matches") {
+    val exact = run(PhraseQ(Seq("deploy" -> 0, "error" -> 1)))
+    assert(exact.isEmpty) // "deploy failed with error" has a gap of 3
+    // doc 3: "deploy failed with error" (displacement 2);
+    // doc 6: "... error deploy" — transposed order costs 2 (Lucene
+    // sloppy-phrase semantics: "a b"~2 matches "b a")
+    val sloppy = run(PhraseQ(Seq("deploy" -> 0, "error" -> 1), slop = 2))
+    assert(sloppy.keySet == Set(3L, 6L))
+    // slop=1 reaches neither (both need distance 2)
+    assert(run(PhraseQ(Seq("deploy" -> 0, "error" -> 1), slop = 1)).isEmpty)
+  }
+
+  test("prefix / wildcard / fuzzy / range rewrites") {
+    assert(run(PrefixQ("dep")).keySet ==
+      (0 until n).filter(d => docs(d).exists(_.term.startsWith("dep"))).map(_.toLong).toSet)
+    assert(run(WildcardQ("f?x")).keySet == Set(2L, 7L))
+    // fuzzy "spork"~1 -> spark
+    assert(run(FuzzyQ("spork", 1)).keySet ==
+      (0 until n).filter(d => tf("spark", d) > 0).map(_.toLong).toSet)
+    assert(run(TermRangeQ(Some("fox"), Some("job"))).keySet ==
+      (0 until n).filter(d => docs(d).exists(t => t.term >= "fox" && t.term <= "job")).map(_.toLong).toSet)
+  }
+
+  test("dismax = max + tie*(sum-max)") {
+    val tie = 0.3
+    val terms = Seq("spark", "error")
+    val want = (0 until n).filter(d => terms.exists(tf(_, d) > 0)).map { d =>
+      val ss = terms.map(bm25(_, d)).filter(_ > 0)
+      d.toLong -> (ss.max + tie * (ss.sum - ss.max))
+    }.toMap
+    assertScores(run(DisMaxQ(terms.map(TermQ(_)), tie)), want)
+  }
+
+  test("top-k tie-break is (score desc, docid asc)") {
+    val searcher = new Searcher(index)
+    val top = searcher.topK(MatchAllQ, 5).collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(0L, 1L, 2L, 3L, 4L)) // all scores 1.0 -> docid order
+  }
+
+  test("per-turn text equality invariant under stable ordering (north rule)") {
+    val fromIndex = index.docs.orderBy("docid")
+      .select("conv_id", "turn_idx", "text").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq
+    val fromSource = turns.sortBy(t => (t.conv_id, t.turn_idx))
+      .map(t => (t.conv_id, t.turn_idx, t.text))
+    assert(fromIndex == fromSource)
+  }
+}
