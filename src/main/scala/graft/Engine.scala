@@ -1,41 +1,113 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.index.{IndexBuilder, InvertedIndex}
+import graft.index.{IndexBuilder, InvertedIndex, SegmentStore}
 import graft.model.Transcripts
 import graft.search._
 
 /** Session-scoped index cache: Verify/Bench run dozens of queries against
-  * the same sfDir — the inverted index is built once and its tables kept
-  * persisted (the reference's point-in-time IndexReader analog,
-  * /root/reference/src/core/Index/IndexReader.cs:65). */
+  * the same sfDir — each index flavor is built once and kept persisted
+  * (the reference's point-in-time IndexReader analog,
+  * /root/reference/src/core/Index/IndexReader.cs:65).
+  *
+  * Three flavors, all serving the same logical InvertedIndex:
+  *  - `index`      — in-memory build (no storage round-trip)
+  *  - `indexSeg`   — segmented build → SegmentStore (compressed posting
+  *                   blocks, manifest commit) → re-opened from disk
+  *  - `indexCompacted` — segmented build, then forceMerge + GC, re-opened
+  * Verify routes the same oracle queries through all three, proving the
+  * storage + merge layers change nothing.
+  */
 object Engine {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[String, InvertedIndex]
 
+  private def parts(spark: SparkSession): Int =
+    math.max(spark.sparkContext.defaultParallelism, 4)
+
+  private def key(spark: SparkSession, sfDir: String, flavor: String) =
+    s"$flavor:${spark.sparkContext.applicationId}:$sfDir"
+
+  private def segRoot(spark: SparkSession, sfDir: String, flavor: String) =
+    s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_${flavor}_" +
+      s"${spark.sparkContext.applicationId.replace(':', '_')}_" +
+      s"${math.abs(sfDir.hashCode)}"
+
   def index(spark: SparkSession, sfDir: String): InvertedIndex =
-    cache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$sfDir", {
-      val parts = math.max(spark.sparkContext.defaultParallelism, 4)
-      IndexBuilder.build(Transcripts.fromDocuments(spark, sfDir), parts)
+    cache.getOrElseUpdate(key(spark, sfDir, "mem"),
+      IndexBuilder.build(Transcripts.fromDocuments(spark, sfDir), parts(spark)))
+
+  /** Build → persist as 4 segments → open from the committed manifest. */
+  def indexSeg(spark: SparkSession, sfDir: String): InvertedIndex =
+    cache.getOrElseUpdate(key(spark, sfDir, "seg"), {
+      val root = segRoot(spark, sfDir, "seg")
+      IndexBuilder.buildSegments(spark,
+        Transcripts.fromDocuments(spark, sfDir), root,
+        numBatches = 4, numPartitions = parts(spark))
+      SegmentStore.open(spark, root)
+    })
+
+  /** Segmented build, then merge-all + GC (SegmentMerger/Optimize path). */
+  def indexCompacted(spark: SparkSession, sfDir: String): InvertedIndex =
+    cache.getOrElseUpdate(key(spark, sfDir, "cmp"), {
+      val root = segRoot(spark, sfDir, "cmp")
+      IndexBuilder.buildSegments(spark,
+        Transcripts.fromDocuments(spark, sfDir), root,
+        numBatches = 4, numPartitions = parts(spark))
+      IndexBuilder.forceMerge(spark, root, parts(spark))
+      SegmentStore.gc(root)
+      SegmentStore.open(spark, root)
+    })
+
+  /** Incremental NRT-style build: ingest in ordered conv_id ranges via
+    * appendSegment (docid re-base per batch) — the streaming-sink unit. */
+  def indexAppended(spark: SparkSession, sfDir: String): InvertedIndex =
+    cache.getOrElseUpdate(key(spark, sfDir, "app"), {
+      val root = segRoot(spark, sfDir, "app")
+      val t = Transcripts.fromDocuments(spark, sfDir)
+      // three ordered conv_id ranges appended in order → docids equal the
+      // one-shot build's (stable (conv_id, turn_idx) global order)
+      val bounds = t.select("conv_id").distinct().orderBy("conv_id")
+        .collect().map(_.getString(0))
+      val cut1 = bounds(bounds.length / 3)
+      val cut2 = bounds(2 * bounds.length / 3)
+      IndexBuilder.appendSegment(spark, t.filter(col("conv_id") < cut1),
+        root, parts(spark))
+      IndexBuilder.appendSegment(spark,
+        t.filter(col("conv_id") >= cut1 && col("conv_id") < cut2),
+        root, parts(spark))
+      IndexBuilder.appendSegment(spark, t.filter(col("conv_id") >= cut2),
+        root, parts(spark))
+      SegmentStore.open(spark, root)
     })
 
   def searcher(spark: SparkSession, sfDir: String): Searcher =
     new Searcher(index(spark, sfDir))
+
+  private def ranked(scored: DataFrame): DataFrame =
+    scored.withColumn("rank",
+      row_number().over(
+        Window.orderBy(col("score").desc, col("docid").asc)).cast("long"))
+      .select(col("rank"), col("docid"), round(col("score"), 4).as("score"))
 
   /** Top-k result in the driver-compare shape: (rank, docid, score) with
     * score rounded to 4 decimals (cross-engine float guard) and rank by
     * the mandatory (score desc, docid asc) order. The row_number window
     * runs over k already-collected rows — not a scale concern. */
   def topK(spark: SparkSession, sfDir: String, q: Query, k: Int): DataFrame =
-    searcher(spark, sfDir).topK(q, k)
-      .withColumn("rank",
-        row_number().over(
-          Window.orderBy(col("score").desc, col("docid").asc)).cast("long"))
-      .select(col("rank"), col("docid"),
-        round(col("score"), 4).as("score"))
+    topKOn(index(spark, sfDir), q, k)
+
+  def topKOn(idx: InvertedIndex, q: Query, k: Int): DataFrame =
+    ranked(new Searcher(idx).topK(q, k))
+
+  /** WAND-pruned disjunction top-k over the persisted block tables —
+    * result identical to topK(BoolQ(should = terms)) by construction. */
+  def topKWand(spark: SparkSession, sfDir: String, terms: Seq[String],
+      k: Int): DataFrame =
+    ranked(Wand.topKDisjunction(indexSeg(spark, sfDir), terms, k))
 
   def countQ(spark: SparkSession, sfDir: String, q: Query): DataFrame =
     searcher(spark, sfDir).score(q)

@@ -104,6 +104,52 @@ object SparkEntry {
 
     // --- collectors / facets (§2.6) ---
     "ft_facet_role" -> Facet(TermQ("table"), "role"),
+
+    // --- storage / merge / WAND (§2.1, §2.4; SURVEY §7 steps 3-5, 9) ---
+    // Same oracles as the in-memory paths: the compressed block store,
+    // the segment manifest, compaction, and docid-re-based appends must
+    // all be invisible to query results.
+    "ft_seg_docs" -> Raw(
+      (s, dir) => Engine.indexSeg(s, dir).docs
+        .select("docid", "conv_id", "turn_idx", "role", "tool", "text")
+        .orderBy("docid"),
+      s"""${OracleSql.prelude}
+         |SELECT docid, conv_id, turn_idx, role, tool, text FROM docs
+         |ORDER BY docid""".stripMargin),
+    "ft_seg_postings" -> Raw(
+      (s, dir) => Engine.indexSeg(s, dir).postings
+        .select(col("term"), col("docid"), col("tf"), col("len"),
+          col("positions")).orderBy("term", "docid"),
+      s"""${OracleSql.prelude}
+         |SELECT p.term, p.docid, p.tf, l.len, p.positions
+         |FROM postings p JOIN doclens l USING (docid)
+         |ORDER BY p.term, p.docid""".stripMargin),
+    "ft_seg_term" -> Raw(
+      (s, dir) => Engine.topKOn(Engine.indexSeg(s, dir), TermQ("table"), 10),
+      OracleSql.topK(TermQ("table"), 10)),
+    "ft_seg_prefix" -> Raw(
+      (s, dir) => Engine.topKOn(Engine.indexSeg(s, dir),
+        BoolQ(must = Seq(PrefixQ("sp"), TermQ("key"))), 10),
+      OracleSql.topK(BoolQ(must = Seq(PrefixQ("sp"), TermQ("key"))), 10)),
+    "ft_compact_bool" -> Raw(
+      (s, dir) => Engine.topKOn(Engine.indexCompacted(s, dir),
+        BoolQ(must = Seq(TermQ("table"), TermQ("merge"))), 10),
+      OracleSql.topK(BoolQ(must = Seq(TermQ("table"), TermQ("merge"))), 10)),
+    "ft_append_docs" -> Raw(
+      (s, dir) => Engine.indexAppended(s, dir).docs
+        .select("docid", "conv_id", "turn_idx", "role", "tool", "text")
+        .orderBy("docid"),
+      s"""${OracleSql.prelude}
+         |SELECT docid, conv_id, turn_idx, role, tool, text FROM docs
+         |ORDER BY docid""".stripMargin),
+    "ft_append_phrase" -> Raw(
+      (s, dir) => Engine.topKOn(Engine.indexAppended(s, dir),
+        PhraseQ(Seq("key" -> 0, "agg" -> 1)), 10),
+      OracleSql.topK(PhraseQ(Seq("key" -> 0, "agg" -> 1)), 10)),
+    "ft_wand_or" -> Raw(
+      (s, dir) => Engine.topKWand(s, dir, Seq("spark", "hash", "window"), 10),
+      OracleSql.topK(BoolQ(should = Seq(TermQ("spark"), TermQ("hash"),
+        TermQ("window"))), 10)),
   )
 
   private def compile(spec: Spec): ((SparkSession, String) => DataFrame, String) =

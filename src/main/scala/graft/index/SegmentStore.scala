@@ -1,0 +1,186 @@
+package graft.index
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One committed segment: a self-contained mini-index (docs + compressed
+  * posting blocks + doclens + term dict), immutable once referenced by a
+  * manifest. Reference analog: SegmentInfo
+  * (/root/reference/src/core/Index/SegmentInfo.cs). docids stored are
+  * GLOBAL (assigned once at ingest over the stable (conv_id, turn_idx)
+  * order); appends re-base new batches past maxDoc — the
+  * MergeDocIDRemapper analog lives at append time, so merge itself needs
+  * no remap. */
+final case class SegmentMeta(
+    id: String,
+    ord: Long,
+    numDocs: Long,
+    sumLen: Long,
+    lineage: String)
+
+/** A commit point: generation-numbered manifest listing live segments.
+  * Reference analog: segments_N + segments.gen
+  * (/root/reference/src/core/Index/SegmentInfos.cs:68-127). */
+final case class Manifest(version: Long, segments: Seq[SegmentMeta]) {
+  def numDocs: Long = segments.map(_.numDocs).sum
+  def sumLen: Long = segments.map(_.sumLen).sum
+}
+
+/** Iceberg-style segment store: immutable segment directories + JSON
+  * manifest with two-phase commit (write everything, then atomically
+  * rename `vN.json.tmp` → `vN.json`; readers resolve max N). Swapping in
+  * a real Iceberg catalog is a config change, not a design change
+  * (SURVEY.md §7). The two-phase protocol mirrors
+  * IndexWriter.PrepareCommit/Commit
+  * (/root/reference/src/core/Index/IndexWriter.cs:3987,4023).
+  */
+object SegmentStore {
+
+  private def manifestDir(root: String) = Paths.get(root, "manifest")
+  private def segDir(root: String, id: String) = Paths.get(root, id).toString
+
+  // ---- manifest JSON (hand-rolled: fixed shape, no extra deps) ----
+
+  private def esc(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+
+  def toJson(m: Manifest): String = {
+    val segs = m.segments.map { s =>
+      s"""{"id":"${esc(s.id)}","ord":${s.ord},"numDocs":${s.numDocs},""" +
+        s""""sumLen":${s.sumLen},"lineage":"${esc(s.lineage)}"}"""
+    }.mkString(",")
+    s"""{"version":${m.version},"segments":[$segs]}"""
+  }
+
+  private val SegRe =
+    ("""\{"id":"((?:[^"\\]|\\.)*)","ord":(\d+),"numDocs":(\d+),""" +
+      """"sumLen":(\d+),"lineage":"((?:[^"\\]|\\.)*)"\}""").r
+  private val VerRe = """"version":(\d+)""".r
+
+  private def unesc(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  def fromJson(json: String): Manifest = {
+    val version = VerRe.findFirstMatchIn(json)
+      .map(_.group(1).toLong)
+      .getOrElse(sys.error(s"bad manifest: $json"))
+    val segs = SegRe.findAllMatchIn(json).map { m =>
+      SegmentMeta(unesc(m.group(1)), m.group(2).toLong, m.group(3).toLong,
+        m.group(4).toLong, unesc(m.group(5)))
+    }.toSeq.sortBy(_.ord)
+    Manifest(version, segs)
+  }
+
+  // ---- commit protocol ----
+
+  /** Latest committed manifest, or None for an empty/new store. */
+  def latest(root: String): Option[Manifest] = {
+    val dir = manifestDir(root)
+    if (!Files.isDirectory(dir)) return None
+    val versions = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("v\\d+\\.json") =>
+        s.stripPrefix("v").stripSuffix(".json").toLong }
+      .toSeq
+    if (versions.isEmpty) None
+    else Some(fromJson(Files.readString(
+      dir.resolve(s"v${versions.max}.json"))))
+  }
+
+  /** Two-phase commit: stage the manifest, fsync-equivalent, atomic
+    * rename. Segment data must already be fully written — a crash before
+    * this rename leaves the previous commit point intact. */
+  def commit(root: String, m: Manifest): Unit = {
+    val dir = manifestDir(root)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s"v${m.version}.json.tmp")
+    Files.writeString(tmp, toJson(m))
+    Files.move(tmp, dir.resolve(s"v${m.version}.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  // ---- segment I/O ----
+
+  /** True iff segment `id` has fully-written data + lineage marker —
+    * the per-partition checkpoint record the resume path consults (north
+    * rule: a failed build resumes without re-tokenizing completed
+    * batches). */
+  def segmentComplete(root: String, id: String): Boolean =
+    Files.exists(Paths.get(segDir(root, id), "_LINEAGE.json"))
+
+  def readLineage(root: String, id: String): Option[SegmentMeta] = {
+    val p = Paths.get(segDir(root, id), "_LINEAGE.json")
+    if (!Files.exists(p)) None
+    else SegRe.findFirstMatchIn(Files.readString(p)).map { m =>
+      SegmentMeta(unesc(m.group(1)), m.group(2).toLong, m.group(3).toLong,
+        m.group(4).toLong, unesc(m.group(5)))
+    }
+  }
+
+  /** Write one segment's tables; the lineage marker is written LAST so a
+    * crash mid-write leaves an incomplete (ignored, re-buildable) dir. */
+  def writeSegment(root: String, meta: SegmentMeta, docs: DataFrame,
+      blocks: DataFrame, docLens: DataFrame, dict: DataFrame): Unit = {
+    val d = segDir(root, meta.id)
+    docs.write.mode("overwrite").parquet(s"$d/docs")
+    blocks.write.mode("overwrite").parquet(s"$d/blocks")
+    docLens.write.mode("overwrite").parquet(s"$d/doclens")
+    dict.write.mode("overwrite").parquet(s"$d/dict")
+    Files.writeString(Paths.get(d, "_LINEAGE.json"),
+      s"""{"id":"${esc(meta.id)}","ord":${meta.ord},"numDocs":${meta.numDocs},"sumLen":${meta.sumLen},"lineage":"${esc(meta.lineage)}"}""")
+  }
+
+  /** Open the latest commit point as a logical InvertedIndex. Collection
+    * stats (numDocs, avgdl) come from the manifest — no scan. The blocks
+    * handle is kept so term lookups prune blocks BEFORE decoding
+    * (predicate pushdown can't cross the decode flatMap). */
+  def open(spark: SparkSession, root: String): InvertedIndex = {
+    val m = latest(root).getOrElse(sys.error(s"no committed manifest in $root"))
+    require(m.segments.nonEmpty, s"empty manifest in $root")
+    def unionOf(sub: String): DataFrame =
+      m.segments.map(s => spark.read.parquet(s"${segDir(root, s.id)}/$sub"))
+        .reduce(_ unionByName _)
+    val docs = unionOf("docs")
+    val blocks = unionOf("blocks")
+    val docLens = unionOf("doclens")
+    // global dict: docid spaces are disjoint → df/cf add across segments
+    val dict = unionOf("dict").groupBy("term")
+      .agg(sum("df").as("df"), sum("cf").as("cf"))
+    val n = m.numDocs
+    InvertedIndex(docs, PostingBlocks.toPostings(blocks), dict, docLens,
+      n, m.sumLen.toDouble / n, blocks = Some(blocks))
+  }
+
+  /** Drop segment directories not referenced by the latest manifest
+    * (ref-counted GC analog, IndexFileDeleter
+    * /root/reference/src/core/Index/IndexFileDeleter.cs). Also prunes all
+    * but the newest `keepManifests` commit files. */
+  def gc(root: String, keepManifests: Int = 2): Seq[String] = {
+    val live = latest(root).map(_.segments.map(_.id).toSet).getOrElse(Set.empty)
+    val rootP = Paths.get(root)
+    if (!Files.isDirectory(rootP)) return Nil
+    val dropped = Files.list(rootP).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("seg_"))
+      .filterNot(p => live.contains(p.getFileName.toString))
+      .map { p => deleteRec(p); p.getFileName.toString }
+      .toSeq
+    val mdir = manifestDir(root)
+    if (Files.isDirectory(mdir)) {
+      val vs = Files.list(mdir).iterator().asScala
+        .filter(_.getFileName.toString.matches("v\\d+\\.json")).toSeq
+        .sortBy(p => p.getFileName.toString.stripPrefix("v")
+          .stripSuffix(".json").toLong)
+      vs.dropRight(keepManifests).foreach(Files.delete)
+    }
+    dropped
+  }
+
+  private def deleteRec(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toSeq.foreach(deleteRec)
+    Files.deleteIfExists(p)
+  }
+}

@@ -30,8 +30,7 @@ final class Searcher(idx: InvertedIndex) {
     val ts = terms.toSeq
     val dict = idx.termDict.filter(col("term").isin(ts: _*))
       .select(col("term"), col("df"))
-    idx.postings
-      .filter(col("term").isin(ts: _*))
+    idx.postingsFor(ts)
       .join(broadcast(dict), Seq("term"))
       .select(col("term"), col("docid"),
         Bm25.score(idx.numDocs, idx.avgdl, col("df"), col("tf"), col("len"))
@@ -114,7 +113,9 @@ final class Searcher(idx: InvertedIndex) {
           (lit(1.0) - levenshtein(col("term"), lit(t)).cast("double") /
             least(length(col("term")), lit(t.length)).cast("double"))
             .as("boost"))
-      val scored = idx.postings.join(broadcast(dict), Seq("term"))
+      val scored = idx
+        .postingsWhereTerm(levenshtein(col("term"), lit(t)) <= maxEdits)
+        .join(broadcast(dict), Seq("term"))
         .select(col("docid"), col("term").as("ord"),
           (Bm25.score(idx.numDocs, idx.avgdl, col("df"), col("tf"),
             col("len")) * col("boost")).as("score"))
@@ -159,12 +160,10 @@ final class Searcher(idx: InvertedIndex) {
 
   /** Constant-score multi-term rewrite (MultiTermQuery.cs:84-114): match
     * the dictionary predicate, semi-join into postings, dedup docs. */
-  private def constantOverTerms(dictPred: Column): DataFrame = {
-    val terms = idx.termDict.filter(dictPred).select(col("term"))
-    idx.postings.join(broadcast(terms), Seq("term"))
+  private def constantOverTerms(dictPred: Column): DataFrame =
+    idx.postingsWhereTerm(dictPred)
       .select(col("docid")).distinct()
       .select(col("docid"), lit(1.0).as("score"))
-  }
 
   /** Phrase scoring. Exact (slop=0): n-way docid join of the term posting
     * rows, then count aligned start positions with array expressions
@@ -183,7 +182,7 @@ final class Searcher(idx: InvertedIndex) {
       .map { case (t, _) => Bm25.idf(idx.numDocs, dfs.getOrElse(t, 0L)) }.sum
 
     val slots = p.terms.zipWithIndex.map { case ((t, _), i) =>
-      val base = idx.postings.filter(col("term") === t)
+      val base = idx.postingsFor(Seq(t))
       if (i == 0)
         base.select(col("docid"), col("positions").as(s"pos$i"), col("len"))
       else base.select(col("docid"), col("positions").as(s"pos$i"))

@@ -1,0 +1,150 @@
+package graft.index
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.model.Transcripts
+import graft.search.{BoolQ, Searcher, TermQ, Wand}
+
+/** Storage-layer invariants: the compressed block store, manifest commit
+  * protocol, checkpoint-resume, compaction, and append re-basing must all
+  * be invisible to the logical index (reference analog: CheckIndex +
+  * TestBackwardsCompatibility golden-corpus style, SURVEY.md §5). */
+class SegmentStoreSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_store_").toString
+
+  private lazy val turns = Transcripts.synthetic(spark, 1500, seed = 7L,
+    partitions = 6).cache()
+  private lazy val direct = IndexBuilder.build(turns, 4)
+
+  private def rows(df: DataFrame, cols: String*): Seq[Seq[Any]] =
+    df.select(cols.map(col): _*).collect()
+      .map(_.toSeq.map {
+        case s: Seq[_] => s.toList
+        case x => x
+      }).toSeq.sortBy(_.mkString("|"))
+
+  test("manifest JSON round-trips") {
+    val m = Manifest(3L, Seq(
+      SegmentMeta("seg_b00000", 0, 10, 55, "batch=0/4 docids=[0,10) src=ingest"),
+      SegmentMeta("seg_m0004_00001", 1, 20, 99, """merged=[a,b] with "quote"""")))
+    assert(SegmentStore.fromJson(SegmentStore.toJson(m)) == m)
+  }
+
+  test("segmented build round-trips the whole index through disk") {
+    val root = tmp()
+    val m = IndexBuilder.buildSegments(spark, turns, root, numBatches = 4,
+      numPartitions = 4)
+    assert(m.segments.size == 4)
+    val opened = SegmentStore.open(spark, root)
+    assert(opened.numDocs == direct.numDocs)
+    assert(math.abs(opened.avgdl - direct.avgdl) < 1e-12)
+    assert(rows(opened.docs, "docid", "conv_id", "turn_idx", "text") ==
+      rows(direct.docs, "docid", "conv_id", "turn_idx", "text"))
+    assert(rows(opened.postings, "term", "docid", "tf", "len", "positions") ==
+      rows(direct.postings, "term", "docid", "tf", "len", "positions"))
+    assert(rows(opened.termDict, "term", "df", "cf") ==
+      rows(direct.termDict, "term", "df", "cf"))
+  }
+
+  test("resume skips completed segments and commits the full manifest") {
+    val root = tmp()
+    IndexBuilder.buildSegments(spark, turns, root, 4, 4)
+    // simulate a crash AFTER two segments were written but BEFORE commit:
+    // drop the manifest and two segment dirs entirely
+    deleteRec(Paths.get(root, "manifest"))
+    deleteRec(Paths.get(root, "seg_b00002"))
+    deleteRec(Paths.get(root, "seg_b00003"))
+    val kept0 = Files.getLastModifiedTime(
+      Paths.get(root, "seg_b00000", "_LINEAGE.json"))
+    assert(SegmentStore.latest(root).isEmpty)
+
+    val m = IndexBuilder.buildSegments(spark, turns, root, 4, 4)
+    assert(m.segments.size == 4)
+    // completed segment untouched (not re-tokenized/re-written)
+    assert(Files.getLastModifiedTime(
+      Paths.get(root, "seg_b00000", "_LINEAGE.json")) == kept0)
+    val opened = SegmentStore.open(spark, root)
+    assert(rows(opened.postings, "term", "docid", "tf") ==
+      rows(direct.postings, "term", "docid", "tf"))
+  }
+
+  test("forceMerge + gc preserve the index; old segments dropped") {
+    val root = tmp()
+    IndexBuilder.buildSegments(spark, turns, root, 4, 4)
+    val before = SegmentStore.open(spark, root)
+    val q = BoolQ(must = Seq(TermQ("error")), should = Seq(TermQ("deploy")))
+    val hitsBefore = rows(new Searcher(before).topK(q, 20), "docid", "score")
+
+    val merged = IndexBuilder.forceMerge(spark, root, 4).get
+    assert(merged.segments.size == 1)
+    val dropped = SegmentStore.gc(root)
+    assert(dropped.toSet == Set("seg_b00000", "seg_b00001", "seg_b00002",
+      "seg_b00003"))
+    val after = SegmentStore.open(spark, root)
+    assert(after.numDocs == before.numDocs)
+    assert(rows(after.postings, "term", "docid", "tf", "len") ==
+      rows(direct.postings, "term", "docid", "tf", "len"))
+    assert(rows(new Searcher(after).topK(q, 20), "docid", "score") ==
+      hitsBefore)
+  }
+
+  test("geometric compact merges only when >= mergeFactor peers exist") {
+    val root = tmp()
+    IndexBuilder.buildSegments(spark, turns, root, 4, 4)
+    // mergeFactor 10 > 4 segments → no-op
+    assert(IndexBuilder.compact(spark, root, mergeFactor = 10, 4).isEmpty)
+    // mergeFactor 3 → merges the 3 oldest same-level segments
+    val m = IndexBuilder.compact(spark, root, mergeFactor = 3, 4)
+    assert(m.isDefined && m.get.segments.size == 2)
+    val opened = SegmentStore.open(spark, root)
+    assert(rows(opened.postings, "term", "docid", "tf") ==
+      rows(direct.postings, "term", "docid", "tf"))
+  }
+
+  test("ordered appends re-base docids to match the one-shot build") {
+    val root = tmp()
+    val convs = turns.select("conv_id").distinct().orderBy("conv_id")
+      .collect().map(_.getString(0))
+    val cut = convs(convs.length / 2)
+    IndexBuilder.appendSegment(spark, turns.filter(col("conv_id") < cut),
+      root, 4)
+    IndexBuilder.appendSegment(spark, turns.filter(col("conv_id") >= cut),
+      root, 4)
+    val opened = SegmentStore.open(spark, root)
+    assert(rows(opened.docs, "docid", "conv_id", "turn_idx", "text") ==
+      rows(direct.docs, "docid", "conv_id", "turn_idx", "text"))
+    assert(rows(opened.termDict, "term", "df", "cf") ==
+      rows(direct.termDict, "term", "df", "cf"))
+  }
+
+  test("WAND pruned disjunction == unpruned (scores + ranks)") {
+    val root = tmp()
+    IndexBuilder.buildSegments(spark, turns, root, 4, 4)
+    val idx = SegmentStore.open(spark, root)
+    val terms = Seq("error", "deploy", "the")
+    val pruned = Wand.topKDisjunction(idx, terms, 10).collect()
+    val full = new Searcher(direct)
+      .topK(BoolQ(should = terms.map(TermQ(_))), 10).collect()
+    assert(pruned.map(_.getLong(0)).toSeq == full.map(_.getLong(0)).toSeq)
+    pruned.zip(full).foreach { case (p, f) =>
+      assert(math.abs(p.getDouble(1) - f.getDouble(1)) < 1e-9)
+    }
+    val (total, kept) = Wand.pruneStats(idx, terms, 10)
+    assert(total >= kept && kept > 0)
+  }
+
+  private def deleteRec(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toSeq.foreach(deleteRec)
+    Files.deleteIfExists(p)
+  }
+}
