@@ -174,7 +174,8 @@ object SparkEntry {
     }
 
   private lazy val compiled: Seq[(String, ((SparkSession, String) => DataFrame, String))] =
-    ftSpecs.map { case (n, s) => n -> compile(s) }
+    ftSpecs.map { case (n, s) => n -> compile(s) } ++
+      graft.ops.TrainEntries.entries.map { case (n, f, sql) => n -> (f, sql) }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

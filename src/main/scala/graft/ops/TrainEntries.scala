@@ -1,0 +1,214 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Verify-gate entries for the training-data ops: (name, spark plan,
+  * DuckDB oracle SQL). Every op's full computation — hashes, signatures,
+  * thresholds, tie-breaks — is replayed independently in SQL; both sides
+  * are deterministic md5-derived arithmetic, so the compare is exact
+  * (doubles rounded to 4 decimals with matched operand order). */
+object TrainEntries {
+
+  /** DuckDB twin of TrainOps.h60. */
+  private def h60(x: String): String =
+    s"CAST(('0x'||substr(md5($x),1,15)) AS BIGINT)"
+
+  private val tokSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  private val Dim = 64
+
+  /** Left-to-right double dot product / norms, operand order identical to
+    * TrainOps.cosToQuery (element_at products summed in index order). */
+  private def dotSql(a: String, b: String): String =
+    (1 to Dim).map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)")
+      .mkString(" + ")
+  private def norm2Sql(a: String): String =
+    (1 to Dim).map(i => s"CAST($a[$i] AS DOUBLE)*CAST($a[$i] AS DOUBLE)")
+      .mkString(" + ")
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)}) / (sqrt(${norm2Sql(a)}) * sqrt(${norm2Sql(b)}))"
+
+  private val shingleCte =
+    s"""tokt AS (SELECT doc_id, $tokSql AS tk FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS s
+       |       FROM (SELECT doc_id, tk, unnest(generate_series(0, len(tk)-3)) AS i
+       |             FROM tokt WHERE len(tk) >= 3) z)""".stripMargin
+
+  private val minhashCte =
+    s"""$shingleCte,
+       |mh AS (SELECT doc_id, j,
+       |         min(${h60("CAST(j AS VARCHAR) || ':' || s")}) AS minh
+       |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0,7)) AS j) js
+       |       GROUP BY doc_id, j)""".stripMargin
+
+  private val simhashCte =
+    s"""tokd AS (SELECT DISTINCT doc_id, unnest($tokSql) AS t FROM documents),
+       |bits AS (SELECT doc_id, k,
+       |           sum(CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |         FROM (SELECT doc_id, ${h60("t")} AS h FROM tokd) z
+       |              CROSS JOIN (SELECT unnest(generate_series(0,59)) AS k) ks
+       |         GROUP BY doc_id, k),
+       |simh AS (SELECT doc_id,
+       |           sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS simhash
+       |         FROM bits GROUP BY doc_id)""".stripMargin
+
+  val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+
+    // ---- deduplication ----
+    ("dd_exact",
+      (s, d) => TrainOps.dedupExact(s, d),
+      s"""WITH t AS (SELECT doc_id,
+         |  ${h60(s"array_to_string(($tokSql)[1:8], ' ')")} AS key
+         |  FROM documents)
+         |SELECT key, min(doc_id) AS canonical_id,
+         |       CAST(count(*) AS BIGINT) AS group_size
+         |FROM t GROUP BY key HAVING count(*) > 1
+         |ORDER BY canonical_id""".stripMargin),
+
+    ("dd_minhash",
+      (s, d) => TrainOps.dedupMinhashLsh(s, d),
+      s"""WITH $minhashCte,
+         |bk AS (SELECT doc_id, j // 2 AS band,
+         |         ${h60("array_to_string(list_sort(list(CAST(j AS VARCHAR) || '=' || CAST(minh AS VARCHAR))), ',')")} AS bkey
+         |       FROM mh GROUP BY doc_id, j // 2),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM bk x JOIN bk y ON x.band = y.band AND x.bkey = y.bkey
+         |              AND x.doc_id < y.doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |inter AS (SELECT cand.a, cand.b, count(*) AS i
+         |          FROM cand JOIN sh sa ON sa.doc_id = cand.a
+         |               JOIN sh sb ON sb.doc_id = cand.b AND sa.s = sb.s
+         |          GROUP BY cand.a, cand.b)
+         |SELECT a, b, round(CAST(i AS DOUBLE) / (ca.c + cb.c - i), 4) AS jac
+         |FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+         |WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5
+         |ORDER BY a, b""".stripMargin),
+
+    ("dd_simhash",
+      (s, d) => TrainOps.simhash(s, d),
+      s"""WITH $simhashCte
+         |SELECT doc_id, simhash FROM simh ORDER BY doc_id""".stripMargin),
+
+    ("dd_simhash_pairs",
+      (s, d) => TrainOps.dedupSimhash(s, d),
+      s"""WITH $simhashCte,
+         |ch AS (SELECT doc_id, simhash, c, (simhash >> (c * 15)) & 32767 AS chunk
+         |       FROM simh CROSS JOIN (SELECT unnest(generate_series(0,3)) AS c) cs),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |                x.simhash AS sa, y.simhash AS sb
+         |         FROM ch x JOIN ch y ON x.c = y.c AND x.chunk = y.chunk
+         |              AND x.doc_id < y.doc_id)
+         |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+         |ORDER BY a, b""".stripMargin),
+
+    // ---- similarity search ----
+    ("ann_brute",
+      (s, d) => TrainOps.annBruteForce(s, d),
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |hits AS (SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cos
+         |         FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0)
+         |SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank,
+         |       vec_id, round(cos, 4) AS cos
+         |FROM hits ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin),
+
+    ("ann_ivf",
+      (s, d) => TrainOps.annIvf(s, d),
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |cents AS (SELECT vec_id AS cent_id, embedding AS cvec
+         |          FROM embeddings WHERE vec_id < ${TrainOps.IvfCells}),
+         |cellcos AS (SELECT e.vec_id, c.cent_id,
+         |              ${cosSql("e.embedding", "c.cvec")} AS cos
+         |            FROM embeddings e CROSS JOIN cents c),
+         |asg AS (SELECT vec_id, cent_id AS cell FROM
+         |          (SELECT vec_id, cent_id,
+         |             row_number() OVER (PARTITION BY vec_id
+         |               ORDER BY cos DESC, cent_id) AS rn
+         |           FROM cellcos) zz WHERE rn = 1),
+         |qcos AS (SELECT c.cent_id, ${cosSql("q.qv", "c.cvec")} AS cos
+         |         FROM cents c CROSS JOIN q),
+         |probed AS (SELECT cent_id FROM
+         |             (SELECT cent_id, row_number() OVER
+         |                (ORDER BY cos DESC, cent_id) AS rn FROM qcos) zz
+         |           WHERE rn <= ${TrainOps.IvfProbes}),
+         |hits AS (SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cos
+         |         FROM embeddings e
+         |              JOIN asg ON asg.vec_id = e.vec_id
+         |              JOIN probed p ON p.cent_id = asg.cell
+         |              CROSS JOIN q
+         |         WHERE e.vec_id != 0)
+         |SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank,
+         |       vec_id, round(cos, 4) AS cos
+         |FROM hits ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin),
+
+    // ---- text analysis ----
+    ("tx_tokens",
+      (s, d) => TrainOps.tokenCounts(s, d),
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    ("tx_quality",
+      (s, d) => TrainOps.qualityScore(s, d),
+      s"""WITH t AS (
+         |  SELECT doc_id, $tokSql AS tk,
+         |         CAST(length(text) AS DOUBLE) AS chars,
+         |         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(tk) AS DOUBLE) AS ntok,
+         |    CAST(len(list_filter(tk, x -> x IN ('the','a','and','of','to','in','is','it','that','for'))) AS DOUBLE) AS nstop,
+         |    CASE WHEN len(tk) > 0
+         |         THEN CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+         |         ELSE 0.0 END AS meanw,
+         |    chars, alpha
+         |  FROM t)
+         |SELECT doc_id,
+         |  round(0.35 * least(chars / 500.0, 1.0)
+         |      + 0.25 * least(nstop / greatest(ntok, 1.0) * 4.0, 1.0)
+         |      + 0.25 * (alpha / greatest(chars, 1.0))
+         |      + 0.15 * least(meanw / 8.0, 1.0), 4) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin),
+
+    ("tx_langid",
+      (s, d) => TrainOps.langId(s, d),
+      s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |lh AS (
+         |  SELECT doc_id, 'en' AS lang, 4 AS prio,
+         |    len(list_filter(tk, x -> x IN ('the','and','of','to','is','that','for','with'))) AS hits FROM t
+         |  UNION ALL SELECT doc_id, 'de', 3,
+         |    len(list_filter(tk, x -> x IN ('der','die','das','und','ist','nicht','mit','ein'))) FROM t
+         |  UNION ALL SELECT doc_id, 'es', 2,
+         |    len(list_filter(tk, x -> x IN ('el','los','las','una','es','que','por','como'))) FROM t
+         |  UNION ALL SELECT doc_id, 'fr', 1,
+         |    len(list_filter(tk, x -> x IN ('le','les','des','et','est','que','pour','dans'))) FROM t),
+         |best AS (SELECT doc_id, lang, hits,
+         |           row_number() OVER (PARTITION BY doc_id
+         |             ORDER BY hits DESC, prio DESC) AS rn FROM lh)
+         |SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS pred_lang
+         |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+
+    ("tx_fingerprint",
+      (s, d) => TrainOps.fingerprint(s, d),
+      s"""SELECT doc_id,
+         |  ${h60(s"array_to_string($tokSql, ' ')")} AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ---- multimodal plumbing (decode step stubbed — see Multimodal) ----
+    ("mm_features",
+      (s, d) => Multimodal.features(s, d),
+      s"""WITH m AS (SELECT doc_id,
+         |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+         |         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |    ${h60("text")} AS h
+         |  FROM documents)
+         |SELECT doc_id, kind, n_bytes,
+         |  CAST(64 + h % 512 AS INTEGER) AS width,
+         |  CAST(64 + (h // 512) % 512 AS INTEGER) AS height,
+         |  h % 997 AS chk
+         |FROM m ORDER BY doc_id""".stripMargin),
+  )
+}

@@ -1,0 +1,316 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data pipeline operators over the `documents` and `embeddings`
+  * tables: deduplication (exact / MinHash-LSH / SimHash), similarity
+  * search (brute-force + IVF ANN), and text analysis (token counts,
+  * quality, language-ID, fingerprints).
+  *
+  * These extend the engine beyond the reference's surface (the reference
+  * has only DuplicateFilter, /root/reference/src/contrib/Queries/
+  * DuplicateFilter.cs:29, and MoreLikeThis-style similarity) to what a
+  * 100 TB corpus pipeline needs. Every derived value is a deterministic
+  * function of the input built from md5 (available bit-identically in
+  * Spark and the DuckDB oracle) — no RNG, no engine-specific hashing, so
+  * the correctness gate covers the whole computation.
+  *
+  * Scale notes per op are inline; the common theme: candidate generation
+  * is always a bucket join (LSH bands / signature chunks / IVF cells),
+  * never an O(n²) cross join — the quadratic step runs only within
+  * buckets.
+  */
+object TrainOps {
+
+  /** 60-bit deterministic hash shared with the oracle:
+    * Spark `conv(substr(md5(x),1,15),16,10)` ==
+    * DuckDB `CAST('0x'||substr(md5(x),1,15) AS BIGINT)`. */
+  def h60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  def docs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  /** Raw word tokens (no stop filter — dedup must not drop stopwords). */
+  private def toks(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  // -------------------------------------------------------------------
+  // Deduplication
+  // -------------------------------------------------------------------
+
+  /** Exact dedup on a normalized key (first 8 tokens): one shuffle
+    * (hash groupBy on the 60-bit key), no joins. At 100 TB: identical —
+    * group sizes are tiny, the key is uniform. */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"),
+        h60(concat_ws(" ", slice(toks(col("text")), 1, 8))).as("key"))
+    d.groupBy("key")
+      .agg(min("doc_id").as("canonical_id"),
+        count(lit(1)).as("group_size"))
+      .filter(col("group_size") > 1)
+      .select("key", "canonical_id", "group_size")
+      .orderBy("canonical_id")
+  }
+
+  /** Distinct 3-token shingles per doc — the dedup unit. */
+  def shingles(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = docs(spark, sfDir).select(col("doc_id"), toks(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+    t.select(col("doc_id"),
+        explode(sequence(lit(0), size(col("tk")) - 3)).as("i"), col("tk"))
+      .select(col("doc_id"),
+        concat_ws(" ", element_at(col("tk"), col("i") + 1),
+          element_at(col("tk"), col("i") + 2),
+          element_at(col("tk"), col("i") + 3)).as("s"))
+      .distinct()
+  }
+
+  val MinHashFns = 8
+  val BandRows = 2 // 4 bands of 2 rows: J>=0.5 pairs collide w.p. >= 0.68/band set
+
+  /** MinHash signatures: for j in 0..7, sig_j = min over shingles of
+    * h60(j || ':' || shingle). Two-level agg — skew-free (the (doc, j)
+    * key is uniform). */
+  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
+    shingles(spark, sfDir)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(MinHashFns - 1))).as("j"),
+        col("s"))
+      .select(col("doc_id"), col("j"),
+        h60(concat(col("j").cast("string"), lit(":"), col("s"))).as("h"))
+      .groupBy("doc_id", "j").agg(min("h").as("minh"))
+
+  /** MinHash-LSH near-dup pairs, exact-Jaccard verified.
+    * Pipeline: signatures → band buckets (band key = hash of the band's
+    * rows) → same-bucket pairs (the ONLY quadratic step, inside buckets)
+    * → exact Jaccard via shingle intersection join → threshold.
+    * At 100 TB this is the standard shape: every stage is a hash
+    * shuffle on uniform keys; giant buckets (degenerate text) would be
+    * capped — here `log`-noted, not needed at these SFs. */
+  def dedupMinhashLsh(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val sig = minhashSignatures(spark, sfDir)
+      .withColumn("band", (col("j") / BandRows).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(h60(concat_ws(",", sort_array(collect_list(
+        concat(col("j").cast("string"), lit("="), col("minh")))))).as("bkey"))
+    val cand = sig.as("x").join(sig.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    exactJaccard(spark, sfDir, cand, threshold)
+  }
+
+  /** Exact n-gram (3-shingle) Jaccard for candidate pairs. */
+  private def exactJaccard(spark: SparkSession, sfDir: String,
+      cand: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingles(spark, sfDir)
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val inter = sh.as("sa")
+      .join(cand, col("sa.doc_id") === col("a"))
+      .join(sh.as("sb"),
+        col("sb.doc_id") === col("b") && col("sa.s") === col("sb.s"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+    inter
+      .join(cnt.as("ca"), col("a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("b") === col("cb.doc_id"))
+      .select(col("a"), col("b"),
+        (col("i").cast("double") /
+          (col("ca.c") + col("cb.c") - col("i"))).as("jac"))
+      .filter(col("jac") >= threshold)
+      .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
+      .orderBy("a", "b")
+  }
+
+  /** 64-bit SimHash per doc over distinct tokens: bit k of the hash of
+    * each token votes ±1; sign of the sum sets bit k. Two-level agg on
+    * uniform (doc, k) keys — skew-free at any scale. */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("t"))
+      .select(col("doc_id"), h60(col("t")).as("h"),
+        explode(sequence(lit(0), lit(59))).as("k"))
+      .groupBy("doc_id", "k")
+      .agg(sum(when(expr("shiftright(h, cast(k as int)) & 1") === 1, 1)
+        .otherwise(-1)).as("v"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("v") > 0,
+        expr("shiftleft(cast(1 as bigint), cast(k as int))")).otherwise(0L))
+        .as("simhash"))
+      .orderBy("doc_id")
+
+  /** SimHash near-dup pairs: block on equality of one of four 15-bit
+    * chunks (a pair within Hamming distance 3 of a 60-bit hash must agree
+    * on ≥1 chunk — pigeonhole), verify with bit_count(xor) ≤ maxHamming. */
+  def dedupSimhash(spark: SparkSession, sfDir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val s = simhash(spark, sfDir)
+    val chunked = s.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("c"))
+      .withColumn("chunk",
+        expr("shiftright(simhash, cast(c * 15 as int)) & 32767"))
+    chunked.as("x").join(chunked.as("y"),
+        col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+      .orderBy("a", "b")
+  }
+
+  // -------------------------------------------------------------------
+  // Similarity search (ANN over embeddings)
+  // -------------------------------------------------------------------
+
+  /** Cosine similarity between an embedding column and a literal query
+    * vector — double accumulation in array order (deterministic, matches
+    * the oracle's generated left-to-right sum). */
+  def cosToQuery(emb: Column, qv: Seq[Float]): Column = {
+    val qn = math.sqrt(qv.map(x => x.toDouble * x.toDouble).sum)
+    val dot = (0 until qv.length).map { i =>
+      element_at(emb, i + 1).cast("double") * lit(qv(i).toDouble)
+    }.reduce(_ + _)
+    val n2 = aggregate(emb, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    dot / (sqrt(n2) * lit(qn))
+  }
+
+  /** Brute-force cosine top-k for query vector = embedding of `queryId`.
+    * The baseline: one scan + TakeOrderedAndProject; at 100 TB this is
+    * the exhaustive pass you run to measure ANN recall. */
+  def annBruteForce(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+      k: Int = 10): DataFrame = {
+    val e = embeddings(spark, sfDir)
+    val qv = e.filter(col("vec_id") === queryId)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    e.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), cosToQuery(col("embedding"), qv).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
+      .select(col("rank"), col("vec_id"), round(col("cos"), 4).as("cos"))
+  }
+
+  val IvfCells = 16
+  val IvfProbes = 4
+
+  /** IVF ANN: centroids := the first IvfCells vectors (deterministic
+    * "training"); every vector is assigned to its max-cosine cell
+    * (broadcast centroid table — the scale path: the big side is
+    * scanned once, never self-joined); the query probes its IvfProbes
+    * nearest cells and exact-scores only those cells' members. */
+  def annIvf(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+      k: Int = 10): DataFrame = {
+    val e = embeddings(spark, sfDir)
+    val cents = e.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq
+      .sortBy(_._1)
+    val qv = e.filter(col("vec_id") === queryId)
+      .select("embedding").collect()(0).getSeq[Float](0)
+
+    def cellOf(emb: Column): Column = {
+      // argmax over the 16 centroid similarities; ties → lower cent_id
+      val scored = cents.map { case (cid, cv) =>
+        struct(cosToQuery(emb, cv).as("cos"), lit(-cid).as("negid"))
+      }
+      greatest(scored: _*).getField("negid") * -1
+    }
+
+    val qCos = cents.map { case (cid, cv) =>
+      val dot = qv.zip(cv).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      val nq = math.sqrt(qv.map(x => x.toDouble * x.toDouble).sum)
+      val nc = math.sqrt(cv.map(x => x.toDouble * x.toDouble).sum)
+      cid -> dot / (nq * nc)
+    }
+    val probed = qCos.sortBy { case (cid, c) => (-c, cid) }
+      .take(IvfProbes).map(_._1)
+
+    e.filter(col("vec_id") =!= queryId)
+      .withColumn("cell", cellOf(col("embedding")))
+      .filter(col("cell").isin(probed: _*))
+      .select(col("vec_id"), cosToQuery(col("embedding"), qv).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
+      .select(col("rank"), col("vec_id"), round(col("cos"), 4).as("cos"))
+  }
+
+  // -------------------------------------------------------------------
+  // Text analysis
+  // -------------------------------------------------------------------
+
+  /** Whitespace + BPE-ish token counts per doc (budget estimation). */
+  def tokenCounts(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+        .cast("long").as("ws_tokens"),
+      size(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]|[^a-z0-9 ]"), lit(0)))
+        .cast("long").as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  private val StopMarkers = Seq("the", "a", "and", "of", "to", "in", "is",
+    "it", "that", "for")
+
+  /** Quality score in [0,1]: length, stopword traffic, alpha ratio,
+    * mean word length — the classic cheap pretraining filters. */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val tk = toks(col("text"))
+    val nTok = size(tk).cast("double")
+    val nStop = size(filter(tk, t => t.isin(StopMarkers: _*))).cast("double")
+    val alpha = size(regexp_extract_all(col("text"), lit("[A-Za-z]"), lit(0)))
+      .cast("double")
+    val chars = length(col("text")).cast("double")
+    val meanW = when(nTok > 0,
+      aggregate(tk, lit(0.0), (acc, t) => acc + length(t)) / nTok)
+      .otherwise(0.0)
+    val lenScore = least(chars / lit(500.0), lit(1.0))
+    val stopScore = least(nStop / greatest(nTok, lit(1.0)) * 4.0, lit(1.0))
+    val alphaScore = alpha / greatest(chars, lit(1.0))
+    val wlenScore = least(meanW / lit(8.0), lit(1.0))
+    docs(spark, sfDir).select(col("doc_id"),
+      round(lit(0.35) * lenScore + lit(0.25) * stopScore +
+        lit(0.25) * alphaScore + lit(0.15) * wlenScore, 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "es" -> Seq("el", "los", "las", "una", "es", "que", "por", "como"),
+    "fr" -> Seq("le", "les", "des", "et", "est", "que", "pour", "dans"))
+
+  /** Marker-word language ID: argmax marker hit-rate, deterministic
+    * tie-break by language order; 'und' when nothing matches. */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val tk = toks(col("text"))
+    val scored = LangMarkers.map { case (lang, ms) =>
+      struct(size(filter(tk, t => t.isin(ms: _*))).as("hits"),
+        lit(LangMarkers.size - LangMarkers.indexWhere(_._1 == lang)).as("prio"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    docs(spark, sfDir).select(col("doc_id"),
+      when(best.getField("hits") > 0, best.getField("lang"))
+        .otherwise("und").as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: 60-bit hash of the normalized token stream. */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(col("doc_id"),
+      h60(concat_ws(" ", toks(col("text")))).as("fp"))
+      .orderBy("doc_id")
+}
