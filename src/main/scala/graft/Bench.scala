@@ -1,24 +1,152 @@
 package graft
+
+import java.nio.file.Files
+
 import org.apache.spark.sql.SparkSession
+
+import graft.index.IndexBuilder
+import graft.model.Transcripts
+
+/** Benchmark main — one JSON line on stdout.
+  *
+  * Two parts, matching BASELINE.json's metric:
+  *  1. Index-build throughput (turns/sec) of the full segmented build
+  *     (tokenize → per-partition invert → block-encode range shuffle →
+  *     parquet write → manifest commit), reading a PRE-MATERIALIZED
+  *     deterministic transcript table (input generation is not indexing
+  *     work), measured at TWO parallelism levels (local[8] vs local[32]
+  *     with proportional shuffle partitions) on the SAME input — the
+  *     sandbox stand-in for the north rule's N vs 4N executor scaling
+  *     run. Reported: throughput at both + efficiency =
+  *     thr(4N) / (4 · thr(N)).
+  *  2. Per-query wall time for every SparkEntry query at
+  *     SPARK_GRAFT_SF_DIR (driver default sf0.1), on a fresh
+  *     local[SPARK_GRAFT_CPUS] session.
+  *
+  * Build sessions pin shuffle partitions to the core count and disable
+  * AQE partition coalescing: at bench data sizes AQE's 64 MB advisory
+  * target would collapse every reduce stage to 1-2 partitions and the
+  * scaling measurement would measure nothing. (At 100 TB the advisory
+  * target is the right behavior and stays on.)
+  */
 object Bench {
+
+  private def mkSession(cpus: Int, forBuild: Boolean): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    if (forBuild) {
+      b.config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", s"${8 * 1024 * 1024}")
+        // Shuffle scratch on tmpfs: on a real cluster every executor has
+        // its own local disks, so a single VM's disk writeback must not
+        // be what the scaling measurement measures.
+        .config("spark.local.dir", "/dev/shm/graft-shuffle")
+      sys.env.get("SPARK_GRAFT_EVENTLOG").foreach { dir =>
+        b.config("spark.eventLog.enabled", "true")
+          .config("spark.eventLog.dir", dir)
+      }
+    }
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** All bench I/O (input, segment output, shuffle scratch) lives on
+    * tmpfs: this sandbox's VM disk sustains <20 MB/s, so on real disk
+    * the measurement would be of one throttled device — which is exactly
+    * what a multi-executor cluster does NOT look like (segments go to a
+    * distributed store whose bandwidth scales with the cluster). The
+    * memory-backed FS preserves every byte of real work (tokenize,
+    * shuffle, sort, encode, parquet encode) while restoring the
+    * compute-bound regime the scaling metric is about. */
+  private val benchFs = {
+    val d = java.nio.file.Paths.get("/dev/shm/graft-bench")
+    Files.createDirectories(d)
+    d
+  }
+
+  /** Time one full segmented index build at the given parallelism. */
+  private def buildAt(cpus: Int, inputPath: String): Double = {
+    val spark = mkSession(cpus, forBuild = true)
+    try {
+      val input = spark.read.parquet(inputPath)
+      val root = Files.createTempDirectory(benchFs, s"build_$cpus").toString
+      val t0 = System.nanoTime()
+      IndexBuilder.buildSegments(spark, input, root, numBatches = 2,
+        numPartitions = cpus)
+      val sec = (System.nanoTime() - t0) / 1e9
+      deleteRec(java.nio.file.Paths.get(root))
+      sec
+    } finally spark.stop()
+  }
+
+  private def deleteRec(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.isDirectory(p))
+      java.nio.file.Files.list(p).iterator().asScala.toSeq.foreach(deleteRec)
+    java.nio.file.Files.deleteIfExists(p)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val turns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "8000000").toLong
+    val skipScaling = sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")
+
+    // ---- part 1: build throughput at N=8 and 4N=32 cores ----
+    val nLow = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "8").toInt
+    val nHigh = nLow * 4
+    var scalingJson = "null"
+    if (!skipScaling) {
+      // untimed: materialize the deterministic input + warmup corpus
+      val inputPath = Files.createTempDirectory(benchFs, "input").toString
+      val warmPath = Files.createTempDirectory(benchFs, "warm").toString
+      locally {
+        val s = mkSession(32, forBuild = true)
+        try {
+          Transcripts.synthetic(s, turns, seed = 42L, partitions = 128)
+            .write.mode("overwrite").parquet(inputPath)
+          Transcripts.synthetic(s, 5000, seed = 1L, partitions = 16)
+            .write.mode("overwrite").parquet(warmPath)
+        } finally s.stop()
+      }
+      val warm = buildAt(nLow, warmPath) // JIT/classloading warmup
+      val tLow = buildAt(nLow, inputPath)
+      val tHigh = buildAt(nHigh, inputPath)
+      deleteRec(java.nio.file.Paths.get(inputPath))
+      deleteRec(java.nio.file.Paths.get(warmPath))
+      val thrLow = turns / tLow
+      val thrHigh = turns / tHigh
+      val eff = thrHigh / (4.0 * thrLow)
+      scalingJson =
+        f"""{"turns":$turns,"n_low":$nLow,"n_high":$nHigh,"warmup_sec":$warm%.2f,""" +
+          f""""t_n_sec":$tLow%.2f,"t_4n_sec":$tHigh%.2f,""" +
+          f""""turns_per_sec_n":$thrLow%.0f,"turns_per_sec_4n":$thrHigh%.0f,""" +
+          f""""scaling_efficiency":$eff%.3f}"""
+    }
+
+    // ---- part 2: per-query wall time on the sf dir ----
+    if (sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")) {
+      println(s"""{"metric":"build_only","build":$scalingJson}""")
+      return
+    }
+    val spark = mkSession(cpus, forBuild = false)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(
+      f"""{"metric":"total_query_sec","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","build":$scalingJson}""")
     spark.stop()
   }
 }

@@ -185,6 +185,95 @@ object OracleSql {
         .mkString(" UNION ALL ")
       s"""(SELECT docid, max(score) + $tie * (sum(score) - max(score)) AS score
          | FROM ($u) ${al()} GROUP BY docid)""".stripMargin
+
+    case SpanFirstQ(t, end) =>
+      s"""(SELECT docid, ${sumIdfSql(Seq(t))} * (tfp * 2.2)
+         |   / (tfp + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl)) AS score
+         | FROM (SELECT docid, len, avgdl,
+         |         CAST(len(list_filter(positions, p -> p < $end)) AS DOUBLE) AS tfp
+         |       FROM scored WHERE term = ${sq(t)}) ${al()}
+         | WHERE tfp > 0)""".stripMargin
+
+    case SpanNearQ(a, b, slop, inOrder) =>
+      val (cond, dist) =
+        if (inOrder)
+          (s"b.pos > a.pos AND b.pos - a.pos - 1 <= $slop", "b.pos - a.pos - 1")
+        else
+          (s"b.pos != a.pos AND abs(b.pos - a.pos) - 1 <= $slop",
+            "abs(b.pos - a.pos) - 1")
+      s"""(SELECT g.docid, ${sumIdfSql(Seq(a, b))} * (g.tfp * 2.2)
+         |   / (g.tfp + 1.2 * (1.0 - 0.75 + 0.75 * l.len / st.avgdl)) AS score
+         | FROM (SELECT docid, sum(1.0 / (mind + 1.0)) AS tfp
+         |       FROM (SELECT a.docid, a.pos, CAST(min($dist) AS DOUBLE) AS mind
+         |             FROM tok a JOIN tok b ON b.docid = a.docid
+         |                  AND b.term = ${sq(b)} AND $cond
+         |             WHERE a.term = ${sq(a)}
+         |             GROUP BY a.docid, a.pos) m
+         |       GROUP BY docid) g
+         | JOIN doclens l ON l.docid = g.docid CROSS JOIN stats st)""".stripMargin
+
+    case SpanNotQ(a, b, slop, exc) =>
+      s"""(SELECT g.docid, ${sumIdfSql(Seq(a, b))} * (g.tfp * 2.2)
+         |   / (g.tfp + 1.2 * (1.0 - 0.75 + 0.75 * l.len / st.avgdl)) AS score
+         | FROM (SELECT docid, sum(1.0 / (mind + 1.0)) AS tfp
+         |       FROM (SELECT a.docid, a.pos, CAST(min(b.pos - a.pos - 1) AS DOUBLE) AS mind
+         |             FROM tok a JOIN tok b ON b.docid = a.docid
+         |                  AND b.term = ${sq(b)} AND b.pos > a.pos
+         |                  AND b.pos - a.pos - 1 <= $slop
+         |                  AND NOT EXISTS (SELECT 1 FROM tok e
+         |                       WHERE e.docid = a.docid AND e.term = ${sq(exc)}
+         |                         AND e.pos >= a.pos AND e.pos <= b.pos)
+         |             WHERE a.term = ${sq(a)}
+         |             GROUP BY a.docid, a.pos) m
+         |       GROUP BY docid) g
+         | JOIN doclens l ON l.docid = g.docid CROSS JOIN stats st)""".stripMargin
+
+    case SpanOrQ(ts) =>
+      val in = ts.map(sq).mkString(", ")
+      s"""(SELECT docid, ${sumIdfSql(ts.distinct)} * (tfp * 2.2)
+         |   / (tfp + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl)) AS score
+         | FROM (SELECT docid, CAST(sum(tf) AS DOUBLE) AS tfp,
+         |         max(len) AS len, max(avgdl) AS avgdl
+         |       FROM scored WHERE term IN ($in) GROUP BY docid) ${al()})""".stripMargin
+
+    case MultiPhraseQ(slots) =>
+      val allTerms = slots.flatMap(_._1)
+      val off0 = slots.head._2
+      def slotAgg(ts: Seq[String], i: Int): String =
+        s"""(SELECT docid,
+           |   list_sort(list_distinct(flatten(list(positions)))) AS pos$i,
+           |   max(len) AS len, max(avgdl) AS avgdl
+           | FROM scored WHERE term IN (${ts.map(sq).mkString(", ")})
+           | GROUP BY docid) s$i""".stripMargin
+      val joins = slots.zipWithIndex.tail
+        .map { case ((ts, _), i) =>
+          s"JOIN ${slotAgg(ts, i)} ON s$i.docid = s0.docid" }
+        .mkString(" ")
+      val conds = slots.zipWithIndex.tail.map { case ((_, offk), k) =>
+        s"list_contains(s$k.pos$k, p + ${offk - off0})"
+      }
+      val lam = if (conds.isEmpty) "p -> true" else s"p -> ${conds.mkString(" AND ")}"
+      s"""(SELECT j.docid, ${sumIdfSql(allTerms)} * (j.tfp * 2.2)
+         |   / (j.tfp + 1.2 * (1.0 - 0.75 + 0.75 * j.len / j.avgdl)) AS score
+         | FROM (SELECT s0.docid, s0.len, s0.avgdl,
+         |         CAST(len(list_filter(s0.pos0, $lam)) AS DOUBLE) AS tfp
+         |       FROM ${slotAgg(slots.head._1, 0)} $joins) j
+         | WHERE j.tfp > 0)""".stripMargin
+
+    case MoreLikeThisQ(src, topN) =>
+      // same ranking as Searcher.moreLikeThis: source doc's terms by
+      // tf·idf desc, term asc; tf from the source doc's own posting rows
+      s"""(SELECT sc.docid, sum(sc.tscore) AS score
+         | FROM scored sc JOIN (
+         |   SELECT term FROM (
+         |     SELECT p.term, row_number() OVER (ORDER BY
+         |         p.tf * ln(1.0 + (CAST(st.n AS DOUBLE) - d.df + 0.5) / (d.df + 0.5)) DESC,
+         |         p.term) AS rn
+         |     FROM postings p JOIN dict d USING (term) CROSS JOIN stats st
+         |     WHERE p.docid = $src) z
+         |   WHERE rn <= $topN) mlt ON mlt.term = sc.term
+         | WHERE sc.docid != $src
+         | GROUP BY sc.docid)""".stripMargin
   }
 
   /** Full oracle statement for a top-k query: rank + docid + rounded score,

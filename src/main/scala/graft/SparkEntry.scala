@@ -105,6 +105,22 @@ object SparkEntry {
     // --- collectors / facets (§2.6) ---
     "ft_facet_role" -> Facet(TermQ("table"), "role"),
 
+    // --- span family (§2.5 Spans), MultiPhrase, MoreLikeThis ---
+    "ft_span_first" -> TopK(SpanFirstQ("key", 3)),
+    "ft_span_near_ord" -> TopK(SpanNearQ("table", "merge", 3, inOrder = true)),
+    "ft_span_near_unord" -> TopK(SpanNearQ("table", "merge", 3, inOrder = false)),
+    "ft_span_not" -> TopK(SpanNotQ("table", "merge", 4, "key")),
+    "ft_span_or" -> TopK(SpanOrQ(Seq("table", "merge", "join"))),
+    "ft_multiphrase" -> TopK(MultiPhraseQ(
+      Seq(Seq("key", "row") -> 0, Seq("agg", "scan") -> 1))),
+    "ft_mlt" -> TopK(MoreLikeThisQ(7L, 8)),
+
+    // --- spell suggest (contrib SpellChecker analog) ---
+    "ft_suggest" -> Raw(
+      (s, dir) => Suggest.suggest(Engine.index(s, dir), "tble", 2, 5),
+      s"""${OracleSql.prelude},
+         |${Suggest.oracleSql("tble", 2, 5)}""".stripMargin),
+
     // --- storage / merge / WAND (§2.1, §2.4; SURVEY §7 steps 3-5, 9) ---
     // Same oracles as the in-memory paths: the compressed block store,
     // the segment manifest, compaction, and docid-re-based appends must
@@ -181,9 +197,22 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Engine.topK(spark, "/root/testdata/sf0.001", TermQ("table"), 10)
 
+  /** Operators with no SQL-expressible oracle — the driver records a
+    * weaker rows-only check for these. */
+  private def noOracleSpecs: Seq[(String, (SparkSession, String) => DataFrame)] =
+    Seq(
+      // contrib Highlighter analog: deterministic best-window snippets
+      // over the top-k hits (post-retrieval map — not SQL-shaped).
+      "ft_highlight" -> ((s, dir) => {
+        val idx = Engine.index(s, dir)
+        Highlight.highlight(idx, new Searcher(idx),
+          BoolQ(should = Seq(TermQ("table"), TermQ("merge"))), 10)
+      }),
+    )
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    compiled.map { case (n, (f, _)) => n -> f }.toMap
+    compiled.map { case (n, (f, _)) => n -> f }.toMap ++ noOracleSpecs.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

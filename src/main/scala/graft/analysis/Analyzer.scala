@@ -65,6 +65,52 @@ object Analyzer {
         Token(t, i)
     }.toVector
 
+  /** True iff cp belongs to the tokenizer's word alphabet — exactly the
+    * regex classes \p{L}\p{N} (letters + all Unicode number categories,
+    * not just decimal digits). */
+  @inline private def isWordCp(cp: Int): Boolean =
+    Character.isLetter(cp) || {
+      val t = Character.getType(cp)
+      t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+        t == Character.OTHER_NUMBER
+    }
+
+  /** Hand-rolled scanner equal to [[tokenize]] (property-tested): the
+    * regex engine dominates index-build CPU, this is the hot path the
+    * distributed build uses. Single forward pass over the lowercased
+    * text; interior apostrophes join word runs; trailing 's stripped. */
+  def fastTokenize(text: String): scala.collection.immutable.Vector[Token] = {
+    if (text == null) return Vector.empty
+    val s = text.toLowerCase(java.util.Locale.ROOT)
+    val n = s.length
+    val out = Vector.newBuilder[Token]
+    var i = 0
+    var pos = 0
+    while (i < n) {
+      val c0 = s.codePointAt(i)
+      if (isWordCp(c0)) {
+        val start = i
+        var end = i
+        var j = i
+        while (j < n && {
+          val cp = s.codePointAt(j)
+          if (isWordCp(cp)) { j += Character.charCount(cp); end = j; true }
+          else if (cp == '\'' && j + 1 < n && isWordCp(s.codePointAt(j + 1))) {
+            // interior apostrophe continues the word
+            j += 1; true
+          } else false
+        }) ()
+        var t = s.substring(start, end)
+        if (t.endsWith("'s")) t = t.substring(0, t.length - 2)
+        if (!StopWords(t) && t.nonEmpty && t.length <= MaxTokenLength)
+          out += Token(t, pos)
+        pos += 1
+        i = end
+      } else i += Character.charCount(c0)
+    }
+    out.result()
+  }
+
   // ---------------------------------------------------------------------
   // Catalyst-expression variant (used by the distributed build; codegen'd)
   // ---------------------------------------------------------------------

@@ -62,7 +62,9 @@ object Codec {
   final case class Posting(docid: Long, tf: Long, len: Long,
       positions: Array[Int])
 
-  /** One encoded block of ≤ BlockSize postings for a single term. */
+  /** One encoded block of ≤ BlockSize postings for a single term.
+    * sumTf lets the dictionary (df, cf) be derived from block stats
+    * alone — no decode pass. */
   final case class Block(
       term: String,
       n: Int,
@@ -70,6 +72,7 @@ object Codec {
       maxDocid: Long,
       maxTf: Long,
       minLen: Long,
+      sumTf: Long,
       docs: Array[Byte],
       lens: Array[Byte],
       pos: Array[Byte])
@@ -83,6 +86,7 @@ object Codec {
       var prevDoc = group.head.docid // first gap = 0 relative to minDocid
       var maxTf = 0L
       var minLen = Long.MaxValue
+      var sumTf = 0L
       var prev = -1L
       group.foreach { p =>
         require(p.docid > prev || prev == -1L,
@@ -99,9 +103,159 @@ object Codec {
         }
         if (p.tf > maxTf) maxTf = p.tf
         if (p.len < minLen) minLen = p.len
+        sumTf += p.tf
       }
       Block(term, group.size, group.head.docid, group.last.docid,
-        maxTf, minLen, docsB.toArray, lensB.toArray, posB.toArray)
+        maxTf, minLen, sumTf, docsB.toArray, lensB.toArray, posB.toArray)
+    }
+
+  /** VByte-encode one posting's positions (deltas, prev starts at 0) —
+    * the per-posting pos stream fragment; block encoding concatenates
+    * these verbatim. */
+  def encodePositions(positions: Array[Int]): Array[Byte] = {
+    val buf = new ArrayBuffer[Byte](positions.length + 2)
+    var prev = 0L
+    var k = 0
+    while (k < positions.length) {
+      writeVLong(buf, positions(k) - prev); prev = positions(k); k += 1
+    }
+    buf.toArray
+  }
+
+  def decodePositions(blob: Array[Byte], tf: Long): Array[Int] = {
+    val out = new Array[Int](tf.toInt)
+    var p = 0
+    var prev = 0L
+    var k = 0
+    while (k < out.length) {
+      val (d, p1) = readVLong(blob, p); p = p1
+      prev += d
+      out(k) = prev.toInt
+      k += 1
+    }
+    out
+  }
+
+  /** A pre-shuffle posting: positions already VByte-encoded (compact on
+    * the wire, no per-element boxing through the exchange). */
+  final case class RawPosting(term: String, docid: Long, tf: Long,
+      len: Long, pos_blob: Array[Byte])
+
+  /** Encode a docid-ascending run of one term's raw postings into blocks
+    * — doc/len streams built here, pos stream = blob concatenation. */
+  def encodeRaw(term: String, postings: Iterator[RawPosting]): Iterator[Block] =
+    postings.grouped(BlockSize).map { group =>
+      val docsB = new ArrayBuffer[Byte](group.size * 2)
+      val lensB = new ArrayBuffer[Byte](group.size)
+      var posLen = 0
+      group.foreach(p => posLen += p.pos_blob.length)
+      val posB = new Array[Byte](posLen)
+      var posOff = 0
+      var prevDoc = group.head.docid
+      var maxTf = 0L
+      var minLen = Long.MaxValue
+      var sumTf = 0L
+      var prev = -1L
+      group.foreach { p =>
+        require(p.docid > prev || prev == -1L,
+          s"postings not ascending for term=$term: ${p.docid} after $prev")
+        prev = p.docid
+        val gap = p.docid - prevDoc
+        prevDoc = p.docid
+        if (p.tf == 1L) writeVLong(docsB, (gap << 1) | 1L)
+        else { writeVLong(docsB, gap << 1); writeVLong(docsB, p.tf) }
+        writeVLong(lensB, p.len)
+        System.arraycopy(p.pos_blob, 0, posB, posOff, p.pos_blob.length)
+        posOff += p.pos_blob.length
+        if (p.tf > maxTf) maxTf = p.tf
+        if (p.len < minLen) minLen = p.len
+        sumTf += p.tf
+      }
+      Block(term, group.size, group.head.docid, group.last.docid,
+        maxTf, minLen, sumTf, docsB.toArray, lensB.toArray, posB)
+    }
+
+  /** Incremental builder of one term's posting RUN (an unbounded Block):
+    * the map-side partial inversion unit. A whole input partition's
+    * postings for one term become ONE run row through the shuffle —
+    * delta+VByte-encoded already — instead of one row per posting
+    * (reference analog: the per-thread in-RAM segment that
+    * FreqProxTermsWriter flushes, FreqProxTermsWriter.cs:70-157). */
+  final class RunBuilder(term: String) {
+    private val docsB = new ArrayBuffer[Byte](16)
+    private val lensB = new ArrayBuffer[Byte](8)
+    private val posB = new ArrayBuffer[Byte](16)
+    private var first = -1L
+    private var prevDoc = 0L
+    private var maxTf = 0L
+    private var minLen = Long.MaxValue
+    private var sumTf = 0L
+    private var count = 0
+
+    def add(docid: Long, tf: Long, len: Long, posBlob: Array[Byte]): Unit = {
+      require(docid > prevDoc || first == -1L,
+        s"run not ascending for term=$term: $docid after $prevDoc")
+      if (first == -1L) first = docid
+      val gap = docid - (if (count == 0) first else prevDoc)
+      prevDoc = docid
+      if (tf == 1L) writeVLong(docsB, (gap << 1) | 1L)
+      else { writeVLong(docsB, gap << 1); writeVLong(docsB, tf) }
+      writeVLong(lensB, len)
+      posB ++= posBlob
+      if (tf > maxTf) maxTf = tf
+      if (len < minLen) minLen = len
+      sumTf += tf
+      count += 1
+    }
+
+    def build(): Block =
+      Block(term, count, first, prevDoc, maxTf, minLen, sumTf,
+        docsB.toArray, lensB.toArray, posB.toArray)
+  }
+
+  /** Decode to raw postings (position blobs sliced, never materialized
+    * as ints) — the merge path's decode: re-encoding concatenates the
+    * slices straight back. */
+  def decodeRaw(b: Block): Iterator[RawPosting] = new Iterator[RawPosting] {
+    private var i = 0
+    private var dp = 0
+    private var lp = 0
+    private var pp = 0
+    private var docid = b.minDocid
+    override def hasNext: Boolean = i < b.n
+    override def next(): RawPosting = {
+      val (code, dp1) = readVLong(b.docs, dp); dp = dp1
+      docid += (code >>> 1)
+      val tf =
+        if ((code & 1L) == 1L) 1L
+        else { val (t, dp2) = readVLong(b.docs, dp); dp = dp2; t }
+      val (len, lp1) = readVLong(b.lens, lp); lp = lp1
+      val start = pp
+      var k = 0L
+      while (k < tf) { val (_, p1) = readVLong(b.pos, pp); pp = p1; k += 1 }
+      i += 1
+      RawPosting(b.term, docid, tf, len,
+        java.util.Arrays.copyOfRange(b.pos, start, pp))
+    }
+  }
+
+  /** Decode only (docid, len) pairs — skips position materialization
+    * (doc-length derivation from blocks). */
+  def decodeDocLens(b: Block): Iterator[(Long, Long)] =
+    new Iterator[(Long, Long)] {
+      private var i = 0
+      private var dp = 0
+      private var lp = 0
+      private var docid = b.minDocid
+      override def hasNext: Boolean = i < b.n
+      override def next(): (Long, Long) = {
+        val (code, dp1) = readVLong(b.docs, dp); dp = dp1
+        docid += (code >>> 1)
+        if ((code & 1L) == 0L) { val (_, dp2) = readVLong(b.docs, dp); dp = dp2 }
+        val (len, lp1) = readVLong(b.lens, lp); lp = lp1
+        i += 1
+        (docid, len)
+      }
     }
 
   def decode(b: Block): Iterator[Posting] = new Iterator[Posting] {

@@ -3,6 +3,7 @@ package graft.index
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
 
 /** Dense docID assignment over a stable key ordering.
   *
@@ -14,39 +15,49 @@ import org.apache.spark.sql.expressions.Window
   * Scale note: a naive `row_number() OVER (ORDER BY ...)` collapses the
   * whole table into ONE partition — a non-starter at 10^12 rows. Instead:
   * range-shuffle on the key (globally ordered partition ranges), count
-  * rows per partition, compute cumulative offsets on the driver (tiny:
-  * one long per partition), and emit offset + local rank per partition.
-  * Result is bit-identical to the global row_number but fully parallel.
+  * rows per partition (tiny agg → driver), broadcast the cumulative
+  * offsets back, and add them to the partition-local row index. The local
+  * index comes from monotonically_increasing_id (partition ordinal in the
+  * upper bits, consecutive row ordinal in the low 33) — everything stays
+  * in Tungsten rows / codegen, no per-row Row materialization.
   */
 object DocIds {
 
+  private val MonoMask = (1L << 33) - 1
+
   def assign(df: DataFrame, keys: Seq[Column], numPartitions: Int): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df
+    import spark.implicits._
+    // ONE materialization: the sorted, range-shuffled base with
+    // partition-local ranks is pinned (DISK_ONLY: serialized on local
+    // dirs — tmpfs here — so the heap stays small); the counts job below
+    // both populates that cache and yields the per-partition offsets.
+    // Pinning matters for correctness, not just speed: a recompute of
+    // the range shuffle would re-sample partition bounds (the sampler
+    // seed depends on the physical plan instance) and could disagree
+    // with the counts pass — docids must come from exactly ONE
+    // partitioning.
+    val marked = df
       .repartitionByRange(numPartitions, keys: _*)
       .sortWithinPartitions(keys: _*)
-    val rdd = sorted.rdd
-    rdd.cache()
-    // one count per partition; driver-side scan is O(numPartitions)
-    val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
-      Iterator.single(pid -> it.size.toLong)
-    }.collect().sortBy(_._1).map(_._2)
-    val offsets = counts.scanLeft(0L)(_ + _)
-    val offsetsB = spark.sparkContext.broadcast(offsets)
-    val withId = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var next = offsetsB.value(pid)
-      it.map { row =>
-        val id = next; next += 1
-        org.apache.spark.sql.Row.fromSeq(id +: row.toSeq)
-      }
-    }
-    val schema = org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField("docid",
-        org.apache.spark.sql.types.LongType, nullable = false) +:
-        sorted.schema.fields.toSeq)
-    val out = spark.createDataFrame(withId, schema)
-    rdd.unpersist(blocking = false)
-    out
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lrank",
+        monotonically_increasing_id().bitwiseAND(lit(MonoMask)))
+      .persist(StorageLevel.DISK_ONLY)
+    // one count per range partition; driver-side scan is O(numPartitions)
+    val counts = marked.groupBy(col("__pid")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until numPartitions)
+      .scanLeft(0L) { case (acc, p) => acc + counts.getOrElse(p, 0L) }
+    val offDf = broadcast(
+      offsets.dropRight(1).zipWithIndex
+        .map { case (off, p) => (p, off) }.toDF("__pid", "__off"))
+    // The global docid is a LAZY map-side projection over the pinned
+    // base (broadcast join on __pid + one add) — no second materialized
+    // copy of the table. Downstream reads pay one addition per row.
+    marked.join(offDf, Seq("__pid"))
+      .withColumn("docid", col("__off") + col("__lrank"))
+      .select(col("docid") +: df.columns.map(col): _*)
   }
 
   /** Small-data variant (tests / oracle parity checks): the classic

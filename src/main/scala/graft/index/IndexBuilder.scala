@@ -61,36 +61,58 @@ final case class InvertedIndex(
 object IndexBuilder {
 
   /** Tokenize + invert an already-docid'd docs table into
-    * (postings, docLens). Pipeline (SURVEY.md §3.1 Spark trace):
-    * flatMap-shaped posexplode of the analysis chain → hash aggregation
-    * (term,docid → tf + sorted positions). All expressions are Catalyst
-    * built-ins (whole-stage codegen; map-side partial aggregation makes
-    * the groupBy shuffle only combined partials — the skew-safe two-level
-    * combine: the (term,docid) key is never hot even for hot terms). */
+    * (postings, docLens).
+    *
+    * The inversion is PARTITION-LOCAL (the reference's per-thread in-RAM
+    * inversion, TermsHashPerField.cs:27-137, with Spark partitions as the
+    * thread states): each doc is tokenized and inverted to
+    * (term → positions) in memory, emitting already-aggregated posting
+    * rows — NO shuffle here at all. The only build shuffle is the
+    * (term, docid) range-exchange when blocks are encoded (the
+    * FreqProxTermsWriter k-way merge analog). `len` is denormalized into
+    * postings (the norms analog lives with the posting, so query-time
+    * scoring needs no per-doc join — at 10^12 docs that join would
+    * dominate every query). Positions are emitted in token order
+    * (ascending). docLens is derived lazily for dumps; collection stats
+    * come from cheap aggregates (sumLen = Σ tf). */
+  def invertRaw(docs: DataFrame): org.apache.spark.sql.Dataset[Codec.RawPosting] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("docid"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (docid, text) =>
+          val toks = Analyzer.fastTokenize(text)
+          val len = toks.size.toLong
+          val m = scala.collection.mutable.LinkedHashMap
+            .empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+          toks.foreach { t =>
+            m.getOrElseUpdate(t.term,
+              new scala.collection.mutable.ArrayBuffer[Int](4)) += t.pos
+          }
+          m.iterator.map { case (t, ps) =>
+            Codec.RawPosting(t, docid, ps.length.toLong, len,
+              Codec.encodePositions(ps.toArray))
+          }
+        }
+      }
+  }
+
+  /** Logical-view inversion (in-memory indexes / tests): decodes the raw
+    * position blobs back to arrays. */
   def invert(docs: DataFrame): (DataFrame, DataFrame) = {
-    // 1 row -> N token rows; position = pre-stop-filter index (Lucene
-    // position-increment semantics, StopFilter.cs:52).
-    val tokens = docs
-      .select(col("docid"),
-        posexplode(Analyzer.rawTokensCol(col("text"))).as(Seq("pos", "term")))
-      .filter(Analyzer.keepTokenCol(col("term")))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val postings = invertRaw(docs).map { r =>
+      PostingRow(r.term, r.docid, r.tf, r.len,
+        Codec.decodePositions(r.pos_blob, r.tf).toSeq)
+    }.toDF()
 
     // exact field length per doc; docs whose text is all stopwords get 0
     val docLens = docs.select(col("docid"))
-      .join(tokens.groupBy(col("docid")).agg(count(lit(1)).as("len")),
+      .join(postings.groupBy(col("docid")).agg(max(col("len")).as("len")),
         Seq("docid"), "left")
       .select(col("docid"), coalesce(col("len"), lit(0L)).as("len"))
-
-    // `len` is denormalized into postings (the norms analog lives with the
-    // posting, so query-time scoring needs NO join against a per-doc table
-    // — at 10^12 docs that join would dominate every query). The docid join
-    // here happens once at build time and is co-partitioned with the
-    // groupBy's own shuffle.
-    val postings = tokens
-      .groupBy(col("term"), col("docid"))
-      .agg(count(lit(1)).as("tf"),
-        sort_array(collect_list(col("pos"))).as("positions"))
-      .join(docLens, Seq("docid"))
     (postings, docLens)
   }
 
@@ -107,11 +129,11 @@ object IndexBuilder {
 
     docs.cache(); postings.cache(); docLens.cache(); termDict.cache()
 
-    val Array(n, sumLen) = docLens
-      .agg(count(lit(1)), sum(col("len"))).collect()(0) match {
-        case r => Array(r.getLong(0), r.getLong(1))
-      }
-    // integer sum / integer count — exactly reproducible across engines
+    val n = docs.count()
+    // sumLen = Σ tf over postings ≡ Σ len over docs (integer arithmetic —
+    // exactly reproducible across engines)
+    val sumLen = postings.agg(coalesce(sum(col("tf")), lit(0L)))
+      .collect()(0).getLong(0)
     InvertedIndex(docs, postings, termDict, docLens, n, sumLen.toDouble / n)
   }
 
@@ -127,10 +149,14 @@ object IndexBuilder {
     */
   def buildSegments(spark: SparkSession, transcripts: DataFrame,
       root: String, numBatches: Int = 4, numPartitions: Int = 32): Manifest = {
+    val tAssign = System.nanoTime()
+    // assign() pins its sorted base; `docs` is a cheap projection of it
     val docs = DocIds.assign(transcripts,
       Seq(col("conv_id"), col("turn_idx")), numPartitions)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val total = docs.count()
+    if (sys.env.contains("SPARK_GRAFT_BUILD_TIMING"))
+      System.err.println(
+        f"[build] assign+count   ${(System.nanoTime() - tAssign) / 1e9}%8.2fs")
     val span = math.max(1L, (total + numBatches - 1) / numBatches)
     val metas = (0 until numBatches).flatMap { b =>
       val lo = b * span
@@ -142,17 +168,32 @@ object IndexBuilder {
         SegmentStore.readLineage(root, id) match {
           case Some(m) if m.lineage == lineage => Some(m) // resume: skip
           case _ =>
+            def timed[T](what: String)(f: => T): T = {
+              val t0 = System.nanoTime()
+              val r = f
+              if (sys.env.contains("SPARK_GRAFT_BUILD_TIMING"))
+                System.err.println(
+                  f"[build] batch=$b $what%-14s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+              r
+            }
             val slice = docs.filter(col("docid") >= lo && col("docid") < hi)
-            val (postings, docLens) = invert(slice)
-            val blocks = PostingBlocks.fromPostings(postings, numPartitions)
-            val Array(n, sumLen) = docLens
-              .agg(count(lit(1)), coalesce(sum(col("len")), lit(0L)))
-              .collect()(0) match {
-                case r => Array(r.getLong(0), r.getLong(1))
-              }
+            // Tokenize+invert+encode+write in ONE pass: raw postings are
+            // never cached (a 10^12-turn batch would not fit anywhere);
+            // dict and stats derive from the compact block table
+            // afterwards, doc lengths are decoded from blocks on demand —
+            // the Lucene shape: segment files are written once, stats
+            // are read from the segment.
+            timed("blocks")(SegmentStore.writeTable(root, id, "blocks",
+              PostingBlocks.buildFromDocs(slice, numPartitions).toDF()))
+            val blocksDf = SegmentStore.readTable(spark, root, id, "blocks")
+            timed("dict")(SegmentStore.writeTable(root, id, "dict",
+              PostingBlocks.dictFromBlocks(blocksDf)))
+            timed("docs")(SegmentStore.writeTable(root, id, "docs", slice))
+            val n = timed("count")(slice.count())
+            val sumLen = blocksDf.agg(coalesce(sum(col("sum_tf")), lit(0L)))
+              .collect()(0).getLong(0)
             val meta = SegmentMeta(id, b.toLong, n, sumLen, lineage)
-            SegmentStore.writeSegment(root, meta, slice, blocks.toDF(),
-              docLens, dictOf(postings))
+            SegmentStore.markComplete(root, meta)
             Some(meta)
         }
       }
@@ -169,7 +210,7 @@ object IndexBuilder {
     * (/root/reference/src/core/Index/MergeDocIDRemapper.cs); also the
     * streaming-sink unit (one micro-batch = one segment, SURVEY.md §2.8). */
   def appendSegment(spark: SparkSession, turns: DataFrame, root: String,
-      numPartitions: Int = 32): Manifest = {
+      numPartitions: Int = 32, lineageTag: String = "append"): Manifest = {
     val prev = SegmentStore.latest(root)
     val base = prev.map(_.numDocs).getOrElse(0L)
     val nextOrd = prev.flatMap(_.segments.map(_.ord).maxOption)
@@ -177,16 +218,21 @@ object IndexBuilder {
     val local = DocIds.assign(turns,
       Seq(col("conv_id"), col("turn_idx")), numPartitions)
     val docs = local.withColumn("docid", col("docid") + lit(base))
-    val (postings, docLens) = invert(docs)
-    val blocks = PostingBlocks.fromPostings(postings, numPartitions)
-    val Array(n, sumLen) = docLens
-      .agg(count(lit(1)), coalesce(sum(col("len")), lit(0L)))
-      .collect()(0) match { case r => Array(r.getLong(0), r.getLong(1)) }
+      .persist(StorageLevel.DISK_ONLY)
+    val n = docs.count()
     val id = f"seg_a$nextOrd%05d"
+    SegmentStore.writeTable(root, id, "blocks",
+      PostingBlocks.buildFromDocs(docs, numPartitions).toDF())
+    val blocksDf = SegmentStore.readTable(spark, root, id, "blocks")
+    SegmentStore.writeTable(root, id, "dict",
+      PostingBlocks.dictFromBlocks(blocksDf))
+    SegmentStore.writeTable(root, id, "docs", docs)
+    val sumLen = blocksDf.agg(coalesce(sum(col("sum_tf")), lit(0L)))
+      .collect()(0).getLong(0)
     val meta = SegmentMeta(id, nextOrd, n, sumLen,
-      s"append ord=$nextOrd docids=[$base,${base + n})")
-    SegmentStore.writeSegment(root, meta, docs, blocks.toDF(), docLens,
-      dictOf(postings))
+      s"$lineageTag ord=$nextOrd docids=[$base,${base + n})")
+    SegmentStore.markComplete(root, meta)
+    docs.unpersist(blocking = false)
     val m = Manifest(prev.map(_.version + 1).getOrElse(1L),
       prev.map(_.segments).getOrElse(Nil) :+ meta)
     SegmentStore.commit(root, m)
@@ -227,15 +273,16 @@ object IndexBuilder {
     def unionOf(sub: String): DataFrame =
       toMerge.map(s => spark.read.parquet(s"$root/${s.id}/$sub"))
         .reduce(_ unionByName _)
-    val postings = PostingBlocks.toPostings(unionOf("blocks"))
-    val blocks = PostingBlocks.fromPostings(postings, numPartitions)
+    // decode to raw (position blobs sliced, not materialized) →
+    // range-shuffle → re-encode: the SegmentMerger sort-merge
+    val blocks = PostingBlocks.fromRaw(
+      PostingBlocks.toRaw(unionOf("blocks")), numPartitions)
     val newOrd = toMerge.map(_.ord).min
     val id = f"seg_m${m.version + 1}%04d_$newOrd%05d"
     val meta = SegmentMeta(id, newOrd, toMerge.map(_.numDocs).sum,
       toMerge.map(_.sumLen).sum,
       s"merged=[${toMerge.map(_.id).mkString(",")}]")
     SegmentStore.writeSegment(root, meta, unionOf("docs"), blocks.toDF(),
-      unionOf("doclens"),
       unionOf("dict").groupBy("term")
         .agg(sum("df").as("df"), sum("cf").as("cf")))
     val merged = toMerge.map(_.id).toSet

@@ -1,0 +1,53 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Analyzer
+import graft.index.InvertedIndex
+
+/** Best-fragment highlighter (reference contrib Highlighter.cs:34 /
+  * QueryScorer semantics, simplified): re-analyze each HIT's stored text,
+  * slide a fixed token window, pick the window with the most query-term
+  * occurrences (leftmost tie-break), wrap matched tokens in [brackets].
+  *
+  * Runs as a typed map over the top-k rows only (post-retrieval, the
+  * reference's design too) — never over the corpus. */
+object Highlight {
+
+  val Window = 8
+
+  def bestFragment(text: String, terms: Set[String], window: Int = Window): String = {
+    val raw = Analyzer.rawTokens(text)
+    if (raw.isEmpty) return ""
+    val hit = raw.map(t => terms.contains(t))
+    val n = raw.length
+    val w = math.min(window, n)
+    var best = 0; var bestScore = -1
+    var i = 0
+    var run = hit.slice(0, w).count(identity)
+    while (i + w <= n) {
+      if (run > bestScore) { bestScore = run; best = i }
+      if (i + w < n) run += (if (hit(i + w)) 1 else 0) - (if (hit(i)) 1 else 0)
+      i += 1
+    }
+    raw.slice(best, best + w).map { t =>
+      if (terms.contains(t)) s"[$t]" else t
+    }.mkString(" ")
+  }
+
+  /** (rank, docid, snippet) for the query's top-k hits. */
+  def highlight(idx: InvertedIndex, searcher: Searcher, q: Query,
+      k: Int): DataFrame = {
+    val spark = idx.docs.sparkSession
+    import spark.implicits._
+    val terms = QueryAst.terms(q)
+    searcher.topK(q, k)
+      .join(idx.docs.select(col("docid"), col("text")), Seq("docid"))
+      .orderBy(col("score").desc, col("docid").asc)
+      .select(col("docid"), col("text"))
+      .as[(Long, String)]
+      .map { case (d, t) => (d, bestFragment(t, terms)) }
+      .toDF("docid", "snippet")
+  }
+}

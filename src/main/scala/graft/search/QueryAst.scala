@@ -64,6 +64,39 @@ final case class KeywordQ(field: String, value: String) extends Query
 final case class RangeQ(field: String, loSql: Option[String],
     hiSql: Option[String]) extends Query
 
+/** SpanFirstQuery.cs:31 (single-term span): term occurrences at
+  * position < end; freq = matching-occurrence count (width-0 spans →
+  * sloppyFreq 1 each, SpanScorer.cs:28). */
+final case class SpanFirstQ(term: String, end: Int) extends Query
+
+/** SpanNearQuery.cs:34, two single-term spans (the common SpanTermQuery
+  * composition): positions within `slop` gap, ordered
+  * (NearSpansOrdered.cs:47) or unordered (NearSpansUnordered.cs:32);
+  * freq = Σ over driving positions of 1/(1+minGap) (SpanScorer
+  * sloppyFreq over span widths). Repeated-term overlap handling is
+  * simplified vs the reference (documented deviation). */
+final case class SpanNearQ(a: String, b: String, slop: Int,
+    inOrder: Boolean) extends Query
+
+/** SpanNotQuery.cs:31 with the classic composition (include = ordered
+  * SpanNear of two terms, exclude = a term): keep spans [pa..pb]
+  * (gap ≤ slop) that contain no occurrence of `exclude`
+  * ("new york" NOT containing "city"). freq = Σ 1/(1+minGap) over
+  * surviving driving positions. */
+final case class SpanNotQ(a: String, b: String, slop: Int,
+    exclude: String) extends Query
+
+/** SpanOrQuery.cs:32 over term spans: union of all occurrences;
+  * freq = total occurrence count, weighted by the summed idf. */
+final case class SpanOrQ(terms: Seq[String]) extends Query
+
+/** MultiPhraseQuery.cs:40 — phrase with term alternatives per slot. */
+final case class MultiPhraseQ(slots: Seq[(Seq[String], Int)]) extends Query
+
+/** contrib MoreLikeThis.cs:138 — top-N tf·idf terms of a source doc
+  * become a scored disjunction; the source doc is excluded. */
+final case class MoreLikeThisQ(docid: Long, topTerms: Int = 10) extends Query
+
 object QueryAst {
   /** Collect every analyzed text term mentioned by leaf queries (for the
     * broadcast dictionary lookup at plan time). */

@@ -146,6 +146,92 @@ final class Searcher(idx: InvertedIndex) {
     case BoostQ(sub, b) =>
       score(sub).select(col("docid"), (col("score") * b).as("score"))
 
+    case SpanFirstQ(t, end) =>
+      val idf = Bm25.idf(idx.numDocs, dfOf(Set(t)).getOrElse(t, 0L))
+      idx.postingsFor(Seq(t))
+        .withColumn("tfp",
+          size(filter(col("positions"), p => p < end)).cast("double"))
+        .filter(col("tfp") > 0)
+        .select(col("docid"),
+          (lit(idf) * Bm25.tfNorm(col("tfp"), col("len"), idx.avgdl))
+            .as("score"))
+
+    case SpanNearQ(a, b, slop, inOrder) =>
+      val dfs = dfOf(Set(a, b))
+      val sumIdf = Seq(a, b)
+        .map(t => Bm25.idf(idx.numDocs, dfs.getOrElse(t, 0L))).sum
+      val pa = idx.postingsFor(Seq(a))
+        .select(col("docid"), col("positions").as("posA"), col("len"))
+      val pb = idx.postingsFor(Seq(b))
+        .select(col("docid"), col("positions").as("posB"))
+      // per occurrence of a: min gap to a qualifying b; Σ 1/(1+gap)
+      val gaps: Column => Column = p =>
+        if (inOrder)
+          transform(
+            filter(col("posB"), q => q > p && (q - p - 1) <= slop),
+            q => q - p - 1)
+        else
+          transform(
+            filter(col("posB"),
+              q => q =!= p && (abs(q - p) - 1) <= slop),
+            q => abs(q - p) - 1)
+      val tfp = aggregate(col("posA"), lit(0.0), (acc, p) =>
+        acc + coalesce(
+          lit(1.0) / (array_min(gaps(p)).cast("double") + lit(1.0)),
+          lit(0.0)))
+      pa.join(pb, Seq("docid"))
+        .withColumn("tfp", tfp)
+        .filter(col("tfp") > 0)
+        .select(col("docid"),
+          (lit(sumIdf) * Bm25.tfNorm(col("tfp"), col("len"), idx.avgdl))
+            .as("score"))
+
+    case SpanNotQ(a, b, slop, exc) =>
+      val dfs = dfOf(Set(a, b))
+      val sumIdf = Seq(a, b)
+        .map(t => Bm25.idf(idx.numDocs, dfs.getOrElse(t, 0L))).sum
+      val pa = idx.postingsFor(Seq(a))
+        .select(col("docid"), col("positions").as("posA"), col("len"))
+      val pb = idx.postingsFor(Seq(b))
+        .select(col("docid"), col("positions").as("posB"))
+      val pe = idx.postingsFor(Seq(exc))
+        .select(col("docid"), col("positions").as("posE"))
+      // qualifying b after p: ordered, gap<=slop, and no exclude
+      // occurrence inside the [p, q] span
+      val gaps: Column => Column = p =>
+        transform(
+          filter(col("posB"), q => q > p && (q - p - 1) <= slop &&
+            !coalesce(exists(col("posE"), e => e >= p && e <= q),
+              lit(false))),
+          q => q - p - 1)
+      val tfp = aggregate(col("posA"), lit(0.0), (acc, p) =>
+        acc + coalesce(
+          lit(1.0) / (array_min(gaps(p)).cast("double") + lit(1.0)),
+          lit(0.0)))
+      pa.join(pb, Seq("docid"))
+        .join(pe, Seq("docid"), "left")
+        .withColumn("tfp", tfp)
+        .filter(col("tfp") > 0)
+        .select(col("docid"),
+          (lit(sumIdf) * Bm25.tfNorm(col("tfp"), col("len"), idx.avgdl))
+            .as("score"))
+
+    case SpanOrQ(ts) =>
+      val dfs = dfOf(ts.toSet)
+      val sumIdf = ts.distinct
+        .map(t => Bm25.idf(idx.numDocs, dfs.getOrElse(t, 0L))).sum
+      idx.postingsFor(ts)
+        .groupBy(col("docid"))
+        .agg(sum(col("tf")).cast("double").as("tfp"),
+          max(col("len")).as("len"))
+        .select(col("docid"),
+          (lit(sumIdf) * Bm25.tfNorm(col("tfp"), col("len"), idx.avgdl))
+            .as("score"))
+
+    case mp: MultiPhraseQ => multiPhrase(mp)
+
+    case MoreLikeThisQ(src, topN) => moreLikeThis(src, topN)
+
     case DisMaxQ(ds, tie) =>
       val u = ds.zipWithIndex.map { case (c, i) => withOrd(score(c), f"d$i%03d") }
         .reduce(_ unionByName _)
@@ -219,6 +305,64 @@ final class Searcher(idx: InvertedIndex) {
       .select(col("docid"),
         (lit(sumIdf) * Bm25.tfNorm(col("tfp"), col("len"), idx.avgdl))
           .as("score"))
+  }
+
+  /** MultiPhraseQuery: per slot, union the alternatives' occurrences
+    * (merged position arrays per doc), then the exact-phrase position
+    * intersect; weight = summed idf over every alternative term
+    * (MultiPhraseQuery.cs:40 weight semantics). */
+  private def multiPhrase(mp: MultiPhraseQ): DataFrame = {
+    require(mp.slots.nonEmpty, "empty multi-phrase")
+    val allTerms = mp.slots.flatMap(_._1)
+    val dfs = dfOf(allTerms.toSet)
+    val sumIdf = allTerms
+      .map(t => Bm25.idf(idx.numDocs, dfs.getOrElse(t, 0L))).sum
+    val slots = mp.slots.zipWithIndex.map { case ((ts, _), i) =>
+      val agg = idx.postingsFor(ts)
+        .groupBy(col("docid"))
+        .agg(sort_array(array_distinct(flatten(collect_list(col("positions")))))
+          .as(s"pos$i"), max(col("len")).as(s"len$i"))
+      if (i == 0) agg.select(col("docid"), col(s"pos$i"), col(s"len$i").as("len"))
+      else agg.select(col("docid"), col(s"pos$i"))
+    }
+    val joined = slots.reduce((a, b) => a.join(b, Seq("docid")))
+    val off0 = mp.slots.head._2
+    val pred: Column => Column = pp =>
+      mp.slots.zipWithIndex.tail.map { case ((_, offk), k) =>
+        array_contains(col(s"pos$k"), pp + lit(offk - off0))
+      }.reduceOption(_ && _).getOrElse(lit(true))
+    joined
+      .withColumn("tfp", size(filter(col("pos0"), pred)).cast("double"))
+      .filter(col("tfp") > 0)
+      .select(col("docid"),
+        (lit(sumIdf) * Bm25.tfNorm(col("tfp"), col("len"), idx.avgdl))
+          .as("score"))
+  }
+
+  /** MoreLikeThis: the source doc's text is fetched (one stored-fields
+    * row — the term-vector analog since we keep forward data), analyzed
+    * driver-side, its terms ranked by tf·idf (ties → term asc), and the
+    * top N become a scored disjunction excluding the source doc
+    * (MoreLikeThis.cs:138 CreateQueue semantics, simplified thresholds). */
+  private def moreLikeThis(src: Long, topN: Int): DataFrame = {
+    val text = idx.docs.filter(col("docid") === src)
+      .select(col("text")).collect()
+      .headOption.map(_.getString(0)).getOrElse("")
+    val tfMap = graft.analysis.Analyzer.tokenize(text)
+      .groupBy(_.term).map { case (t, xs) => t -> xs.size.toLong }
+    val dfs = dfOf(tfMap.keySet)
+    val ranked = tfMap.toSeq.map { case (t, tf) =>
+      (t, tf * Bm25.idf(idx.numDocs, dfs.getOrElse(t, 0L)))
+    }.sortBy { case (t, w) => (-w, t) }.take(topN).map(_._1)
+    if (ranked.isEmpty)
+      return idx.docs.select(col("docid"), lit(1.0).as("score"))
+        .filter(lit(false))
+    termScores(ranked.toSet)
+      .filter(col("docid") =!= src)
+      .groupBy(col("docid")).agg(
+        aggregate(
+          sort_array(collect_list(struct(col("term"), col("tscore")))),
+          lit(0.0), (acc, x) => acc + x.getField("tscore")).as("score"))
   }
 
   /** Driver-side dictionary lookup (TermInfosReader analog — tiny:

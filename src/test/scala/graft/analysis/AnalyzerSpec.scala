@@ -60,6 +60,25 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(Analyzer.tokenize("  \t\n ") == Vector.empty)
   }
 
+  test("fastTokenize == tokenize on adversarial + random input") {
+    val cases = Seq(
+      "", " ", "hello world", "O'Brien's dog", "don't stop", "'leading",
+      "trailing'", "a''b", "x's", "the a an and", "abc123 45x", "über café",
+      "ΣΙΣΥΦΟΣ word", "a" * 300, ("w" * 254) + "'s", "it's it's",
+      "tab\tsep\nline", "dots.and,commas;here", "e'e'e'e", "'''", "'s",
+      "mix'd CASE Don'T")
+    cases.foreach { s =>
+      assert(Analyzer.fastTokenize(s) == Analyzer.tokenize(s), s"input=$s")
+    }
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcXYZ012 '\t.,-ü漢"
+    (0 until 500).foreach { _ =>
+      val s = (0 until rnd.nextInt(60))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      assert(Analyzer.fastTokenize(s) == Analyzer.tokenize(s), s"input=$s")
+    }
+  }
+
   test("column expression chain matches the pure function") {
     val spark = SparkFixture.spark
     import spark.implicits._

@@ -74,6 +74,7 @@ class CodecSpec extends AnyFunSuite {
         assert(b.maxDocid == decoded.last.docid)
         assert(b.maxTf == decoded.map(_.tf).max)
         assert(b.minLen == decoded.map(_.len).min)
+        assert(b.sumTf == decoded.map(_.tf).sum)
       }
       // block ranges are disjoint and ascending
       blocks.sliding(2).foreach {
@@ -90,6 +91,31 @@ class CodecSpec extends AnyFunSuite {
     assert(b.docs.length == 1) // gap 0<<1|1 = 1 byte, no separate tf
     val p = Codec.decode(b).next()
     assert(p.tf == 1L && p.docid == 5L && p.positions.toSeq == Seq(7))
+  }
+
+  test("raw round-trip: encodeRaw(decodeRaw) == identity; doclens-only decode") {
+    samples(listGen, 100).foreach { ps =>
+      val blocks = Codec.encode("t", ps.iterator).toList
+      val raw = blocks.iterator.flatMap(Codec.decodeRaw).toList
+      assert(raw.map(_.docid) == ps.map(_.docid))
+      assert(raw.map(_.tf) == ps.map(_.tf))
+      // re-encode from raw must reproduce identical postings
+      val back = Codec.encodeRaw("t", raw.iterator)
+        .flatMap(Codec.decode).toList
+      assert(back.map(_.docid) == ps.map(_.docid))
+      assert(back.map(_.positions.toSeq) == ps.map(_.positions.toSeq))
+      // lens-only decode agrees
+      val lens = blocks.iterator.flatMap(Codec.decodeDocLens).toList
+      assert(lens == ps.map(p => (p.docid, p.len)))
+    }
+  }
+
+  test("positions blob round-trip") {
+    samples(Gen.listOf(Gen.chooseNum(0, 99999)), 200).foreach { raw =>
+      val ps = raw.sorted.toArray
+      assert(Codec.decodePositions(Codec.encodePositions(ps),
+        ps.length.toLong).toSeq == ps.toSeq)
+    }
   }
 
   test("compression: dense tf=1 lists cost ~1 byte per posting") {
