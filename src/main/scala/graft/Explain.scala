@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.search._
+
+/** Plan inspector: prints `explain(formatted)` for representative query
+  * shapes so pushdown/broadcast/codegen properties can be audited.
+  * Usage: graft.Explain [sfDir] — see scripts/explain.sh. */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def dump(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      println(s"\n========== $name ==========")
+      df.explain("formatted")
+    }
+
+    // persisted-store path: the term filter must reach the blocks
+    // parquet scan (PushedFilters) BEFORE the decode flatMap
+    val seg = Engine.indexSeg(spark, sfDir)
+    dump("seg term topK (block pushdown)",
+      new Searcher(seg).topK(TermQ("table"), 10))
+    dump("seg bool AND", new Searcher(seg)
+      .topK(BoolQ(must = Seq(TermQ("table"), TermQ("merge"))), 10))
+    dump("WAND disjunction",
+      Wand.topKDisjunction(seg, Seq("spark", "hash", "window"), 10))
+    // in-memory flavor for comparison
+    dump("mem phrase", Engine.searcher(spark, sfDir)
+      .topK(PhraseQ(Seq("key" -> 0, "agg" -> 1)), 10))
+    spark.stop()
+  }
+}
