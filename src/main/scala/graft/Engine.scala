@@ -84,6 +84,19 @@ object Engine {
       SegmentStore.open(spark, root)
     })
 
+  /** Segmented build, then delete every doc containing "dup"
+    * (IndexWriter.DeleteDocuments(Term) analog): queries must hide the
+    * deleted docs while BM25 stats stay un-discounted until merge. */
+  def indexDeleted(spark: SparkSession, sfDir: String): InvertedIndex =
+    cache.getOrElseUpdate(key(spark, sfDir, "del"), {
+      val root = segRoot(spark, sfDir, "del")
+      IndexBuilder.buildSegments(spark,
+        Transcripts.fromDocuments(spark, sfDir), root,
+        numBatches = 4, numPartitions = parts(spark))
+      IndexBuilder.deleteByTerm(spark, root, "dup")
+      SegmentStore.open(spark, root)
+    })
+
   def searcher(spark: SparkSession, sfDir: String): Searcher =
     new Searcher(index(spark, sfDir))
 

@@ -166,6 +166,29 @@ object SparkEntry {
       (s, dir) => Engine.topKWand(s, dir, Seq("spark", "hash", "window"), 10),
       OracleSql.topK(BoolQ(should = Seq(TermQ("spark"), TermQ("hash"),
         TermQ("window"))), 10)),
+
+    // --- deletions (§2.3 BufferedDeletes / .del side set) ---
+    // Docs containing "dup" deleted; queries hide them, BM25 stats stay
+    // stale until merge — both mirrored by the oracle (scored CTE is
+    // full-corpus; deleted docids excluded post-scoring).
+    "ft_delete_count" -> Raw(
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{count => cnt, lit}
+        Engine.indexDeleted(s, dir).docs.agg(cnt(lit(1)).as("hits"))
+      },
+      s"""${OracleSql.prelude}
+         |SELECT CAST(count(*) AS BIGINT) AS hits FROM docs
+         |WHERE docid NOT IN (SELECT docid FROM postings WHERE term = 'dup')""".stripMargin),
+    "ft_delete_term" -> Raw(
+      (s, dir) => Engine.topKOn(Engine.indexDeleted(s, dir), TermQ("table"), 10),
+      s"""${OracleSql.prelude}
+         |SELECT CAST(row_number() OVER (ORDER BY sq.score DESC, sq.docid) AS BIGINT) AS rank,
+         |       sq.docid, round(sq.score, 4) AS score
+         |FROM (SELECT docid, tscore AS score FROM scored
+         |      WHERE term = 'table'
+         |        AND docid NOT IN (SELECT docid FROM postings WHERE term = 'dup')) sq
+         |ORDER BY sq.score DESC, sq.docid
+         |LIMIT 10""".stripMargin),
   )
 
   private def compile(spec: Spec): ((SparkSession, String) => DataFrame, String) =

@@ -29,7 +29,16 @@ final case class InvertedIndex(
     docLens: DataFrame,
     numDocs: Long,
     avgdl: Double,
-    blocks: Option[DataFrame] = None) {
+    blocks: Option[DataFrame] = None,
+    deleted: Option[DataFrame] = None) {
+
+  /** Anti-join the live delete set (deleted docs are skipped at
+    * iteration, stats stay stale until merge — SegmentTermDocs.Next /
+    * BufferedDeletes semantics). */
+  private def live(df: DataFrame): DataFrame = deleted match {
+    case Some(del) => df.join(del, Seq("docid"), "left_anti")
+    case None => df
+  }
 
   /** Postings restricted to a fixed term set. When the index is
     * block-backed, the term predicate is applied to the BLOCK table (a
@@ -40,7 +49,7 @@ final case class InvertedIndex(
     * /root/reference/src/core/Index/TermInfosReader.cs:178-196). */
   def postingsFor(terms: Seq[String]): DataFrame = blocks match {
     case Some(b) =>
-      PostingBlocks.toPostings(b.filter(col("term").isin(terms: _*)))
+      live(PostingBlocks.toPostings(b.filter(col("term").isin(terms: _*))))
     case None => postings.filter(col("term").isin(terms: _*))
   }
 
@@ -52,7 +61,7 @@ final case class InvertedIndex(
     val terms = termDict.filter(dictPred).select("term")
     blocks match {
       case Some(b) =>
-        PostingBlocks.toPostings(b.join(broadcast(terms), Seq("term")))
+        live(PostingBlocks.toPostings(b.join(broadcast(terms), Seq("term"))))
       case None => postings.join(broadcast(terms), Seq("term"))
     }
   }
@@ -268,27 +277,85 @@ object IndexBuilder {
     Some(doMerge(spark, root, m, m.segments, numPartitions))
   }
 
+  /** Delete every doc containing the analyzed `term`
+    * (IndexWriter.DeleteDocuments(Term) analog,
+    * /root/reference/src/core/Index/IndexWriter.cs:2479): the matching
+    * docids are written as a delete-set parquet and the manifest commit
+    * makes them invisible atomically. Stats stay stale until a merge
+    * expunges (reference behavior). */
+  def deleteByTerm(spark: SparkSession, root: String, term: String): Manifest = {
+    val idx = SegmentStore.open(spark, root)
+    deleteDocids(spark, root,
+      idx.postingsFor(Seq(term)).select("docid").distinct(), s"term=$term")
+  }
+
+  /** Delete by a NOT_ANALYZED keyword column (e.g. conv_id) — the
+    * update-by-key building block: delete old conv, append new turns. */
+  def deleteByKeyword(spark: SparkSession, root: String, field: String,
+      value: String): Manifest = {
+    val idx = SegmentStore.open(spark, root)
+    deleteDocids(spark, root,
+      idx.docs.filter(col(field) === value).select("docid"),
+      s"$field=$value")
+  }
+
+  private def deleteDocids(spark: SparkSession, root: String,
+      docids: DataFrame, what: String): Manifest = {
+    val m = SegmentStore.latest(root).getOrElse(sys.error("empty store"))
+    val dir = f"del_v${m.version + 1}%05d"
+    docids.write.mode("overwrite").parquet(s"$root/$dir")
+    val next = m.copy(version = m.version + 1, deletes = m.deletes :+ dir)
+    SegmentStore.commit(root, next)
+    next
+  }
+
   private def doMerge(spark: SparkSession, root: String, m: Manifest,
       toMerge: Seq[SegmentMeta], numPartitions: Int): Manifest = {
+    import spark.implicits._
     def unionOf(sub: String): DataFrame =
       toMerge.map(s => spark.read.parquet(s"$root/${s.id}/$sub"))
         .reduce(_ unionByName _)
+    val del: Option[DataFrame] =
+      if (m.deletes.isEmpty) None
+      else Some(m.deletes.map(d => spark.read.parquet(s"$root/$d"))
+        .reduce(_ unionByName _).select("docid").distinct())
+    def live(df: DataFrame): DataFrame = del match {
+      case Some(d) => df.join(d, Seq("docid"), "left_anti")
+      case None => df
+    }
     // decode to raw (position blobs sliced, not materialized) →
-    // range-shuffle → re-encode: the SegmentMerger sort-merge
-    val blocks = PostingBlocks.fromRaw(
-      PostingBlocks.toRaw(unionOf("blocks")), numPartitions)
+    // expunge deletes → range-shuffle → re-encode: the SegmentMerger
+    // sort-merge with deletion squeeze (SegmentMerger.cs:800-847)
+    val raw = live(PostingBlocks.toRaw(unionOf("blocks")).toDF())
+      .as[Codec.RawPosting]
+    val blocks = PostingBlocks.fromRaw(raw, numPartitions)
     val newOrd = toMerge.map(_.ord).min
     val id = f"seg_m${m.version + 1}%04d_$newOrd%05d"
-    val meta = SegmentMeta(id, newOrd, toMerge.map(_.numDocs).sum,
-      toMerge.map(_.sumLen).sum,
-      s"merged=[${toMerge.map(_.id).mkString(",")}]")
-    SegmentStore.writeSegment(root, meta, unionOf("docs"), blocks.toDF(),
-      unionOf("dict").groupBy("term")
-        .agg(sum("df").as("df"), sum("cf").as("cf")))
+    val docs = live(unionOf("docs"))
+    SegmentStore.writeTable(root, id, "blocks", blocks.toDF())
+    val blocksDf = SegmentStore.readTable(spark, root, id, "blocks")
+    SegmentStore.writeTable(root, id, "dict",
+      PostingBlocks.dictFromBlocks(blocksDf))
+    SegmentStore.writeTable(root, id, "docs", docs)
+    val (n, sumLen) = del match {
+      case None => (toMerge.map(_.numDocs).sum, toMerge.map(_.sumLen).sum)
+      case Some(_) =>
+        (docs.count(),
+          blocksDf.agg(coalesce(sum(col("sum_tf")), lit(0L)))
+            .collect()(0).getLong(0))
+    }
+    val meta = SegmentMeta(id, newOrd, n, sumLen,
+      s"merged=[${toMerge.map(_.id).mkString(",")}]" +
+        (if (del.isDefined) " expunged-deletes" else ""))
+    SegmentStore.markComplete(root, meta)
     val merged = toMerge.map(_.id).toSet
+    val mergedAll = merged == m.segments.map(_.id).toSet
     val next = Manifest(m.version + 1,
       (m.segments.filterNot(s => merged.contains(s.id)) :+ meta)
-        .sortBy(_.ord))
+        .sortBy(_.ord),
+      // a full merge expunged everything; partial merges keep the list
+      // (global docids: already-expunged ids simply match nothing)
+      if (mergedAll) Nil else m.deletes)
     SegmentStore.commit(root, next)
     next
   }

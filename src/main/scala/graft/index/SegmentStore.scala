@@ -21,10 +21,16 @@ final case class SegmentMeta(
     sumLen: Long,
     lineage: String)
 
-/** A commit point: generation-numbered manifest listing live segments.
+/** A commit point: generation-numbered manifest listing live segments
+  * plus the live delete sets (the .del side-bitmap analog — docid
+  * parquet dirs applied as anti-joins at read time).
   * Reference analog: segments_N + segments.gen
-  * (/root/reference/src/core/Index/SegmentInfos.cs:68-127). */
-final case class Manifest(version: Long, segments: Seq[SegmentMeta]) {
+  * (/root/reference/src/core/Index/SegmentInfos.cs:68-127), deletes per
+  * BitVector/.del (/root/reference/src/core/Util/BitVector.cs:36-202).
+  * Like the reference, collection stats (numDocs/avgdl/df/cf) do NOT
+  * discount deleted docs until a merge expunges them. */
+final case class Manifest(version: Long, segments: Seq[SegmentMeta],
+    deletes: Seq[String] = Nil) {
   def numDocs: Long = segments.map(_.numDocs).sum
   def sumLen: Long = segments.map(_.sumLen).sum
 }
@@ -52,7 +58,8 @@ object SegmentStore {
       s"""{"id":"${esc(s.id)}","ord":${s.ord},"numDocs":${s.numDocs},""" +
         s""""sumLen":${s.sumLen},"lineage":"${esc(s.lineage)}"}"""
     }.mkString(",")
-    s"""{"version":${m.version},"segments":[$segs]}"""
+    val dels = m.deletes.map(d => s""""${esc(d)}"""").mkString(",")
+    s"""{"version":${m.version},"segments":[$segs],"deletes":[$dels]}"""
   }
 
   private val SegRe =
@@ -63,6 +70,9 @@ object SegmentStore {
   private def unesc(s: String): String =
     s.replace("\\\"", "\"").replace("\\\\", "\\")
 
+  private val DelsRe = """"deletes":\[([^\]]*)\]""".r
+  private val DelRe = """"((?:[^"\\]|\\.)*)"""".r
+
   def fromJson(json: String): Manifest = {
     val version = VerRe.findFirstMatchIn(json)
       .map(_.group(1).toLong)
@@ -71,7 +81,11 @@ object SegmentStore {
       SegmentMeta(unesc(m.group(1)), m.group(2).toLong, m.group(3).toLong,
         m.group(4).toLong, unesc(m.group(5)))
     }.toSeq.sortBy(_.ord)
-    Manifest(version, segs)
+    val dels = DelsRe.findFirstMatchIn(json)
+      .map(m => DelRe.findAllMatchIn(m.group(1)).map(x => unesc(x.group(1)))
+        .toSeq)
+      .getOrElse(Nil)
+    Manifest(version, segs, dels)
   }
 
   // ---- commit protocol ----
@@ -160,16 +174,32 @@ object SegmentStore {
     def unionOf(sub: String): DataFrame =
       m.segments.map(s => spark.read.parquet(s"${segDir(root, s.id)}/$sub"))
         .reduce(_ unionByName _)
-    val docs = unionOf("docs")
+    val docs0 = unionOf("docs")
     val blocks = unionOf("blocks")
     // global dict: docid spaces are disjoint → df/cf add across segments
     val dict = unionOf("dict").groupBy("term")
       .agg(sum("df").as("df"), sum("cf").as("cf"))
-    // doc lengths decoded from blocks on demand (no doclens table)
-    val docLens = PostingBlocks.docLensFromBlocks(blocks, docs)
+    // live delete set applied as an anti-join on docid (SegmentTermDocs
+    // skipping deleted docs); stats/df stay un-discounted until a merge
+    // expunges — exactly the reference's behavior.
+    val deleted: Option[DataFrame] =
+      if (m.deletes.isEmpty) None
+      else Some(m.deletes
+        .map(d => spark.read.parquet(s"$root/$d"))
+        .reduce(_ unionByName _).select("docid").distinct())
+    // no broadcast hint: Spark auto-broadcasts small delete sets; a
+    // massive delete backlog falls back to a shuffled anti-join
+    def live(df: DataFrame): DataFrame = deleted match {
+      case Some(del) => df.join(del, Seq("docid"), "left_anti")
+      case None => df
+    }
+    val docs = live(docs0)
+    val postings = live(PostingBlocks.toPostings(blocks))
+    val docLens = PostingBlocks.docLensFromBlocks(blocks, docs0)
     val n = m.numDocs
-    InvertedIndex(docs, PostingBlocks.toPostings(blocks), dict, docLens,
-      n, m.sumLen.toDouble / n, blocks = Some(blocks))
+    InvertedIndex(docs, postings, dict, docLens,
+      n, m.sumLen.toDouble / n,
+      blocks = Some(blocks), deleted = deleted)
   }
 
   /** Drop segment directories not referenced by the latest manifest
@@ -177,11 +207,15 @@ object SegmentStore {
     * /root/reference/src/core/Index/IndexFileDeleter.cs). Also prunes all
     * but the newest `keepManifests` commit files. */
   def gc(root: String, keepManifests: Int = 2): Seq[String] = {
-    val live = latest(root).map(_.segments.map(_.id).toSet).getOrElse(Set.empty)
+    val man = latest(root)
+    val live = man.map(m => m.segments.map(_.id).toSet ++ m.deletes.toSet)
+      .getOrElse(Set.empty)
     val rootP = Paths.get(root)
     if (!Files.isDirectory(rootP)) return Nil
     val dropped = Files.list(rootP).iterator().asScala
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("seg_"))
+      .filter(p => Files.isDirectory(p) &&
+        (p.getFileName.toString.startsWith("seg_") ||
+          p.getFileName.toString.startsWith("del_")))
       .filterNot(p => live.contains(p.getFileName.toString))
       .map { p => deleteRec(p); p.getFileName.toString }
       .toSeq

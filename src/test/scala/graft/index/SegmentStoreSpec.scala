@@ -35,8 +35,54 @@ class SegmentStoreSpec extends AnyFunSuite {
   test("manifest JSON round-trips") {
     val m = Manifest(3L, Seq(
       SegmentMeta("seg_b00000", 0, 10, 55, "batch=0/4 docids=[0,10) src=ingest"),
-      SegmentMeta("seg_m0004_00001", 1, 20, 99, """merged=[a,b] with "quote"""")))
+      SegmentMeta("seg_m0004_00001", 1, 20, 99, """merged=[a,b] with "quote"""")),
+      deletes = Seq("del_v00002", "del_v00003"))
     assert(SegmentStore.fromJson(SegmentStore.toJson(m)) == m)
+    val empty = Manifest(1L, Seq(SegmentMeta("s", 0, 1, 2, "l")))
+    assert(SegmentStore.fromJson(SegmentStore.toJson(empty)) == empty)
+  }
+
+  test("delete-by-term hides docs until merge expunges them") {
+    val root = tmp()
+    IndexBuilder.buildSegments(spark, turns, root, 4, 4)
+    val before = SegmentStore.open(spark, root)
+    val beforeDocs = before.docs.count()
+    val delDocs = before.postingsFor(Seq("deploy")).select("docid")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(delDocs.nonEmpty)
+
+    IndexBuilder.deleteByTerm(spark, root, "deploy")
+    val after = SegmentStore.open(spark, root)
+    assert(SegmentStore.latest(root).get.deletes.size == 1)
+    // hidden from docs + every query path
+    assert(after.docs.count() == beforeDocs - delDocs.size)
+    assert(new Searcher(after).score(TermQ("deploy")).count() == 0)
+    val errHits = new Searcher(after).score(TermQ("error")).collect()
+      .map(_.getLong(0)).toSet
+    assert(errHits.intersect(delDocs).isEmpty)
+    // stats stay stale until merge (reference behavior)
+    assert(after.numDocs == before.numDocs)
+
+    // merge expunges: stats recomputed, delete list cleared, gc drops dirs
+    IndexBuilder.forceMerge(spark, root, 4)
+    assert(SegmentStore.latest(root).get.deletes.isEmpty)
+    val merged = SegmentStore.open(spark, root)
+    assert(merged.numDocs == before.numDocs - delDocs.size)
+    assert(merged.postings.filter(col("term") === "deploy").count() == 0)
+    SegmentStore.gc(root)
+    import scala.jdk.CollectionConverters._
+    assert(!Files.list(Paths.get(root)).iterator().asScala
+      .exists(_.getFileName.toString.startsWith("del_")))
+
+    // delete-by-keyword: drop one whole conversation, docs disappear
+    val root2 = tmp()
+    IndexBuilder.buildSegments(spark, turns, root2, 2, 4)
+    val conv = turns.select("conv_id").orderBy("conv_id").first().getString(0)
+    val convSize = turns.filter(col("conv_id") === conv).count()
+    IndexBuilder.deleteByKeyword(spark, root2, "conv_id", conv)
+    val afterK = SegmentStore.open(spark, root2)
+    assert(afterK.docs.filter(col("conv_id") === conv).count() == 0)
+    assert(afterK.docs.count() == beforeDocs - convSize)
   }
 
   test("segmented build round-trips the whole index through disk") {
