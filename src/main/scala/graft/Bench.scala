@@ -117,8 +117,12 @@ object Bench {
         } finally s.stop()
       }
       val warm = buildAt(nLow, warmPath) // JIT/classloading warmup
-      val tLow = buildAt(nLow, inputPath)
-      val tHigh = buildAt(nHigh, inputPath)
+      // best-of-2 per level: the host shows up to ~11% CPU steal and
+      // individual builds vary ±30-50%; the min is the least-disturbed
+      // observation of the same deterministic job
+      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+      val tLow = (1 to reps).map(_ => buildAt(nLow, inputPath)).min
+      val tHigh = (1 to reps).map(_ => buildAt(nHigh, inputPath)).min
       deleteRec(java.nio.file.Paths.get(inputPath))
       deleteRec(java.nio.file.Paths.get(warmPath))
       val thrLow = turns / tLow
