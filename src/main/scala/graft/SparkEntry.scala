@@ -47,12 +47,17 @@ object SparkEntry {
         .select("term", "df", "cf").orderBy("term"),
       s"""${OracleSql.prelude}
          |SELECT term, df, cf FROM dict ORDER BY term""".stripMargin),
+    // positions serialized as a comma-joined string: the driver's pandas
+    // compare can't hash list columns (round-1 gate err), and the string
+    // is hash-equivalent for an ordered int array.
     "ft_postings" -> Raw(
       (s, dir) => Engine.index(s, dir).postings
         .select(col("term"), col("docid"), col("tf"), col("len"),
-          col("positions")).orderBy("term", "docid"),
+          array_join(col("positions").cast("array<string>"), ",")
+            .as("positions")).orderBy("term", "docid"),
       s"""${OracleSql.prelude}
-         |SELECT p.term, p.docid, p.tf, l.len, p.positions
+         |SELECT p.term, p.docid, p.tf, l.len,
+         |       array_to_string(p.positions, ',') AS positions
          |FROM postings p JOIN doclens l USING (docid)
          |ORDER BY p.term, p.docid""".stripMargin),
 
@@ -135,9 +140,11 @@ object SparkEntry {
     "ft_seg_postings" -> Raw(
       (s, dir) => Engine.indexSeg(s, dir).postings
         .select(col("term"), col("docid"), col("tf"), col("len"),
-          col("positions")).orderBy("term", "docid"),
+          array_join(col("positions").cast("array<string>"), ",")
+            .as("positions")).orderBy("term", "docid"),
       s"""${OracleSql.prelude}
-         |SELECT p.term, p.docid, p.tf, l.len, p.positions
+         |SELECT p.term, p.docid, p.tf, l.len,
+         |       array_to_string(p.positions, ',') AS positions
          |FROM postings p JOIN doclens l USING (docid)
          |ORDER BY p.term, p.docid""".stripMargin),
     "ft_seg_term" -> Raw(

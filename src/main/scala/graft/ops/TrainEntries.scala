@@ -49,7 +49,7 @@ object TrainEntries {
        |              CROSS JOIN (SELECT unnest(generate_series(0,59)) AS k) ks
        |         GROUP BY doc_id, k),
        |simh AS (SELECT doc_id,
-       |           sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS simhash
+       |           CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS simhash
        |         FROM bits GROUP BY doc_id)""".stripMargin
 
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(

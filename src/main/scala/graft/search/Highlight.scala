@@ -36,18 +36,23 @@ object Highlight {
     }.mkString(" ")
   }
 
-  /** (rank, docid, snippet) for the query's top-k hits. */
+  /** (rank, docid, snippet) for the query's top-k hits. Rank is an
+    * explicit materialized column (row_number over the mandatory
+    * (score desc, docid asc) order, computed over the k collected rows)
+    * — DataFrame ordering is not guaranteed to survive the typed map. */
   def highlight(idx: InvertedIndex, searcher: Searcher, q: Query,
       k: Int): DataFrame = {
     val spark = idx.docs.sparkSession
     import spark.implicits._
     val terms = QueryAst.terms(q)
     searcher.topK(q, k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("docid").asc)).cast("long"))
       .join(idx.docs.select(col("docid"), col("text")), Seq("docid"))
-      .orderBy(col("score").desc, col("docid").asc)
-      .select(col("docid"), col("text"))
-      .as[(Long, String)]
-      .map { case (d, t) => (d, bestFragment(t, terms)) }
-      .toDF("docid", "snippet")
+      .select(col("rank"), col("docid"), col("text"))
+      .as[(Long, Long, String)]
+      .map { case (r, d, t) => (r, d, bestFragment(t, terms)) }
+      .toDF("rank", "docid", "snippet")
   }
 }
