@@ -31,10 +31,14 @@ object Engine {
   private def key(spark: SparkSession, sfDir: String, flavor: String) =
     s"$flavor:${spark.sparkContext.applicationId}:$sfDir"
 
-  private def segRoot(spark: SparkSession, sfDir: String, flavor: String) =
+  private def segRoot(spark: SparkSession, sfDir: String, flavor: String) = {
+    // sanitized PATH (not just its hash) keys the store: two sfDirs can
+    // hash-collide, and the lineage-based resume would then silently
+    // "resume" stale segments of another corpus
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
     s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_${flavor}_" +
-      s"${spark.sparkContext.applicationId.replace(':', '_')}_" +
-      s"${math.abs(sfDir.hashCode)}"
+      s"${spark.sparkContext.applicationId.replace(':', '_')}_$safe"
+  }
 
   def index(spark: SparkSession, sfDir: String): InvertedIndex =
     cache.getOrElseUpdate(key(spark, sfDir, "mem"),
@@ -69,18 +73,28 @@ object Engine {
       val root = segRoot(spark, sfDir, "app")
       val t = Transcripts.fromDocuments(spark, sfDir)
       // three ordered conv_id ranges appended in order → docids equal the
-      // one-shot build's (stable (conv_id, turn_idx) global order)
-      val bounds = t.select("conv_id").distinct().orderBy("conv_id")
-        .collect().map(_.getString(0))
-      val cut1 = bounds(bounds.length / 3)
-      val cut2 = bounds(2 * bounds.length / 3)
-      IndexBuilder.appendSegment(spark, t.filter(col("conv_id") < cut1),
-        root, parts(spark))
-      IndexBuilder.appendSegment(spark,
-        t.filter(col("conv_id") >= cut1 && col("conv_id") < cut2),
-        root, parts(spark))
-      IndexBuilder.appendSegment(spark, t.filter(col("conv_id") >= cut2),
-        root, parts(spark))
+      // one-shot build's (stable (conv_id, turn_idx) global order).
+      // Cut points come from a RANGE SHUFFLE of the distinct conv_ids
+      // (per-partition minima, 3 rows to the driver) — never a collect
+      // of every conv_id (at 10^9 convs that collect is a driver OOM).
+      val cuts = {
+        import spark.implicits._
+        t.select("conv_id").distinct()
+          .repartitionByRange(3, col("conv_id"))
+          .mapPartitions(it =>
+            if (it.hasNext) Iterator.single(it.map(_.getString(0)).min)
+            else Iterator.empty)
+          .collect().sorted
+      }
+      val slices: Seq[DataFrame] = cuts.length match {
+        case n if n >= 3 =>
+          Seq(t.filter(col("conv_id") < cuts(1)),
+            t.filter(col("conv_id") >= cuts(1) && col("conv_id") < cuts(2)),
+            t.filter(col("conv_id") >= cuts(2)))
+        case _ => Seq(t) // 1-2 distinct convs: one batch (no empty slices)
+      }
+      slices.foreach(s =>
+        IndexBuilder.appendSegment(spark, s, root, parts(spark)))
       SegmentStore.open(spark, root)
     })
 

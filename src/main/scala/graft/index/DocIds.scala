@@ -25,7 +25,14 @@ object DocIds {
 
   private val MonoMask = (1L << 33) - 1
 
-  def assign(df: DataFrame, keys: Seq[Column], numPartitions: Int): DataFrame = {
+  /** Assigned docids + the handle of the pinned inner dataset. Callers
+    * MUST call release() once every downstream consumer of `docs` has
+    * materialized (unpersisting only a DERIVED DataFrame is a no-op on
+    * the inner cache — each un-released assign() would leak one pinned
+    * dataset per call, unbounded under a streaming sink). */
+  final case class Assigned(docs: DataFrame, release: () => Unit)
+
+  def assign(df: DataFrame, keys: Seq[Column], numPartitions: Int): Assigned = {
     val spark = df.sparkSession
     import spark.implicits._
     // ONE materialization: the sorted, range-shuffled base with
@@ -55,9 +62,10 @@ object DocIds {
     // The global docid is a LAZY map-side projection over the pinned
     // base (broadcast join on __pid + one add) — no second materialized
     // copy of the table. Downstream reads pay one addition per row.
-    marked.join(offDf, Seq("__pid"))
+    val out = marked.join(offDf, Seq("__pid"))
       .withColumn("docid", col("__off") + col("__lrank"))
       .select(col("docid") +: df.columns.map(col): _*)
+    Assigned(out, () => { marked.unpersist(blocking = false); () })
   }
 
   /** Small-data variant (tests / oracle parity checks): the classic

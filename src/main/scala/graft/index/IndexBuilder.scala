@@ -131,14 +131,18 @@ object IndexBuilder {
 
   /** In-memory build (tests / small interactive sessions). */
   def build(transcripts: DataFrame, numPartitions: Int = 32): InvertedIndex = {
-    val docs = DocIds.assign(transcripts,
+    val assigned = DocIds.assign(transcripts,
       Seq(col("conv_id"), col("turn_idx")), numPartitions)
+    val docs = assigned.docs
     val (postings, docLens) = invert(docs)
     val termDict = dictOf(postings)
 
     docs.cache(); postings.cache(); docLens.cache(); termDict.cache()
 
+    // count() materializes the docs cache (MEMORY_AND_DISK — eviction
+    // spills, never recomputes), so the inner range-shuffled base can go
     val n = docs.count()
+    assigned.release()
     // sumLen = Σ tf over postings ≡ Σ len over docs (integer arithmetic —
     // exactly reproducible across engines)
     val sumLen = postings.agg(coalesce(sum(col("tf")), lit(0L)))
@@ -160,8 +164,9 @@ object IndexBuilder {
       root: String, numBatches: Int = 4, numPartitions: Int = 32): Manifest = {
     val tAssign = System.nanoTime()
     // assign() pins its sorted base; `docs` is a cheap projection of it
-    val docs = DocIds.assign(transcripts,
+    val assigned = DocIds.assign(transcripts,
       Seq(col("conv_id"), col("turn_idx")), numPartitions)
+    val docs = assigned.docs
     val total = docs.count()
     if (sys.env.contains("SPARK_GRAFT_BUILD_TIMING"))
       System.err.println(
@@ -201,13 +206,14 @@ object IndexBuilder {
             val n = timed("count")(slice.count())
             val sumLen = blocksDf.agg(coalesce(sum(col("sum_tf")), lit(0L)))
               .collect()(0).getLong(0)
-            val meta = SegmentMeta(id, b.toLong, n, sumLen, lineage)
+            val meta = SegmentMeta(id, b.toLong, n, sumLen, lineage,
+              maxDocid = hi - 1)
             SegmentStore.markComplete(root, meta)
             Some(meta)
         }
       }
     }
-    docs.unpersist(blocking = false)
+    assigned.release()
     val version = SegmentStore.latest(root).map(_.version + 1).getOrElse(1L)
     val m = Manifest(version, metas)
     SegmentStore.commit(root, m)
@@ -221,14 +227,25 @@ object IndexBuilder {
   def appendSegment(spark: SparkSession, turns: DataFrame, root: String,
       numPartitions: Int = 32, lineageTag: String = "append"): Manifest = {
     val prev = SegmentStore.latest(root)
-    val base = prev.map(_.numDocs).getOrElse(0L)
+    // re-base past the docid WATERMARK, not numDocs: after a merge
+    // expunges deletes, numDocs shrinks but surviving docids keep their
+    // values — a numDocs base would collide (delete → merge → append).
+    val base = prev.map(_.maxDocid).getOrElse(-1L) + 1
     val nextOrd = prev.flatMap(_.segments.map(_.ord).maxOption)
       .getOrElse(-1L) + 1
     val local = DocIds.assign(turns,
       Seq(col("conv_id"), col("turn_idx")), numPartitions)
-    val docs = local.withColumn("docid", col("docid") + lit(base))
+    val docs = local.docs.withColumn("docid", col("docid") + lit(base))
       .persist(StorageLevel.DISK_ONLY)
-    val n = docs.count()
+    val n = docs.count() // materializes the outer pin …
+    local.release()      // … so the inner range-shuffled base can go
+    if (n == 0) {
+      // empty batch (streaming micro-batch with no rows, or an empty
+      // conv slice): do not write a zero-doc segment — its empty blocks
+      // parquet cannot be schema-inferred on re-read.
+      docs.unpersist(blocking = false)
+      return prev.getOrElse(Manifest(0L, Nil))
+    }
     val id = f"seg_a$nextOrd%05d"
     SegmentStore.writeTable(root, id, "blocks",
       PostingBlocks.buildFromDocs(docs, numPartitions).toDF())
@@ -239,7 +256,8 @@ object IndexBuilder {
     val sumLen = blocksDf.agg(coalesce(sum(col("sum_tf")), lit(0L)))
       .collect()(0).getLong(0)
     val meta = SegmentMeta(id, nextOrd, n, sumLen,
-      s"$lineageTag ord=$nextOrd docids=[$base,${base + n})")
+      s"$lineageTag ord=$nextOrd docids=[$base,${base + n})",
+      maxDocid = base + n - 1)
     SegmentStore.markComplete(root, meta)
     docs.unpersist(blocking = false)
     val m = Manifest(prev.map(_.version + 1).getOrElse(1L),
@@ -346,7 +364,11 @@ object IndexBuilder {
     }
     val meta = SegmentMeta(id, newOrd, n, sumLen,
       s"merged=[${toMerge.map(_.id).mkString(",")}]" +
-        (if (del.isDefined) " expunged-deletes" else ""))
+        (if (del.isDefined) " expunged-deletes" else ""),
+      // the watermark NEVER shrinks on expunge: surviving docids keep
+      // their original values, so appends must still re-base past the
+      // pre-merge ceiling
+      maxDocid = toMerge.map(_.maxDocid).max)
     SegmentStore.markComplete(root, meta)
     val merged = toMerge.map(_.id).toSet
     val mergedAll = merged == m.segments.map(_.id).toSet

@@ -19,7 +19,13 @@ final case class SegmentMeta(
     ord: Long,
     numDocs: Long,
     sumLen: Long,
-    lineage: String)
+    lineage: String,
+    /** Highest docid present when the segment was WRITTEN (inclusive).
+      * Appends re-base past max over live segments of this watermark —
+      * NOT past numDocs: a merge that expunges deleted docs shrinks
+      * numDocs but the surviving docids keep their original values, so a
+      * numDocs-based re-base would hand out colliding docids. */
+    maxDocid: Long)
 
 /** A commit point: generation-numbered manifest listing live segments
   * plus the live delete sets (the .del side-bitmap analog — docid
@@ -33,6 +39,8 @@ final case class Manifest(version: Long, segments: Seq[SegmentMeta],
     deletes: Seq[String] = Nil) {
   def numDocs: Long = segments.map(_.numDocs).sum
   def sumLen: Long = segments.map(_.sumLen).sum
+  /** Docid watermark: appends start at maxDocid + 1. */
+  def maxDocid: Long = segments.map(_.maxDocid).maxOption.getOrElse(-1L)
 }
 
 /** Iceberg-style segment store: immutable segment directories + JSON
@@ -53,18 +61,20 @@ object SegmentStore {
   private def esc(s: String): String =
     s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
 
+  private def segJson(s: SegmentMeta): String =
+    s"""{"id":"${esc(s.id)}","ord":${s.ord},"numDocs":${s.numDocs},""" +
+      s""""sumLen":${s.sumLen},"maxDocid":${s.maxDocid},""" +
+      s""""lineage":"${esc(s.lineage)}"}"""
+
   def toJson(m: Manifest): String = {
-    val segs = m.segments.map { s =>
-      s"""{"id":"${esc(s.id)}","ord":${s.ord},"numDocs":${s.numDocs},""" +
-        s""""sumLen":${s.sumLen},"lineage":"${esc(s.lineage)}"}"""
-    }.mkString(",")
+    val segs = m.segments.map(segJson).mkString(",")
     val dels = m.deletes.map(d => s""""${esc(d)}"""").mkString(",")
     s"""{"version":${m.version},"segments":[$segs],"deletes":[$dels]}"""
   }
 
   private val SegRe =
     ("""\{"id":"((?:[^"\\]|\\.)*)","ord":(\d+),"numDocs":(\d+),""" +
-      """"sumLen":(\d+),"lineage":"((?:[^"\\]|\\.)*)"\}""").r
+      """"sumLen":(\d+),"maxDocid":(-?\d+),"lineage":"((?:[^"\\]|\\.)*)"\}""").r
   private val VerRe = """"version":(\d+)""".r
 
   private def unesc(s: String): String =
@@ -79,7 +89,7 @@ object SegmentStore {
       .getOrElse(sys.error(s"bad manifest: $json"))
     val segs = SegRe.findAllMatchIn(json).map { m =>
       SegmentMeta(unesc(m.group(1)), m.group(2).toLong, m.group(3).toLong,
-        m.group(4).toLong, unesc(m.group(5)))
+        m.group(4).toLong, unesc(m.group(6)), m.group(5).toLong)
     }.toSeq.sortBy(_.ord)
     val dels = DelsRe.findFirstMatchIn(json)
       .map(m => DelRe.findAllMatchIn(m.group(1)).map(x => unesc(x.group(1)))
@@ -130,7 +140,7 @@ object SegmentStore {
     if (!Files.exists(p)) None
     else SegRe.findFirstMatchIn(Files.readString(p)).map { m =>
       SegmentMeta(unesc(m.group(1)), m.group(2).toLong, m.group(3).toLong,
-        m.group(4).toLong, unesc(m.group(5)))
+        m.group(4).toLong, unesc(m.group(6)), m.group(5).toLong)
     }
   }
 
@@ -151,7 +161,7 @@ object SegmentStore {
     * mid-write leaves an incomplete (ignored, re-buildable) dir. */
   def markComplete(root: String, meta: SegmentMeta): Unit =
     Files.writeString(Paths.get(segDir(root, meta.id), "_LINEAGE.json"),
-      s"""{"id":"${esc(meta.id)}","ord":${meta.ord},"numDocs":${meta.numDocs},"sumLen":${meta.sumLen},"lineage":"${esc(meta.lineage)}"}""")
+      segJson(meta))
 
   /** Convenience: write all tables then the marker. (No doclens table —
     * doc lengths live inside the posting blocks and are decoded on

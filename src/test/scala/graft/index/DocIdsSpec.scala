@@ -12,7 +12,7 @@ class DocIdsSpec extends AnyFunSuite {
     val spark = SparkFixture.spark
     val df = Transcripts.synthetic(spark, 2000, seed = 7, partitions = 8)
     val keys = Seq(col("conv_id"), col("turn_idx"))
-    val a = DocIds.assign(df, keys, 8)
+    val a = DocIds.assign(df, keys, 8).docs
       .select("docid", "conv_id", "turn_idx").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sortBy(_._1)
     val b = DocIds.assignWindow(df, keys)

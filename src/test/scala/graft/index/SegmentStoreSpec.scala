@@ -34,11 +34,12 @@ class SegmentStoreSpec extends AnyFunSuite {
 
   test("manifest JSON round-trips") {
     val m = Manifest(3L, Seq(
-      SegmentMeta("seg_b00000", 0, 10, 55, "batch=0/4 docids=[0,10) src=ingest"),
-      SegmentMeta("seg_m0004_00001", 1, 20, 99, """merged=[a,b] with "quote"""")),
+      SegmentMeta("seg_b00000", 0, 10, 55, "batch=0/4 docids=[0,10) src=ingest", 9),
+      SegmentMeta("seg_m0004_00001", 1, 20, 99, """merged=[a,b] with "quote"""", 31)),
       deletes = Seq("del_v00002", "del_v00003"))
     assert(SegmentStore.fromJson(SegmentStore.toJson(m)) == m)
-    val empty = Manifest(1L, Seq(SegmentMeta("s", 0, 1, 2, "l")))
+    assert(m.maxDocid == 31)
+    val empty = Manifest(1L, Seq(SegmentMeta("s", 0, 1, 2, "l", 0)))
     assert(SegmentStore.fromJson(SegmentStore.toJson(empty)) == empty)
   }
 
@@ -170,6 +171,39 @@ class SegmentStoreSpec extends AnyFunSuite {
       rows(direct.docs, "docid", "conv_id", "turn_idx", "text"))
     assert(rows(opened.termDict, "term", "df", "cf") ==
       rows(direct.termDict, "term", "df", "cf"))
+  }
+
+  test("delete -> merge-expunge -> append never reuses docids") {
+    val root = tmp()
+    val convs = turns.select("conv_id").distinct().orderBy("conv_id")
+      .collect().map(_.getString(0))
+    val cut = convs(convs.length / 2)
+    val first = turns.filter(col("conv_id") < cut)
+    IndexBuilder.buildSegments(spark, first, root, 2, 4)
+    val watermark = SegmentStore.latest(root).get.maxDocid
+    // delete some docs, then merge (numDocs shrinks, docids keep values)
+    IndexBuilder.deleteByTerm(spark, root, "deploy")
+    IndexBuilder.forceMerge(spark, root, 4)
+    val m = SegmentStore.latest(root).get
+    assert(m.numDocs < watermark + 1, "expected the delete to expunge docs")
+    assert(m.maxDocid == watermark, "expunge must not shrink the watermark")
+    // append: new docids must start past the ORIGINAL ceiling
+    IndexBuilder.appendSegment(spark, turns.filter(col("conv_id") >= cut),
+      root, 4)
+    val opened = SegmentStore.open(spark, root)
+    val ids = opened.docs.select("docid").collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length, "colliding docids after append")
+    assert(opened.postings.groupBy("term", "docid").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
+  test("appending an empty batch is a no-op on the manifest") {
+    val root = tmp()
+    IndexBuilder.buildSegments(spark, turns, root, 2, 4)
+    val before = SegmentStore.latest(root).get
+    IndexBuilder.appendSegment(spark,
+      turns.filter(col("conv_id") === "no_such_conv"), root, 4)
+    assert(SegmentStore.latest(root).get == before)
   }
 
   test("WAND pruned disjunction == unpruned (scores + ranks)") {
