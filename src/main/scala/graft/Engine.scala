@@ -111,6 +111,26 @@ object Engine {
       SegmentStore.open(spark, root)
     })
 
+  /** Force-build every index flavor (timed): Bench calls this before the
+    * query loop so per-query numbers measure QUERIES, not the first-touch
+    * construction of a segmented/compacted/deleted store (round-1 bench
+    * had ft_compact_bool at 17.9 s of which ~17 s was store build). */
+  def prewarm(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    def t(name: String)(f: => InvertedIndex): (String, Double) = {
+      val t0 = System.nanoTime()
+      val idx = f
+      idx.docs.count()
+      idx.termDict.count() // materializes the mem flavor's postings cache
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    Seq(
+      t("mem")(index(spark, sfDir)),
+      t("seg")(indexSeg(spark, sfDir)),
+      t("cmp")(indexCompacted(spark, sfDir)),
+      t("app")(indexAppended(spark, sfDir)),
+      t("del")(indexDeleted(spark, sfDir)))
+  }
+
   def searcher(spark: SparkSession, sfDir: String): Searcher =
     new Searcher(index(spark, sfDir))
 

@@ -7,10 +7,16 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // same managed-memory clamp as Bench: an oversized -Xmx from the
+    // invoking environment must not put this guest into page-fault storms
+    val reserved = 300L * 1024 * 1024
+    val frac = math.min(0.6, ((8L << 30) - reserved) * 0.6 /
+      (Runtime.getRuntime.maxMemory() - reserved).toDouble)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.memory.fraction", f"$frac%.4f")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
