@@ -157,6 +157,8 @@ object OracleSql {
       s"(SELECT DISTINCT docid, 1.0 AS score FROM postings WHERE $w)"
 
     case FuzzyQ(t, maxEdits) =>
+      // the engine's pigeonhole candidate filter has guaranteed recall,
+      // so the oracle can stay the semantically-equal full scan
       s"""(SELECT docid, sum(boosted) AS score FROM
          |  (SELECT p.docid, p.tscore * (1.0 - CAST(levenshtein(p.term, ${sq(t)}) AS DOUBLE)
          |          / CAST(least(length(p.term), ${t.length}) AS DOUBLE)) AS boosted

@@ -57,13 +57,15 @@ final case class InvertedIndex(
     * rewrites: prefix/wildcard/range/fuzzy — MultiTermQuery.cs:58-200).
     * The matched term set is joined (broadcast) against blocks before
     * decode. */
-  def postingsWhereTerm(dictPred: Column): DataFrame = {
-    val terms = termDict.filter(dictPred).select("term")
-    blocks match {
-      case Some(b) =>
-        live(PostingBlocks.toPostings(b.join(broadcast(terms), Seq("term"))))
-      case None => postings.join(broadcast(terms), Seq("term"))
-    }
+  def postingsWhereTerm(dictPred: Column): DataFrame =
+    postingsForTermSet(termDict.filter(dictPred).select("term"))
+
+  /** Postings for a computed (small) term-set DataFrame — broadcast
+    * semi-joined against the block table before decode. */
+  def postingsForTermSet(terms: DataFrame): DataFrame = blocks match {
+    case Some(b) =>
+      live(PostingBlocks.toPostings(b.join(broadcast(terms), Seq("term"))))
+    case None => postings.join(broadcast(terms), Seq("term"))
   }
 }
 

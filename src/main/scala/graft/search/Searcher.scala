@@ -51,10 +51,69 @@ final class Searcher(idx: InvertedIndex) {
   private def withOrd(df: DataFrame, ord: String): DataFrame =
     df.select(col("docid"), col("score"), lit(ord).as("ord"))
 
+  /** TermQ, possibly boost-wrapped — the "simple" clause shape the
+    * single-scan boolean path handles. */
+  private def asSimpleTerm(q: Query): Option[(String, Double)] = q match {
+    case TermQ(t) => Some((t, 1.0))
+    case BoostQ(sub, b) => asSimpleTerm(sub).map { case (t, b0) => (t, b0 * b) }
+    case _ => None
+  }
+
+  /** Single-scan flat boolean (clause list = (term, ord, occur, boost)):
+    * ONE postings scan for ALL TermQ leaves — the round-1 plan read the
+    * block table once per clause (a 3-term OR = 3 scans). Clause
+    * membership is recovered from the `term` column via a broadcast
+    * clause map; one hash agg per doc computes, in the SAME deterministic
+    * clause-ord order as the compositional path, the per-occur sums and
+    * counts (BooleanScorer2 algebra, BooleanQuery.cs:350-424). */
+  private def flatBool(clauses: Seq[(String, String, String, Double)],
+      nMust: Int, nShould: Int, msm: Int): DataFrame = {
+    val spark = idx.docs.sparkSession
+    import spark.implicits._
+    val cmap = clauses.toDF("term", "ord", "occur", "boost")
+    val rows = termScores(clauses.map(_._1).toSet)
+      .join(broadcast(cmap), Seq("term"))
+      .select(col("docid"), col("ord"), col("occur"),
+        (col("tscore") * col("boost")).as("score"))
+    val allSorted = sort_array(collect_list(
+      struct(col("ord"), col("occur"), col("score"))))
+    def sumOf(a: Column, tag: String): Column =
+      aggregate(filter(a, x => x.getField("occur") === tag),
+        lit(0.0), (acc, x) => acc + x.getField("score"))
+    def cntOf(a: Column, tag: String): Column =
+      size(filter(a, x => x.getField("occur") === tag)).cast("long")
+    val agg = rows.groupBy(col("docid"))
+      .agg(allSorted.as("all"))
+      .select(col("docid"),
+        sumOf(col("all"), "m").as("mscore"), cntOf(col("all"), "m").as("mcnt"),
+        sumOf(col("all"), "s").as("sscore"), cntOf(col("all"), "s").as("scnt"),
+        cntOf(col("all"), "n").as("ncnt"))
+      .filter(col("ncnt") === 0)
+    if (nMust > 0) {
+      val base = agg.filter(col("mcnt") === nMust)
+      val gated = if (nShould > 0) base.filter(col("scnt") >= msm) else base
+      gated.select(col("docid"), (col("mscore") + col("sscore")).as("score"))
+    } else
+      agg.filter(col("scnt") >= math.max(1, msm))
+        .select(col("docid"), col("sscore").as("score"))
+  }
+
   /** Evaluate to one row per matching doc: (docid: long, score: double). */
   def score(q: Query): DataFrame = q match {
     case TermQ(t) =>
       termScores(Set(t)).select(col("docid"), col("tscore").as("score"))
+
+    case BoolQ(must, should, mustNot, msm)
+        if (must.nonEmpty || should.nonEmpty) &&
+          (must ++ should ++ mustNot).forall(asSimpleTerm(_).isDefined) =>
+      val cl =
+        must.zipWithIndex.map { case (c, i) =>
+          val (t, b) = asSimpleTerm(c).get; (t, f"m$i%03d", "m", b) } ++
+        should.zipWithIndex.map { case (c, i) =>
+          val (t, b) = asSimpleTerm(c).get; (t, f"s$i%03d", "s", b) } ++
+        mustNot.zipWithIndex.map { case (c, i) =>
+          val (t, b) = asSimpleTerm(c).get; (t, f"n$i%03d", "n", b) }
+      flatBool(cl, must.size, should.size, msm)
 
     case BoolQ(must, should, mustNot, msm) =>
       require(must.nonEmpty || should.nonEmpty, "empty BooleanQuery")
@@ -106,16 +165,27 @@ final class Searcher(idx: InvertedIndex) {
 
     case FuzzyQ(t, maxEdits) =>
       // scoring-boolean rewrite with similarity boost (FuzzyTermEnum):
-      // boost = 1 - dist / min(|candidate|, |query|)
-      val dict = idx.termDict
-        .filter(levenshtein(col("term"), lit(t)) <= maxEdits)
+      // boost = 1 - dist / min(|candidate|, |query|). Candidate
+      // generation uses the pigeonhole filter (Navarro's partition
+      // lemma): split the query into maxEdits+1 contiguous pieces — any
+      // term within maxEdits edits contains >=1 piece EXACTLY, so the
+      // cheap substring pre-filter has guaranteed recall and the
+      // expensive levenshtein DP runs once per surviving candidate, not
+      // per dictionary term (the round-1 plan ran the DP twice over the
+      // FULL dict). Results are therefore identical to a full scan. At
+      // 10^9 terms the pieces map onto a persisted n-gram index
+      // (SpellChecker.cs:60 shape) instead of a contains() scan.
+      val pieces = Searcher.pigeonPieces(t, maxEdits)
+      val cand = idx.termDict
+        .filter(pieces.map(p => col("term").contains(p)).reduce(_ || _))
+        .withColumn("dist", levenshtein(col("term"), lit(t)))
+        .filter(col("dist") <= maxEdits)
         .select(col("term"), col("df"),
-          (lit(1.0) - levenshtein(col("term"), lit(t)).cast("double") /
+          (lit(1.0) - col("dist").cast("double") /
             least(length(col("term")), lit(t.length)).cast("double"))
             .as("boost"))
-      val scored = idx
-        .postingsWhereTerm(levenshtein(col("term"), lit(t)) <= maxEdits)
-        .join(broadcast(dict), Seq("term"))
+      val scored = idx.postingsForTermSet(cand.select("term"))
+        .join(broadcast(cand), Seq("term"))
         .select(col("docid"), col("term").as("ord"),
           (Bm25.score(idx.numDocs, idx.avgdl, col("df"), col("tf"),
             col("len")) * col("boost")).as("score"))
@@ -231,6 +301,26 @@ final class Searcher(idx: InvertedIndex) {
     case mp: MultiPhraseQ => multiPhrase(mp)
 
     case MoreLikeThisQ(src, topN) => moreLikeThis(src, topN)
+
+    case DisMaxQ(ds, tie) if ds.forall(asSimpleTerm(_).isDefined) =>
+      // single-scan variant of the general case below (one postings scan
+      // for all disjuncts, same deterministic ord-sorted sum)
+      val spark = idx.docs.sparkSession
+      import spark.implicits._
+      val cl = ds.zipWithIndex.map { case (c, i) =>
+        val (t, b) = asSimpleTerm(c).get; (t, f"d$i%03d", b) }
+      val cmap = cl.toDF("term", "ord", "boost")
+      val rows = termScores(cl.map(_._1).toSet)
+        .join(broadcast(cmap), Seq("term"))
+        .select(col("docid"), col("ord"),
+          (col("tscore") * col("boost")).as("score"))
+      rows.groupBy(col("docid")).agg(
+        max(col("score")).as("mx"),
+        aggregate(
+          sort_array(collect_list(struct(col("ord"), col("score")))),
+          lit(0.0), (acc, x) => acc + x.getField("score")).as("sm"))
+        .select(col("docid"),
+          (col("mx") + lit(tie) * (col("sm") - col("mx"))).as("score"))
 
     case DisMaxQ(ds, tie) =>
       val u = ds.zipWithIndex.map { case (c, i) => withOrd(score(c), f"d$i%03d") }
@@ -381,6 +471,15 @@ final class Searcher(idx: InvertedIndex) {
 }
 
 object Searcher {
+  /** Split q into k+1 near-equal contiguous pieces (pigeonhole candidate
+    * filter for edit distance <= k). An empty piece (q shorter than k+1)
+    * degrades to contains("") == full scan — still correct. */
+  def pigeonPieces(q: String, k: Int): Seq[String] = {
+    val n = k + 1
+    val cuts = (0 to n).map(i => i * q.length / n)
+    (0 until n).map(i => q.substring(cuts(i), cuts(i + 1))).distinct
+  }
+
   def globToRegex(glob: String): String =
     "^" + glob.flatMap {
       case '*' => ".*"

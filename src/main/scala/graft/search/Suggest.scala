@@ -20,16 +20,22 @@ object Suggest {
   def trigramsOf(s: String): Seq[String] =
     if (s.length < 3) Seq(s) else (0 to s.length - 3).map(i => s.substring(i, i + 3))
 
-  def suggest(idx: InvertedIndex, query: String, maxEdits: Int = 2,
-      k: Int = 5): DataFrame = {
+  /** Dictionary terms sharing >=1 trigram with the query: (term, df).
+    * The candidate generator for both Suggest and FuzzyQ. */
+  def trigramCandidates(idx: InvertedIndex, query: String): DataFrame = {
     val qgrams = trigramsOf(query).distinct
-    val candidates = idx.termDict
+    idx.termDict
       .select(col("term"), col("df"),
         explode(transform(
           sequence(lit(0), greatest(length(col("term")) - 3, lit(0))),
           i => col("term").substr(i + lit(1), lit(3)))).as("g"))
       .filter(col("g").isin(qgrams: _*))
       .select(col("term"), col("df")).distinct()
+  }
+
+  def suggest(idx: InvertedIndex, query: String, maxEdits: Int = 2,
+      k: Int = 5): DataFrame = {
+    val candidates = trigramCandidates(idx, query)
     candidates
       .withColumn("dist", levenshtein(col("term"), lit(query)))
       .filter(col("dist") <= maxEdits && col("term") =!= query)

@@ -35,7 +35,7 @@ object Wand {
   private final case class Plan(
       live: Seq[String],
       kept: DataFrame,
-      totalBlocks: Long,
+      totalBlocks: () => Long,
       keptBlocks: () => Long)
 
   private def plan(idx: InvertedIndex, terms: Seq[String], k: Int): Option[Plan] = {
@@ -74,7 +74,9 @@ object Wand {
     val kept = withUb.join(broadcast(limits), Seq("term"))
       .filter(col("ub") >= col("keep_thresh"))
       .drop("idf", "ub", "keep_thresh")
-    Some(Plan(live, kept, withUb.count(), () => kept.count()))
+    // both counts are DIAGNOSTIC thunks (pruneStats only): the query
+    // path must never pay a full block count per query
+    Some(Plan(live, kept, () => withUb.count(), () => kept.count()))
   }
 
   /** Pruned top-k for OR(terms): (docid, score), exact scores. */
@@ -101,6 +103,6 @@ object Wand {
   def pruneStats(idx: InvertedIndex, terms: Seq[String], k: Int): (Long, Long) =
     plan(idx, terms, k) match {
       case None => (0L, 0L)
-      case Some(p) => (p.totalBlocks, p.keptBlocks())
+      case Some(p) => (p.totalBlocks(), p.keptBlocks())
     }
 }
