@@ -159,4 +159,30 @@ object Engine {
   def countQ(spark: SparkSession, sfDir: String, q: Query): DataFrame =
     searcher(spark, sfDir).score(q)
       .agg(count(lit(1)).as("hits"))
+
+  /** Field-sorted top-k in gate shape: (rank, docid, sort fields…, score).
+    * Rank = row_number over the SAME order the collector used (window
+    * over k already-collected rows). */
+  def topKSorted(spark: SparkSession, sfDir: String, q: Query,
+      sorts: Seq[SortField], k: Int): DataFrame = {
+    val fieldCols = sorts.map(_.field).filter(_ != "score").distinct
+    val hits = searcher(spark, sfDir).topKSorted(q, sorts, k)
+    // timestamp sort keys are emitted as epoch seconds: the compare layer
+    // hashes raw values and timestamp encodings differ across engines
+    def out(f: String) =
+      if (f == "ts") col("ts").cast("long").as("ts") else col(f)
+    hits.withColumn("rank",
+      row_number().over(Window.orderBy(Searcher.sortOrder(sorts): _*))
+        .cast("long"))
+      .select(Seq(col("rank"), col("docid")) ++ fieldCols.map(out) :+
+        round(col("score"), 4).as("score"): _*)
+  }
+
+  /** Score-breakdown dump (Explain analog) for one term, gate shape. */
+  def explainTerm(spark: SparkSession, sfDir: String, t: String): DataFrame =
+    searcher(spark, sfDir).explainTerm(t)
+      .select(col("docid"), col("term"), col("tf"), col("len"), col("df"),
+        round(col("idf"), 4).as("idf"), round(col("tfnorm"), 4).as("tfnorm"),
+        round(col("score"), 4).as("score"))
+      .orderBy("docid")
 }

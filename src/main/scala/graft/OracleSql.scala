@@ -145,6 +145,18 @@ object OracleSql {
       s"""(SELECT DISTINCT docid, 1.0 AS score FROM postings
          | WHERE term LIKE ${sq(p + "%")})""".stripMargin
 
+    case RegexQ(pat) =>
+      s"""(SELECT DISTINCT docid, 1.0 AS score FROM postings
+         | WHERE regexp_full_match(term, ${sq(pat)}))""".stripMargin
+
+    case FunctionQ(e) =>
+      s"(SELECT docid, CAST($e AS DOUBLE) AS score FROM docs)"
+
+    case CustomScoreQ(sub, e) =>
+      val a = al()
+      s"""(SELECT $a.docid, $a.score * CAST($e AS DOUBLE) AS score
+         | FROM ${scoreSql(sub)} $a JOIN docs d ON d.docid = $a.docid)""".stripMargin
+
     case WildcardQ(pat) =>
       s"""(SELECT DISTINCT docid, 1.0 AS score FROM postings
          | WHERE regexp_matches(term, ${sq(Searcher.globToRegex(pat))}))""".stripMargin
@@ -292,4 +304,38 @@ object OracleSql {
   def countQ(q: Query): String =
     s"""$prelude
        |SELECT CAST(count(*) AS BIGINT) AS hits FROM ${scoreSql(q)} sq""".stripMargin
+
+  /** Field-sorted top-k oracle (TopFieldCollector analog): same output
+    * shape as Engine.topKSorted. */
+  def topKSorted(q: Query, sorts: Seq[SortField], k: Int): String = {
+    val fieldCols = sorts.map(_.field).filter(_ != "score").distinct
+    val order = (sorts.map { s =>
+      val c = if (s.field == "score") "sq.score" else s"d.${s.field}"
+      s"$c ${if (s.desc) "DESC" else "ASC"}"
+    } :+ "sq.docid ASC").mkString(", ")
+    val fields = fieldCols.map {
+      case "ts" => "CAST(epoch(d.ts) AS BIGINT) AS ts, "
+      case f => s"d.$f, "
+    }.mkString
+    s"""$prelude
+       |SELECT CAST(row_number() OVER (ORDER BY $order) AS BIGINT) AS rank,
+       |       sq.docid, ${fields}round(sq.score, 4) AS score
+       |FROM ${scoreSql(q)} sq JOIN docs d ON d.docid = sq.docid
+       |ORDER BY $order
+       |LIMIT $k""".stripMargin
+  }
+
+  /** Score-breakdown oracle (Explain analog) — operand order identical
+    * to Bm25.idfCol/tfNorm. */
+  def explainTerm(t: String): String =
+    s"""$prelude
+       |SELECT p.docid, p.term, p.tf, l.len, d.df,
+       |  round(ln(1.0 + (CAST(s.n AS DOUBLE) - d.df + 0.5) / (d.df + 0.5)), 4) AS idf,
+       |  round((p.tf * 2.2) / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.len / s.avgdl)), 4) AS tfnorm,
+       |  round(ln(1.0 + (CAST(s.n AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+       |    * (p.tf * 2.2) / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.len / s.avgdl)), 4) AS score
+       |FROM postings p JOIN dict d USING (term)
+       |     JOIN doclens l USING (docid) CROSS JOIN stats s
+       |WHERE p.term = ${sq(t)}
+       |ORDER BY p.docid""".stripMargin
 }

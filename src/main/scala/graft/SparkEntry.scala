@@ -107,8 +107,34 @@ object SparkEntry {
     "ft_constant_score" -> TopK(BoolQ(
       must = Seq(ConstantScoreQ(PrefixQ("qu"), 0.5), TermQ("line")))),
 
-    // --- collectors / facets (§2.6) ---
+    // --- collectors / facets / sort (§2.6) ---
     "ft_facet_role" -> Facet(TermQ("table"), "role"),
+
+    // TopFieldCollector / Sort / FieldComparator analog: "latest matching
+    // turns by ts" and a two-key (field, score) sort
+    "ft_sort_ts" -> Raw(
+      (s, dir) => Engine.topKSorted(s, dir, TermQ("table"),
+        Seq(SortField("ts", desc = true)), 10),
+      OracleSql.topKSorted(TermQ("table"),
+        Seq(SortField("ts", desc = true)), 10)),
+    "ft_sort_role_score" -> Raw(
+      (s, dir) => Engine.topKSorted(s, dir, TermQ("merge"),
+        Seq(SortField("role"), SortField("score", desc = true)), 10),
+      OracleSql.topKSorted(TermQ("merge"),
+        Seq(SortField("role"), SortField("score", desc = true)), 10)),
+
+    // Explain(): per-posting score decomposition; the spec asserts
+    // idf * tfnorm == score (CheckHits.cs:41 Explain-vs-Score analog)
+    "ft_explain_term" -> Raw(
+      (s, dir) => Engine.explainTerm(s, dir, "merge"),
+      OracleSql.explainTerm("merge")),
+
+    // --- contrib Regex / Function / CustomScore queries (§2.5) ---
+    "ft_regex" -> TopK(BoolQ(
+      must = Seq(RegexQ("s[pt][a-z]+"), TermQ("value")))),
+    "ft_function" -> TopK(FunctionQ("CAST(turn_idx AS DOUBLE) * 1.0 + 0.5")),
+    "ft_custom_score" -> TopK(
+      CustomScoreQ(TermQ("table"), "1.0 + turn_idx / 10.0")),
 
     // --- span family (§2.5 Spans), MultiPhrase, MoreLikeThis ---
     "ft_span_first" -> TopK(SpanFirstQ("key", 3)),

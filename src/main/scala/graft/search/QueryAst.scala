@@ -97,6 +97,25 @@ final case class MultiPhraseQ(slots: Seq[(Seq[String], Int)]) extends Query
   * become a scored disjunction; the source doc is excluded. */
 final case class MoreLikeThisQ(docid: Long, topTerms: Int = 10) extends Query
 
+/** contrib RegexQuery.cs:29 — regex term expansion, constant-score
+  * rewrite (MultiTermQueryWrapperFilter shape). Pattern is anchored
+  * (whole-term match), like the reference's RegexTermEnum. */
+final case class RegexQ(pattern: String) extends Query
+
+/** Function/FieldScore query (ValueSourceQuery.cs:44, FieldScoreQuery.cs:63):
+  * score = a numeric expression over the doc's forward columns, evaluated
+  * for every live doc. `exprSql` is a SQL expression over docs columns
+  * (identical text runs in Spark and the oracle). */
+final case class FunctionQ(exprSql: String) extends Query
+
+/** CustomScoreQuery.cs:49 — subquery score modulated by a doc-value
+  * expression: score = subScore * exprSql(doc). */
+final case class CustomScoreQ(q: Query, exprSql: String) extends Query
+
+/** Sort key for field-sorted top-k (SortField.cs:43-101): a forward doc
+  * column, or the special name "score" (SortField.FIELD_SCORE). */
+final case class SortField(field: String, desc: Boolean = false)
+
 object QueryAst {
   /** Collect every analyzed text term mentioned by leaf queries (for the
     * broadcast dictionary lookup at plan time). */

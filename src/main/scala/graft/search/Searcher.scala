@@ -106,6 +106,8 @@ final class Searcher(idx: InvertedIndex) {
     case BoolQ(must, should, mustNot, msm)
         if (must.nonEmpty || should.nonEmpty) &&
           (must ++ should ++ mustNot).forall(asSimpleTerm(_).isDefined) =>
+      require(must.size + should.size + mustNot.size <= Searcher.MaxClauseCount,
+        s"too many boolean clauses (maxClauseCount=${Searcher.MaxClauseCount})")
       val cl =
         must.zipWithIndex.map { case (c, i) =>
           val (t, b) = asSimpleTerm(c).get; (t, f"m$i%03d", "m", b) } ++
@@ -117,6 +119,8 @@ final class Searcher(idx: InvertedIndex) {
 
     case BoolQ(must, should, mustNot, msm) =>
       require(must.nonEmpty || should.nonEmpty, "empty BooleanQuery")
+      require(must.size + should.size + mustNot.size <= Searcher.MaxClauseCount,
+        s"too many boolean clauses (maxClauseCount=${Searcher.MaxClauseCount})")
       val mustD =
         if (must.isEmpty) None
         else Some(detSum(must.zipWithIndex.map { case (c, i) =>
@@ -153,6 +157,20 @@ final class Searcher(idx: InvertedIndex) {
 
     case PrefixQ(p) =>
       constantOverTerms(col("term").startsWith(p))
+
+    case RegexQ(pat) =>
+      // whole-term match (RegexTermEnum anchors the pattern)
+      constantOverTerms(col("term").rlike("^(?:" + pat + ")$"))
+
+    case FunctionQ(e) =>
+      // ValueSourceQuery: every live doc, score = f(forward columns)
+      idx.docs.select(col("docid"), expr(e).cast("double").as("score"))
+
+    case CustomScoreQ(sub, e) =>
+      score(sub)
+        .join(idx.docs.select(col("docid"),
+          expr(e).cast("double").as("__cs")), Seq("docid"))
+        .select(col("docid"), (col("score") * col("__cs")).as("score"))
 
     case WildcardQ(pat) =>
       constantOverTerms(col("term").rlike(Searcher.globToRegex(pat)))
@@ -468,9 +486,47 @@ final class Searcher(idx: InvertedIndex) {
     * exactly the reference's MultiSearcher merge. */
   def topK(q: Query, k: Int): DataFrame =
     score(q).orderBy(col("score").desc, col("docid").asc).limit(k)
+
+  /** Field-sorted top-k (TopFieldCollector.cs:35 + Sort.cs:100 +
+    * FieldComparator.cs:83-960): sort keys are forward doc columns (the
+    * columnar docs table IS the FieldCache — no un-inversion), with
+    * "score" as the SortField.FIELD_SCORE special key and docid asc as
+    * the final tie-break. Same TakeOrderedAndProject shape as topK. */
+  def topKSorted(q: Query, sorts: Seq[SortField], k: Int): DataFrame = {
+    val fieldCols = sorts.map(_.field).filter(_ != "score").distinct
+    val base = score(q)
+      .join(idx.docs.select(col("docid") +: fieldCols.map(col): _*),
+        Seq("docid"))
+    base.orderBy(Searcher.sortOrder(sorts): _*).limit(k)
+  }
+
+  /** Per-posting score breakdown for one term — the Explain() analog
+    * (the reference asserts Explain == Score, CheckHits.cs:41,349; our
+    * spec asserts idf * tfnorm == score the same way). */
+  def explainTerm(t: String): DataFrame = {
+    val dict = idx.termDict.filter(col("term") === t)
+      .select(col("term"), col("df"))
+    idx.postingsFor(Seq(t))
+      .join(broadcast(dict), Seq("term"))
+      .select(col("docid"), col("term"), col("tf"), col("len"), col("df"),
+        Bm25.idfCol(idx.numDocs, col("df")).as("idf"),
+        Bm25.tfNorm(col("tf"), col("len"), idx.avgdl).as("tfnorm"),
+        Bm25.score(idx.numDocs, idx.avgdl, col("df"), col("tf"), col("len"))
+          .as("score"))
+  }
 }
 
 object Searcher {
+  /** BooleanQuery.maxClauseCount (BooleanQuery.cs:76). */
+  val MaxClauseCount = 1024
+
+  /** Sort columns for a SortField spec + the mandatory docid tie-break. */
+  def sortOrder(sorts: Seq[SortField]): Seq[Column] =
+    sorts.map { s =>
+      val c = if (s.field == "score") col("score") else col(s.field)
+      if (s.desc) c.desc else c.asc
+    } :+ col("docid").asc
+
   /** Split q into k+1 near-equal contiguous pieces (pigeonhole candidate
     * filter for edit distance <= k). An empty piece (q shorter than k+1)
     * degrades to contains("") == full scan — still correct. */

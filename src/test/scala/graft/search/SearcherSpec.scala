@@ -175,6 +175,58 @@ class SearcherSpec extends AnyFunSuite {
     assert(top == Seq(0L, 1L, 2L, 3L, 4L)) // all scores 1.0 -> docid order
   }
 
+  test("field-sorted top-k (TopFieldCollector analog)") {
+    val searcher = new Searcher(index)
+    // ts desc == docid desc in the fixture (ts = base + i*1000 over the
+    // same (conv_id, turn_idx) order)
+    val hits = searcher.topKSorted(TermQ("spark"),
+      Seq(SortField("ts", desc = true)), 3).collect().map(_.getLong(0)).toSeq
+    val want = (0 until n).filter(d => tf("spark", d) > 0)
+      .map(_.toLong).sorted.reverse.take(3)
+    assert(hits == want)
+    // two-key sort: role asc, then score desc
+    val rs = searcher.topKSorted(TermQ("error"),
+      Seq(SortField("role"), SortField("score", desc = true)), 10)
+      .select("docid", "role").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val wantRs = (0 until n).filter(d => tf("error", d) > 0).map { d =>
+      (d.toLong, if (d % 2 == 0) "user" else "assistant")
+    }.sortBy { case (d, role) => (role, -bm25("error", d.toInt), d) }
+    assert(rs == wantRs)
+  }
+
+  test("regex / function / custom-score queries") {
+    // whole-term regex: sp.* | st.* like terms
+    assert(run(RegexQ("f[ao]x")).keySet == Set(2L, 7L))
+    assert(run(RegexQ("ox")).isEmpty) // anchored: no substring match
+    val f = run(FunctionQ("CAST(turn_idx AS DOUBLE) + 0.5"))
+    assert(f.size == n)
+    assert(f(0L) == 0.5 && f(3L) == 3.5)
+    val cs = run(CustomScoreQ(TermQ("spark"), "1.0 + turn_idx / 10.0"))
+    val wantCs = (0 until n).filter(d => tf("spark", d) > 0)
+      .map(d => d.toLong -> bm25("spark", d) * (1.0 + (d % 4) / 10.0)).toMap
+    assertScores(cs, wantCs)
+  }
+
+  test("explain decomposition multiplies back to the score (CheckHits)") {
+    val rows = new Searcher(index).explainTerm("spark").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val idfv = r.getAs[Double]("idf")
+      val tfn = r.getAs[Double]("tfnorm")
+      val s = r.getAs[Double]("score")
+      assert(math.abs(idfv * tfn - s) < 2.5e-4) // reference tolerance
+      assert(math.abs(s - bm25("spark", r.getAs[Long]("docid").toInt)) < 1e-9)
+    }
+  }
+
+  test("maxClauseCount is enforced at 1024") {
+    val many = (1 to 1025).map(i => TermQ(s"t$i"))
+    intercept[IllegalArgumentException] {
+      new Searcher(index).score(BoolQ(should = many))
+    }
+  }
+
   test("per-turn text equality invariant under stable ordering (north rule)") {
     val fromIndex = index.docs.orderBy("docid")
       .select("conv_id", "turn_idx", "text").collect()
