@@ -125,19 +125,34 @@ object OracleSql {
          | WHERE j.tfp > 0)""".stripMargin
 
     case PhraseQ(terms, slop) =>
-      require(terms.size == 2, "sloppy phrase oracle supports 2 terms")
-      val gap = terms(1)._2 - terms.head._2
+      // N-term sloppy mirror of Searcher.phrase: per slot-0 position,
+      // each slot's min |displacement| (candidates <= slop); contribute
+      // 1/(total+1) when the summed displacement stays within slop
+      val off0 = terms.head._2
+      val joins = terms.zipWithIndex.tail.map { case ((t, offk), k) =>
+        val g = offk - off0
+        s"JOIN tok b$k ON b$k.docid = a.docid AND b$k.term = ${sq(t)}" +
+          s" AND abs((b$k.pos - a.pos) - $g) <= $slop"
+      }.mkString(" ")
+      val mins = terms.zipWithIndex.tail.map { case ((_, offk), k) =>
+        val g = offk - off0
+        s"CAST(min(abs((b$k.pos - a.pos) - $g)) AS DOUBLE) AS m$k"
+      }.mkString(", ")
+      val total = terms.zipWithIndex.tail.map { case (_, k) => s"m$k" }
+        .mkString(" + ")
       s"""(SELECT g.docid,
          |   ${sumIdfSql(terms.map(_._1))} * (g.tfp * 2.2)
          |     / (g.tfp + 1.2 * (1.0 - 0.75 + 0.75 * l.len / st.avgdl)) AS score
-         | FROM (SELECT docid, sum(1.0 / (mind + 1.0)) AS tfp
-         |       FROM (SELECT a.docid, a.pos,
-         |                    CAST(min(abs((b.pos - a.pos) - $gap)) AS DOUBLE) AS mind
-         |             FROM tok a JOIN tok b ON b.docid = a.docid AND b.term = ${sq(terms(1)._1)}
-         |                  AND abs((b.pos - a.pos) - $gap) <= $slop
+         | FROM (SELECT docid,
+         |         sum(CASE WHEN ($total) <= $slop
+         |             THEN 1.0 / (($total) + 1.0) ELSE 0.0 END) AS tfp
+         |       FROM (SELECT a.docid, a.pos, $mins
+         |             FROM tok a $joins
          |             WHERE a.term = ${sq(terms.head._1)}
          |             GROUP BY a.docid, a.pos) m
-         |       GROUP BY docid) g
+         |       GROUP BY docid
+         |       HAVING sum(CASE WHEN ($total) <= $slop
+         |              THEN 1.0 / (($total) + 1.0) ELSE 0.0 END) > 0) g
          | JOIN doclens l ON l.docid = g.docid CROSS JOIN stats st)""".stripMargin
 
     case PrefixQ(p) =>
@@ -249,6 +264,47 @@ object OracleSql {
          | FROM (SELECT docid, CAST(sum(tf) AS DOUBLE) AS tfp,
          |         max(len) AS len, max(avgdl) AS avgdl
          |       FROM scored WHERE term IN ($in) GROUP BY docid) ${al()})""".stripMargin
+
+    case SpanQ(sp) =>
+      // row-based mirror of Searcher.spanQuery: each sub-span is a
+      // (docid, s, e) derived table; greedy reduction = GROUP BY
+      // (docid, s) MIN(e); freq = sum 1/(1 + e - s - minW)
+      def spanSql(s: Span): String = s match {
+        case STerm(t) =>
+          s"(SELECT docid, pos AS s, pos AS e FROM tok WHERE term = ${sq(t)})"
+        case SNear(cs, slop, true) =>
+          cs.map(spanSql).reduce { (a, b) =>
+            val (x, y) = (al(), al())
+            s"""(SELECT $x.docid, $x.s, $y.e FROM $a $x JOIN $b $y
+               | ON $y.docid = $x.docid AND $y.s > $x.e
+               | AND $y.s - $x.e - 1 <= $slop)""".stripMargin
+          }
+        case SNear(Seq(a, b), slop, false) =>
+          s"""(SELECT * FROM ${spanSql(SNear(Seq(a, b), slop, true))} ${al()}
+             | UNION
+             | SELECT * FROM ${spanSql(SNear(Seq(b, a), slop, true))} ${al()})""".stripMargin
+        case SNear(_, _, false) =>
+          sys.error("unordered SNear supports exactly 2 clauses")
+        case SFirst(sub, end) =>
+          s"(SELECT * FROM ${spanSql(sub)} ${al()} WHERE e < $end)"
+        case SNot(inc, exc) =>
+          val (i, x) = (al(), al())
+          s"""(SELECT $i.* FROM ${spanSql(inc)} $i
+             | WHERE NOT EXISTS (SELECT 1 FROM ${spanSql(exc)} $x
+             |   WHERE $x.docid = $i.docid AND $x.s <= $i.e AND $x.e >= $i.s))""".stripMargin
+      }
+      val minW = Spans.requiredLeaves(sp).size - 1
+      val reqD = Spans.requiredLeaves(sp).distinct
+      s"""(SELECT g.docid,
+         |   ${sumIdfSql(reqD)} * (g.tfp * 2.2)
+         |     / (g.tfp + 1.2 * (1.0 - 0.75 + 0.75 * l.len / st.avgdl)) AS score
+         | FROM (SELECT docid, sum(1.0 / (1.0 + CAST(e - s - $minW AS DOUBLE))) AS tfp
+         |       FROM (SELECT docid, s, min(e) AS e
+         |             FROM (SELECT DISTINCT docid, s, e
+         |                   FROM ${spanSql(sp)} ${al()}) ${al()}
+         |             GROUP BY docid, s) ${al()}
+         |       GROUP BY docid) g
+         | JOIN doclens l ON l.docid = g.docid CROSS JOIN stats st)""".stripMargin
 
     case MultiPhraseQ(slots) =>
       val allTerms = slots.flatMap(_._1)

@@ -84,6 +84,11 @@ object SparkEntry {
     "ft_phrase_gap" -> TopK(PhraseQ(Seq("table" -> 0, "merge" -> 2))),
     "ft_phrase_sloppy" -> TopK(PhraseQ(Seq("table" -> 0, "merge" -> 1),
       slop = 3)),
+    // N-term + repeated-term sloppy (SloppyPhraseScorer generalization)
+    "ft_phrase_sloppy3" -> TopK(PhraseQ(
+      Seq("table" -> 0, "merge" -> 1, "batch" -> 2), slop = 4)),
+    "ft_phrase_repeat" -> TopK(PhraseQ(Seq("table" -> 0, "table" -> 1),
+      slop = 3)),
 
     // --- multi-term rewrites (§2.5 MultiTermQuery family) ---
     "ft_prefix_count" -> Count(PrefixQ("st")),
@@ -144,6 +149,12 @@ object SparkEntry {
     "ft_span_or" -> TopK(SpanOrQ(Seq("table", "merge", "join"))),
     "ft_multiphrase" -> TopK(MultiPhraseQ(
       Seq(Seq("key", "row") -> 0, Seq("agg", "scan") -> 1))),
+    // nested span algebra (one level): near(near(table,merge), batch)
+    "ft_span_nested" -> TopK(SpanQ(SNear(Seq(
+      SNear(Seq(STerm("table"), STerm("merge")), 2),
+      STerm("batch")), 3))),
+    "ft_span_nested_not" -> TopK(SpanQ(SNot(
+      SNear(Seq(STerm("table"), STerm("merge")), 3), STerm("key")))),
     "ft_mlt" -> TopK(MoreLikeThisQ(7L, 8)),
 
     // --- spell suggest (contrib SpellChecker analog) ---

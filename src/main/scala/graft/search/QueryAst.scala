@@ -93,6 +93,46 @@ final case class SpanOrQ(terms: Seq[String]) extends Query
 /** MultiPhraseQuery.cs:40 — phrase with term alternatives per slot. */
 final case class MultiPhraseQ(slots: Seq[(Seq[String], Int)]) extends Query
 
+// ---------------------------------------------------------------------
+// General span algebra (Spans/*.cs) — composable, one+ levels of nesting.
+// A span evaluates per doc to a set of [start, end] position intervals.
+// Deviation from the reference (documented): ordered SNear constrains
+// EACH inter-clause gap by `slop` (the reference constrains the total
+// match width); the per-start greedy min-end span feeds sloppyFreq.
+// ---------------------------------------------------------------------
+sealed trait Span
+/** SpanTermQuery.cs:29 — every occurrence is a width-0 span. */
+final case class STerm(term: String) extends Span
+/** SpanNearQuery.cs:34 over arbitrary sub-spans (nesting allowed).
+  * inOrder=false supports exactly 2 clauses (both orders chained). */
+final case class SNear(clauses: Seq[Span], slop: Int,
+    inOrder: Boolean = true) extends Span
+/** SpanFirstQuery.cs:31 — spans ending before `end`. */
+final case class SFirst(s: Span, end: Int) extends Span
+/** SpanNotQuery.cs:31 — include spans overlapping no exclude span. */
+final case class SNot(include: Span, exclude: Span) extends Span
+
+/** A span query scored like the flat span family: freq = Σ over matched
+  * starts (greedy min-end span per start) of 1/(1 + totalGap), weight =
+  * summed idf of all leaf terms (SpanScorer.cs:28 sloppyFreq shape). */
+final case class SpanQ(span: Span) extends Query
+
+object Spans {
+  def leaves(s: Span): Seq[String] = s match {
+    case STerm(t) => Seq(t)
+    case SNear(cs, _, _) => cs.flatMap(leaves)
+    case SFirst(sub, _) => leaves(sub)
+    case SNot(i, e) => leaves(i) ++ leaves(e)
+  }
+  /** Leaves on the REQUIRED side only (SNot excludes join optionally). */
+  def requiredLeaves(s: Span): Seq[String] = s match {
+    case STerm(t) => Seq(t)
+    case SNear(cs, _, _) => cs.flatMap(requiredLeaves)
+    case SFirst(sub, _) => requiredLeaves(sub)
+    case SNot(i, _) => requiredLeaves(i)
+  }
+}
+
 /** contrib MoreLikeThis.cs:138 — top-N tf·idf terms of a source doc
   * become a scored disjunction; the source doc is excluded. */
 final case class MoreLikeThisQ(docid: Long, topTerms: Int = 10) extends Query

@@ -316,6 +316,8 @@ final class Searcher(idx: InvertedIndex) {
           (lit(sumIdf) * Bm25.tfNorm(col("tfp"), col("len"), idx.avgdl))
             .as("score"))
 
+    case SpanQ(sp) => spanQuery(sp)
+
     case mp: MultiPhraseQ => multiPhrase(mp)
 
     case MoreLikeThisQ(src, topN) => moreLikeThis(src, topN)
@@ -393,20 +395,107 @@ final class Searcher(idx: InvertedIndex) {
           }.reduceOption(_ && _).getOrElse(lit(true))
         size(filter(col("pos0"), pred)).cast("double")
       } else {
-        require(p.terms.size == 2, "sloppy phrase supports 2 terms")
-        val gap = p.terms(1)._2 - off0
-        // per driving position: minimal |displacement|; contribute
-        // 1/(minDist+1) if minDist <= slop
-        val dists: Column => Column = pp =>
-          transform(
-            filter(col("pos1"), j => abs(j - pp - lit(gap)) <= p.slop),
-            j => abs(j - pp - lit(gap)))
+        // N-term sloppy (generalizes the reference's 2-term common case;
+        // repeated terms allowed — each slot matches independently
+        // against its term's positions, a documented simplification of
+        // SloppyPhraseScorer.cs:26-120 repeat handling): per driving
+        // position of slot 0, each other slot contributes its minimal
+        // |displacement| (candidates pre-filtered to <= slop); the doc
+        // accrues 1/(totalDist+1) when every slot has a candidate and
+        // the summed displacement stays within slop.
+        val total: Column => Column = pp =>
+          p.terms.zipWithIndex.tail.map { case ((_, offk), k) =>
+            val gap = offk - off0
+            array_min(transform(
+              filter(col(s"pos$k"), j => abs(j - pp - lit(gap)) <= p.slop),
+              j => abs(j - pp - lit(gap)))).cast("double")
+          }.reduce(_ + _)
         aggregate(col("pos0"), lit(0.0), (acc, pp) =>
           acc + coalesce(
-            lit(1.0) / (array_min(dists(pp)).cast("double") + lit(1.0)),
+            when(total(pp) <= p.slop, lit(1.0) / (total(pp) + lit(1.0))),
             lit(0.0)))
       }
 
+    joined
+      .withColumn("tfp", tfp)
+      .filter(col("tfp") > 0)
+      .select(col("docid"),
+        (lit(sumIdf) * Bm25.tfNorm(col("tfp"), col("len"), idx.avgdl))
+          .as("score"))
+  }
+
+  /** General span-algebra evaluation (SpanQ): per doc, every sub-span
+    * evaluates to a packed array of [s, e] intervals built with array
+    * expressions over the joined position columns — no row explosion,
+    * nesting is plain expression composition. Spans are deduped, sorted,
+    * and reduced greedily (per start keep the min end — the "driving
+    * position" rule of the flat span family); freq = Σ 1/(1 + totalGap)
+    * where totalGap = e - s - (#leaf positions - 1). */
+  private def spanQuery(sp: Span): DataFrame = {
+    val req = Spans.requiredLeaves(sp)
+    val reqD = req.distinct
+    val excl = (Spans.leaves(sp).distinct.toSet -- reqD.toSet).toSeq.sorted
+    val dfs = dfOf(reqD.toSet)
+    if (!reqD.forall(dfs.contains))
+      return idx.docs.select(col("docid"), lit(1.0).as("score"))
+        .filter(lit(false))
+    val sumIdf = reqD.map(t => Bm25.idf(idx.numDocs, dfs(t))).sum
+
+    // one position column per distinct term; required terms inner-join,
+    // exclude-only terms left-join (missing -> empty array)
+    val colOf: Map[String, String] =
+      (reqD ++ excl).zipWithIndex.map { case (t, i) => t -> s"pos$i" }.toMap
+    val base = reqD.zipWithIndex.map { case (t, i) =>
+      val p = idx.postingsFor(Seq(t))
+      if (i == 0)
+        p.select(col("docid"), col("positions").as(colOf(t)), col("len"))
+      else p.select(col("docid"), col("positions").as(colOf(t)))
+    }.reduce((a, b) => a.join(b, Seq("docid")))
+    val joined = excl.foldLeft(base) { (acc, t) =>
+      acc.join(idx.postingsFor(Seq(t))
+          .select(col("docid"), col("positions").as(colOf(t))),
+          Seq("docid"), "left")
+        .withColumn(colOf(t),
+          coalesce(col(colOf(t)), array().cast("array<int>")))
+    }
+
+    def chain(a: Column, b: Column, slop: Int): Column =
+      flatten(transform(a, x =>
+        transform(
+          filter(b, y => y.getField("s") > x.getField("e") &&
+            y.getField("s") - x.getField("e") - 1 <= slop),
+          y => struct(x.getField("s").as("s"), y.getField("e").as("e")))))
+
+    def spansOf(s: Span): Column = s match {
+      case STerm(t) =>
+        transform(col(colOf(t)), p => struct(p.as("s"), p.as("e")))
+      case SNear(cs, slop, true) =>
+        cs.map(spansOf).reduce((a, b) => chain(a, b, slop))
+      case SNear(Seq(a, b), slop, false) =>
+        array_distinct(concat(
+          chain(spansOf(a), spansOf(b), slop),
+          chain(spansOf(b), spansOf(a), slop)))
+      case SNear(_, _, false) =>
+        sys.error("unordered SNear supports exactly 2 clauses")
+      case SFirst(sub, end) =>
+        filter(spansOf(sub), x => x.getField("e") < end)
+      case SNot(inc, exc) =>
+        filter(spansOf(inc), a =>
+          !exists(spansOf(exc), b =>
+            b.getField("s") <= a.getField("e") &&
+              b.getField("e") >= a.getField("s")))
+    }
+
+    val minW = req.size - 1
+    val spans = sort_array(array_distinct(spansOf(sp)))
+    val tfp = aggregate(spans,
+      struct(lit(-1).as("ls"), lit(0.0).as("acc")),
+      (st, x) => when(x.getField("s") === st.getField("ls"), st)
+        .otherwise(struct(x.getField("s").as("ls"),
+          (st.getField("acc") + lit(1.0) /
+            (lit(1.0) + (x.getField("e") - x.getField("s") - lit(minW))
+              .cast("double"))).as("acc"))),
+      st => st.getField("acc"))
     joined
       .withColumn("tfp", tfp)
       .filter(col("tfp") > 0)

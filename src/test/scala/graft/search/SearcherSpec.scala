@@ -148,6 +148,40 @@ class SearcherSpec extends AnyFunSuite {
     assert(run(PhraseQ(Seq("deploy" -> 0, "error" -> 1), slop = 1)).isEmpty)
   }
 
+  test("N-term and repeated-term sloppy phrases") {
+    // doc 8 "spark table merge job": exact 3-term chain, total dist 0
+    val terms3 = Seq("spark" -> 0, "table" -> 1, "merge" -> 2)
+    val hits = run(PhraseQ(terms3, slop = 2))
+    assert(hits.keySet == Set(8L))
+    val sumIdf = idf("spark") + idf("table") + idf("merge")
+    val want = sumIdf * (1 * 2.2) / (1 + 1.2 * (1 - 0.75 + 0.75 * lens(8) / avgdl))
+    assert(math.abs(hits(8L) - want) < 1e-9)
+    // repeated term: "spark spark" in doc 1 (positions 0,1,2)
+    val rep = run(PhraseQ(Seq("spark" -> 0, "spark" -> 1), slop = 0))
+    assert(rep.keySet == Set(1L))
+  }
+
+  test("span algebra: nesting, first, not, unordered") {
+    // near(near(spark, table, 0), merge, 0): only doc 8 chains 0-1-2
+    val nested = run(SpanQ(SNear(Seq(
+      SNear(Seq(STerm("spark"), STerm("table")), 0), STerm("merge")), 0)))
+    assert(nested.keySet == Set(8L))
+    val sumIdf = idf("spark") + idf("table") + idf("merge")
+    val want = sumIdf * (1 * 2.2) / (1 + 1.2 * (1 - 0.75 + 0.75 * lens(8) / avgdl))
+    assert(math.abs(nested(8L) - want) < 1e-9)
+    // first(near(spark, table)) with end=3: doc 8 span [0,1] yes, doc 4 [4,5] no
+    val first = run(SpanQ(SFirst(
+      SNear(Seq(STerm("spark"), STerm("table")), 0), 3)))
+    assert(first.keySet == Set(8L))
+    // not: merge..merge span in doc 9 [0,4] overlaps "table" at 2 -> dropped
+    assert(run(SpanQ(SNot(
+      SNear(Seq(STerm("merge"), STerm("merge")), 3), STerm("table")))).isEmpty)
+    // unordered: table/spark adjacent in either order -> docs 4 and 8
+    val unord = run(SpanQ(SNear(Seq(STerm("table"), STerm("spark")), 0,
+      inOrder = false)))
+    assert(unord.keySet == Set(4L, 8L))
+  }
+
   test("prefix / wildcard / fuzzy / range rewrites") {
     assert(run(PrefixQ("dep")).keySet ==
       (0 until n).filter(d => docs(d).exists(_.term.startsWith("dep"))).map(_.toLong).toSet)
