@@ -79,6 +79,25 @@ object OracleSql {
   private var aliasCounter = 0
   private def al(): String = synchronized { aliasCounter += 1; s"q$aliasCounter" }
 
+  /** Multi-term rewrite mirror (MultiTermQuery.cs:58-200). The auto
+    * heuristic is replayed IN SQL (CASE on the matched-term count), so
+    * the oracle picks the same branch the engine picked on any data. */
+  private def multiTermSql(termPred: String, rw: MultiTermRewrite): String =
+    rw match {
+      case ConstantScore =>
+        s"""(SELECT DISTINCT docid, 1.0 AS score FROM postings
+           | WHERE $termPred)""".stripMargin
+      case ScoringBoolean =>
+        s"""(SELECT docid, sum(tscore) AS score FROM scored
+           | WHERE $termPred GROUP BY docid)""".stripMargin
+      case AutoRewrite =>
+        s"""(SELECT docid,
+           |   CASE WHEN (SELECT count(*) FROM dict WHERE $termPred)
+           |          <= ${Searcher.AutoRewriteTermCap}
+           |        THEN sum(tscore) ELSE 1.0 END AS score
+           | FROM scored WHERE $termPred GROUP BY docid)""".stripMargin
+    }
+
   /** Derived table producing (docid, score), mirroring Searcher.score. */
   def scoreSql(q: Query): String = q match {
     case TermQ(t) =>
@@ -155,14 +174,12 @@ object OracleSql {
          |              THEN 1.0 / (($total) + 1.0) ELSE 0.0 END) > 0) g
          | JOIN doclens l ON l.docid = g.docid CROSS JOIN stats st)""".stripMargin
 
-    case PrefixQ(p) =>
+    case PrefixQ(p, rw) =>
       // prefixes come from the analyzer alphabet (no LIKE metachars)
-      s"""(SELECT DISTINCT docid, 1.0 AS score FROM postings
-         | WHERE term LIKE ${sq(p + "%")})""".stripMargin
+      multiTermSql(s"term LIKE ${sq(p + "%")}", rw)
 
-    case RegexQ(pat) =>
-      s"""(SELECT DISTINCT docid, 1.0 AS score FROM postings
-         | WHERE regexp_full_match(term, ${sq(pat)}))""".stripMargin
+    case RegexQ(pat, rw) =>
+      multiTermSql(s"regexp_full_match(term, ${sq(pat)})", rw)
 
     case FunctionQ(e) =>
       s"(SELECT docid, CAST($e AS DOUBLE) AS score FROM docs)"
@@ -172,16 +189,16 @@ object OracleSql {
       s"""(SELECT $a.docid, $a.score * CAST($e AS DOUBLE) AS score
          | FROM ${scoreSql(sub)} $a JOIN docs d ON d.docid = $a.docid)""".stripMargin
 
-    case WildcardQ(pat) =>
-      s"""(SELECT DISTINCT docid, 1.0 AS score FROM postings
-         | WHERE regexp_matches(term, ${sq(Searcher.globToRegex(pat))}))""".stripMargin
+    case WildcardQ(pat, rw) =>
+      multiTermSql(
+        s"regexp_matches(term, ${sq(Searcher.globToRegex(pat))})", rw)
 
-    case TermRangeQ(lo, hi, il, ih) =>
+    case TermRangeQ(lo, hi, il, ih, rw) =>
       val conds = Seq(
         lo.map(v => s"term ${if (il) ">=" else ">"} ${sq(v)}"),
         hi.map(v => s"term ${if (ih) "<=" else "<"} ${sq(v)}")).flatten
       val w = if (conds.isEmpty) "TRUE" else conds.mkString(" AND ")
-      s"(SELECT DISTINCT docid, 1.0 AS score FROM postings WHERE $w)"
+      multiTermSql(w, rw)
 
     case FuzzyQ(t, maxEdits) =>
       // the engine's pigeonhole candidate filter has guaranteed recall,

@@ -93,6 +93,10 @@ object SparkEntry {
     // --- multi-term rewrites (§2.5 MultiTermQuery family) ---
     "ft_prefix_count" -> Count(PrefixQ("st")),
     "ft_prefix" -> TopK(BoolQ(must = Seq(PrefixQ("sp"), TermQ("key")))),
+    // scoring-boolean + auto rewrites (MultiTermQuery.cs:61-151)
+    "ft_prefix_scored" -> TopK(BoolQ(
+      must = Seq(PrefixQ("sp", ScoringBoolean), TermQ("key")))),
+    "ft_prefix_auto" -> TopK(PrefixQ("qu", AutoRewrite)),
     "ft_wildcard" -> TopK(BoolQ(must = Seq(WildcardQ("s*n"), TermQ("value")))),
     "ft_fuzzy" -> TopK(FuzzyQ("tble", 2)),
     "ft_term_range" -> Count(TermRangeQ(Some("query"), Some("sort"))),

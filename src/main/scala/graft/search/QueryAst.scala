@@ -23,15 +23,30 @@ final case class BoolQ(
   * slop>0 → sloppy matching. */
 final case class PhraseQ(terms: Seq[(String, Int)], slop: Int = 0) extends Query
 
-/** PrefixQuery.cs:35 — constant-score rewrite (MultiTermQuery.cs:84-114). */
-final case class PrefixQ(prefix: String) extends Query
+/** MultiTermQuery rewrite modes (MultiTermQuery.cs:58-200):
+  * CONSTANT_SCORE (filter-shaped, uniform 1.0), SCORING_BOOLEAN (each
+  * expanded term scored, per-doc sum), and the auto heuristic — small
+  * expansions (<= 350 matched terms, MultiTermQuery.cs:61-79) score like
+  * a boolean, large ones fall back to constant-score (the doc-fraction
+  * condition of the reference is intentionally dropped — term count is
+  * the binding constraint at transcript scale). */
+sealed trait MultiTermRewrite
+case object ConstantScore extends MultiTermRewrite
+case object ScoringBoolean extends MultiTermRewrite
+case object AutoRewrite extends MultiTermRewrite
 
-/** WildcardQuery.cs:42 — `*`/`?` glob, constant-score rewrite. */
-final case class WildcardQ(pattern: String) extends Query
+/** PrefixQuery.cs:35 (rewrite per MultiTermQuery.cs:84-114). */
+final case class PrefixQ(prefix: String,
+    rewrite: MultiTermRewrite = ConstantScore) extends Query
 
-/** TermRangeQuery.cs:40 — lexicographic term range, constant-score. */
+/** WildcardQuery.cs:42 — `*`/`?` glob. */
+final case class WildcardQ(pattern: String,
+    rewrite: MultiTermRewrite = ConstantScore) extends Query
+
+/** TermRangeQuery.cs:40 — lexicographic term range. */
 final case class TermRangeQ(lo: Option[String], hi: Option[String],
-    incLo: Boolean = true, incHi: Boolean = true) extends Query
+    incLo: Boolean = true, incHi: Boolean = true,
+    rewrite: MultiTermRewrite = ConstantScore) extends Query
 
 /** FuzzyQuery.cs:41 — scoring-boolean rewrite; per-term boost =
   * 1 - dist/min(|term|,|query|) (FuzzyTermEnum.cs:135-178 similarity). */
@@ -137,10 +152,10 @@ object Spans {
   * become a scored disjunction; the source doc is excluded. */
 final case class MoreLikeThisQ(docid: Long, topTerms: Int = 10) extends Query
 
-/** contrib RegexQuery.cs:29 — regex term expansion, constant-score
-  * rewrite (MultiTermQueryWrapperFilter shape). Pattern is anchored
+/** contrib RegexQuery.cs:29 — regex term expansion. Pattern is anchored
   * (whole-term match), like the reference's RegexTermEnum. */
-final case class RegexQ(pattern: String) extends Query
+final case class RegexQ(pattern: String,
+    rewrite: MultiTermRewrite = ConstantScore) extends Query
 
 /** Function/FieldScore query (ValueSourceQuery.cs:44, FieldScoreQuery.cs:63):
   * score = a numeric expression over the doc's forward columns, evaluated

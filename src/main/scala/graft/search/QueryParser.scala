@@ -150,7 +150,9 @@ object QueryParser {
             def bound(v: String): Option[String] =
               if (v == "*" || v.isEmpty) None
               else Some(Analyzer.analyzeQuery(v).headOption.getOrElse(v))
-            Some(TermRangeQ(bound(lo), bound(hi), incLo, incHi))
+            // Lucene 3.0 default rewrite: constant-score AUTO
+            Some(TermRangeQ(bound(lo), bound(hi), incLo, incHi,
+              rewrite = AutoRewrite))
           case _ =>
             val w = word()
             if (w.isEmpty) { pos += 1; None }
@@ -164,8 +166,8 @@ object QueryParser {
             } else if (w.contains('*') || w.contains('?')) {
               val t = w.toLowerCase
               if (t.endsWith("*") && !t.dropRight(1).exists(c => c == '*' || c == '?'))
-                Some(PrefixQ(t.dropRight(1)))
-              else Some(WildcardQ(t))
+                Some(PrefixQ(t.dropRight(1), rewrite = AutoRewrite))
+              else Some(WildcardQ(t, rewrite = AutoRewrite))
             } else {
               Analyzer.analyzeQuery(w) match {
                 case Vector() => None // stopword-only clause drops out

@@ -155,12 +155,12 @@ final class Searcher(idx: InvertedIndex) {
 
     case p: PhraseQ => phrase(p)
 
-    case PrefixQ(p) =>
-      constantOverTerms(col("term").startsWith(p))
+    case PrefixQ(p, rw) =>
+      multiTerm(col("term").startsWith(p), rw)
 
-    case RegexQ(pat) =>
+    case RegexQ(pat, rw) =>
       // whole-term match (RegexTermEnum anchors the pattern)
-      constantOverTerms(col("term").rlike("^(?:" + pat + ")$"))
+      multiTerm(col("term").rlike("^(?:" + pat + ")$"), rw)
 
     case FunctionQ(e) =>
       // ValueSourceQuery: every live doc, score = f(forward columns)
@@ -172,14 +172,14 @@ final class Searcher(idx: InvertedIndex) {
           expr(e).cast("double").as("__cs")), Seq("docid"))
         .select(col("docid"), (col("score") * col("__cs")).as("score"))
 
-    case WildcardQ(pat) =>
-      constantOverTerms(col("term").rlike(Searcher.globToRegex(pat)))
+    case WildcardQ(pat, rw) =>
+      multiTerm(col("term").rlike(Searcher.globToRegex(pat)), rw)
 
-    case TermRangeQ(lo, hi, il, ih) =>
+    case TermRangeQ(lo, hi, il, ih, rw) =>
       val conds = Seq(
         lo.map(v => if (il) col("term") >= v else col("term") > v),
         hi.map(v => if (ih) col("term") <= v else col("term") < v)).flatten
-      constantOverTerms(conds.reduceOption(_ && _).getOrElse(lit(true)))
+      multiTerm(conds.reduceOption(_ && _).getOrElse(lit(true)), rw)
 
     case FuzzyQ(t, maxEdits) =>
       // scoring-boolean rewrite with similarity boost (FuzzyTermEnum):
@@ -354,12 +354,41 @@ final class Searcher(idx: InvertedIndex) {
           (col("mx") + lit(tie) * (col("sm") - col("mx"))).as("score"))
   }
 
+  /** Multi-term rewrite dispatch (MultiTermQuery.cs:58-200). The auto
+    * heuristic counts matched dictionary terms at PLAN time (a tiny agg —
+    * the reference's term enum walk happens at rewrite time too). */
+  private def multiTerm(dictPred: Column, rw: MultiTermRewrite): DataFrame =
+    rw match {
+      case ConstantScore => constantOverTerms(dictPred)
+      case ScoringBoolean => scoredOverTerms(dictPred)
+      case AutoRewrite =>
+        if (idx.termDict.filter(dictPred).count() <= Searcher.AutoRewriteTermCap)
+          scoredOverTerms(dictPred)
+        else constantOverTerms(dictPred)
+    }
+
   /** Constant-score multi-term rewrite (MultiTermQuery.cs:84-114): match
     * the dictionary predicate, semi-join into postings, dedup docs. */
   private def constantOverTerms(dictPred: Column): DataFrame =
     idx.postingsWhereTerm(dictPred)
       .select(col("docid")).distinct()
       .select(col("docid"), lit(1.0).as("score"))
+
+  /** Scoring-boolean multi-term rewrite (MultiTermQuery.cs:117-151):
+    * every expanded term is BM25-scored; per-doc sum in sorted term
+    * order (deterministic float fold, same as FuzzyQ). */
+  private def scoredOverTerms(dictPred: Column): DataFrame = {
+    val dict = idx.termDict.filter(dictPred).select(col("term"), col("df"))
+    idx.postingsForTermSet(dict.select("term"))
+      .join(broadcast(dict), Seq("term"))
+      .select(col("docid"), col("term").as("ord"),
+        Bm25.score(idx.numDocs, idx.avgdl, col("df"), col("tf"), col("len"))
+          .as("score"))
+      .groupBy(col("docid")).agg(
+        aggregate(
+          sort_array(collect_list(struct(col("ord"), col("score")))),
+          lit(0.0), (acc, x) => acc + x.getField("score")).as("score"))
+  }
 
   /** Phrase scoring. Exact (slop=0): n-way docid join of the term posting
     * rows, then count aligned start positions with array expressions
@@ -608,6 +637,9 @@ final class Searcher(idx: InvertedIndex) {
 object Searcher {
   /** BooleanQuery.maxClauseCount (BooleanQuery.cs:76). */
   val MaxClauseCount = 1024
+
+  /** Auto-rewrite term-count cutoff (MultiTermQuery.cs:61-79). */
+  val AutoRewriteTermCap = 350
 
   /** Sort columns for a SortField spec + the mandatory docid tie-break. */
   def sortOrder(sorts: Seq[SortField]): Seq[Column] =

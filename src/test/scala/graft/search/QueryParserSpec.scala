@@ -41,17 +41,17 @@ class QueryParserSpec extends AnyFunSuite {
 
   test("ranges") {
     assert(QueryParser.parse("[query TO sort]") ==
-      TermRangeQ(Some("query"), Some("sort"), incLo = true, incHi = true))
+      TermRangeQ(Some("query"), Some("sort"), incLo = true, incHi = true, rewrite = AutoRewrite))
     assert(QueryParser.parse("{query TO sort}") ==
-      TermRangeQ(Some("query"), Some("sort"), incLo = false, incHi = false))
+      TermRangeQ(Some("query"), Some("sort"), incLo = false, incHi = false, rewrite = AutoRewrite))
     assert(QueryParser.parse("[* TO sort]") ==
-      TermRangeQ(None, Some("sort"), incLo = true, incHi = true))
+      TermRangeQ(None, Some("sort"), incLo = true, incHi = true, rewrite = AutoRewrite))
   }
 
   test("prefix / wildcard / fuzzy") {
-    assert(QueryParser.parse("spar*") == PrefixQ("spar"))
-    assert(QueryParser.parse("s*n") == WildcardQ("s*n"))
-    assert(QueryParser.parse("w?ndow") == WildcardQ("w?ndow"))
+    assert(QueryParser.parse("spar*") == PrefixQ("spar", AutoRewrite))
+    assert(QueryParser.parse("s*n") == WildcardQ("s*n", AutoRewrite))
+    assert(QueryParser.parse("w?ndow") == WildcardQ("w?ndow", AutoRewrite))
     assert(QueryParser.parse("tble~") == FuzzyQ("tble", 2))
     assert(QueryParser.parse("tble~1") == FuzzyQ("tble", 1))
   }

@@ -193,6 +193,19 @@ class SearcherSpec extends AnyFunSuite {
       (0 until n).filter(d => docs(d).exists(t => t.term >= "fox" && t.term <= "job")).map(_.toLong).toSet)
   }
 
+  test("scoring-boolean multi-term rewrite sums expanded-term BM25") {
+    // prefix "f": fox, failed, ... — per doc the sum over matching terms
+    val fTerms = docs.flatMap(_.map(_.term)).distinct.filter(_.startsWith("f"))
+    val want = (0 until n)
+      .filter(d => fTerms.exists(tf(_, d) > 0))
+      .map(d => d.toLong -> fTerms.sorted.map(bm25(_, d)).sum).toMap
+    assertScores(run(PrefixQ("f", ScoringBoolean)), want)
+    // auto: tiny expansion chooses the scored branch
+    assertScores(run(PrefixQ("f", AutoRewrite)), want)
+    // constant-score stays uniform
+    assert(run(PrefixQ("f")).values.toSet == Set(1.0))
+  }
+
   test("dismax = max + tie*(sum-max)") {
     val tie = 0.3
     val terms = Seq("spark", "error")
