@@ -71,8 +71,12 @@ object TrainEntries {
          |bk AS (SELECT doc_id, j // 2 AS band,
          |         ${h60("array_to_string(list_sort(list(CAST(j AS VARCHAR) || '=' || CAST(minh AS VARCHAR))), ',')")} AS bkey
          |       FROM mh GROUP BY doc_id, j // 2),
+         |bkok AS (SELECT bk.* FROM bk
+         |         JOIN (SELECT band, bkey FROM bk GROUP BY band, bkey
+         |               HAVING count(*) <= ${TrainOps.LshBucketCap}) ok
+         |           USING (band, bkey)),
          |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |         FROM bk x JOIN bk y ON x.band = y.band AND x.bkey = y.bkey
+         |         FROM bkok x JOIN bkok y ON x.band = y.band AND x.bkey = y.bkey
          |              AND x.doc_id < y.doc_id),
          |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
          |inter AS (SELECT cand.a, cand.b, count(*) AS i
@@ -115,8 +119,11 @@ object TrainEntries {
     ("ann_ivf",
       (s, d) => TrainOps.annIvf(s, d),
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         |cents AS (SELECT vec_id AS cent_id, embedding AS cvec
-         |          FROM embeddings WHERE vec_id < ${TrainOps.IvfCells}),
+         |cents AS (SELECT vec_id AS cent_id, embedding AS cvec FROM
+         |            (SELECT vec_id, embedding, row_number() OVER (ORDER BY
+         |               ${h60("CAST(vec_id AS VARCHAR)")}, vec_id) AS rn
+         |             FROM embeddings) zc
+         |          WHERE rn <= ${TrainOps.IvfCells}),
          |cellcos AS (SELECT e.vec_id, c.cent_id,
          |              ${cosSql("e.embedding", "c.cvec")} AS cos
          |            FROM embeddings e CROSS JOIN cents c),

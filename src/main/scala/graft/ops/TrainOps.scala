@@ -86,21 +86,45 @@ object TrainOps {
         h60(concat(col("j").cast("string"), lit(":"), col("s"))).as("h"))
       .groupBy("doc_id", "j").agg(min("h").as("minh"))
 
-  /** MinHash-LSH near-dup pairs, exact-Jaccard verified.
-    * Pipeline: signatures → band buckets (band key = hash of the band's
-    * rows) → same-bucket pairs (the ONLY quadratic step, inside buckets)
-    * → exact Jaccard via shingle intersection join → threshold.
-    * At 100 TB this is the standard shape: every stage is a hash
-    * shuffle on uniform keys; giant buckets (degenerate text) would be
-    * capped — here `log`-noted, not needed at these SFs. */
-  def dedupMinhashLsh(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.5): DataFrame = {
-    val sig = minhashSignatures(spark, sfDir)
+  /** Bucket-size cap: LSH buckets larger than this are dropped from
+    * candidate generation (degenerate/boilerplate text collapses into
+    * one bucket whose within-bucket quadratic pair-gen would dominate
+    * the job at scale). NOT silent: [[lshBucketStats]] reports
+    * (total, dropped) — the CheckIndex-style diagnostic for this cap —
+    * and the cap is replayed identically in the DuckDB oracle. */
+  val LshBucketCap = 64
+
+  /** Band buckets: (doc_id, band, bkey). */
+  private def lshBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    minhashSignatures(spark, sfDir)
       .withColumn("band", (col("j") / BandRows).cast("int"))
       .groupBy("doc_id", "band")
       .agg(h60(concat_ws(",", sort_array(collect_list(
         concat(col("j").cast("string"), lit("="), col("minh")))))).as("bkey"))
-    val cand = sig.as("x").join(sig.as("y"),
+
+  /** Diagnostic for the bucket cap: (total buckets, dropped buckets). */
+  def lshBucketStats(spark: SparkSession, sfDir: String): (Long, Long) = {
+    val sizes = lshBuckets(spark, sfDir)
+      .groupBy("band", "bkey").agg(count(lit(1)).as("bsz"))
+    (sizes.count(), sizes.filter(col("bsz") > LshBucketCap).count())
+  }
+
+  /** MinHash-LSH near-dup pairs, exact-Jaccard verified.
+    * Pipeline: signatures → band buckets (band key = hash of the band's
+    * rows) → bucket-size cap → same-bucket pairs (the ONLY quadratic
+    * step, inside buckets) → exact Jaccard via shingle intersection join
+    * → threshold. At 100 TB this is the standard shape: every stage is a
+    * hash shuffle on uniform keys; giant buckets are dropped by
+    * [[LshBucketCap]] (inspect with [[lshBucketStats]]). */
+  def dedupMinhashLsh(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val sig = lshBuckets(spark, sfDir)
+    val okBuckets = sig.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= LshBucketCap)
+      .select("band", "bkey")
+    val capped = sig.join(okBuckets, Seq("band", "bkey"))
+    val cand = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -129,21 +153,26 @@ object TrainOps {
       .orderBy("a", "b")
   }
 
-  /** 64-bit SimHash per doc over distinct tokens: bit k of the hash of
-    * each token votes ±1; sign of the sum sets bit k. Two-level agg on
-    * uniform (doc, k) keys — skew-free at any scale. */
+  /** 60-bit SimHash per doc over distinct tokens: bit k of the hash of
+    * each token votes ±1; sign of the sum sets bit k.
+    *
+    * MAP-ONLY: the whole signature is one nested array-fold expression
+    * per row — no 60× bit explode, no shuffle at all (the round-1 shape
+    * exploded to (doc, token, k) rows and aggregated twice; at 100 TB
+    * that explode is the dominant shuffle). Integer votes are
+    * order-independent, so the fold needs no ordering guarantees. */
   def simhash(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
-      .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("t"))
-      .select(col("doc_id"), h60(col("t")).as("h"),
-        explode(sequence(lit(0), lit(59))).as("k"))
-      .groupBy("doc_id", "k")
-      .agg(sum(when(expr("shiftright(h, cast(k as int)) & 1") === 1, 1)
-        .otherwise(-1)).as("v"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("v") > 0,
-        expr("shiftleft(cast(1 as bigint), cast(k as int))")).otherwise(0L))
-        .as("simhash"))
+      .withColumn("hs",
+        transform(array_distinct(toks(col("text"))), t => h60(t)))
+      .select(col("doc_id"), expr(
+        """aggregate(sequence(0, 59), cast(0 as bigint), (acc, k) ->
+          |  acc + IF(
+          |    aggregate(hs, cast(0 as bigint),
+          |      (a, h) -> a + IF((shiftright(h, k) & 1) = 1,
+          |                       cast(1 as bigint), cast(-1 as bigint))) > 0,
+          |    shiftleft(cast(1 as bigint), k), cast(0 as bigint)))"""
+          .stripMargin).as("simhash"))
       .orderBy("doc_id")
 
   /** SimHash near-dup pairs: block on equality of one of four 15-bit
@@ -204,15 +233,20 @@ object TrainOps {
   val IvfCells = 16
   val IvfProbes = 4
 
-  /** IVF ANN: centroids := the first IvfCells vectors (deterministic
-    * "training"); every vector is assigned to its max-cosine cell
-    * (broadcast centroid table — the scale path: the big side is
-    * scanned once, never self-joined); the query probes its IvfProbes
-    * nearest cells and exact-scores only those cells' members. */
+  /** IVF ANN: centroids are a DETERMINISTIC HASH SAMPLE — the IvfCells
+    * vectors with the smallest h60(vec_id) (uniform over the corpus, so
+    * cells stay balanced regardless of ingestion order; the round-1
+    * "first 16 vectors" sample was ingestion-biased). A 16-row
+    * TakeOrderedAndProject at any scale. Every vector is assigned to its
+    * max-cosine cell (broadcast centroid table — the scale path: the big
+    * side is scanned once, never self-joined); the query probes its
+    * IvfProbes nearest cells and exact-scores only those cells' members. */
   def annIvf(spark: SparkSession, sfDir: String, queryId: Long = 0L,
       k: Int = 10): DataFrame = {
     val e = embeddings(spark, sfDir)
-    val cents = e.filter(col("vec_id") < IvfCells)
+    val cents = e
+      .select(col("vec_id"), col("embedding"), h60(col("vec_id")).as("hk"))
+      .orderBy(col("hk").asc, col("vec_id").asc).limit(IvfCells)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq
       .sortBy(_._1)
