@@ -128,8 +128,30 @@ object Engine {
       t("seg")(indexSeg(spark, sfDir)),
       t("cmp")(indexCompacted(spark, sfDir)),
       t("app")(indexAppended(spark, sfDir)),
-      t("del")(indexDeleted(spark, sfDir)))
+      t("del")(indexDeleted(spark, sfDir)),
+      t("upd")(indexUpdated(spark, sfDir)))
   }
+
+  /** Conversation updated in the "upd" flavor + the text suffix appended
+    * to each of its turns (mirrored in OracleSql.preludeUpdated). */
+  val UpdatedConv = "c000000"
+  val UpdatedSuffix = " updated row"
+
+  /** Atomic update flavor: build, then replace one conversation's turns
+    * (text + suffix) via updateByKeyword — delete set + appended segment
+    * in ONE manifest commit (IndexWriter.UpdateDocument analog). */
+  def indexUpdated(spark: SparkSession, sfDir: String): InvertedIndex =
+    cache.getOrElseUpdate(key(spark, sfDir, "upd"), {
+      val root = segRoot(spark, sfDir, "upd")
+      val t = Transcripts.fromDocuments(spark, sfDir)
+      IndexBuilder.buildSegments(spark, t, root,
+        numBatches = 4, numPartitions = parts(spark))
+      val newTurns = t.filter(col("conv_id") === UpdatedConv)
+        .withColumn("text", concat(col("text"), lit(UpdatedSuffix)))
+      IndexBuilder.updateByKeyword(spark, root, "conv_id", UpdatedConv,
+        newTurns, parts(spark))
+      SegmentStore.open(spark, root)
+    })
 
   def searcher(spark: SparkSession, sfDir: String): Searcher =
     new Searcher(index(spark, sfDir))

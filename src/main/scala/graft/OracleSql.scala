@@ -19,11 +19,8 @@ object OracleSql {
 
   private val stopList = Analyzer.StopWordsSeq.map(sq).mkString(", ")
 
-  /** Shared prelude: transcripts derivation, docid assignment, analysis
-    * chain, postings, doc lengths, collection stats, term dictionary,
-    * per-(term,docid) BM25 partial scores. */
-  val prelude: String =
-    s"""WITH transcripts AS (
+  private val transcriptsCte: String =
+    s"""transcripts AS (
        |  SELECT 'c' || lpad(CAST(doc_id // 8 AS VARCHAR), 6, '0') AS conv_id,
        |         CAST(doc_id % 8 AS INTEGER) AS turn_idx,
        |         CASE WHEN doc_id % 8 = 0 THEN 'system'
@@ -33,12 +30,11 @@ object OracleSql {
        |         text,
        |         CASE WHEN doc_id % 8 = 6 THEN source ELSE NULL END AS tool,
        |         TIMESTAMP '2025-01-01 00:00:00' + CAST(doc_id AS INTEGER) * INTERVAL 1 MINUTE AS ts
-       |  FROM documents),
-       |docs AS (
-       |  SELECT CAST(row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS BIGINT) AS docid,
-       |         conv_id, turn_idx, role, text, tool, ts
-       |  FROM transcripts),
-       |rawtok AS (
+       |  FROM documents)""".stripMargin
+
+  /** Analysis chain + stats + scores over whatever `docs` CTE precedes. */
+  private val analysisCtes: String =
+    s"""rawtok AS (
        |  SELECT docid,
        |         list_transform(regexp_extract_all(lower(text), '[a-z0-9]+(''[a-z0-9]+)*'),
        |                        s -> regexp_replace(s, '''s$$', '')) AS toks
@@ -68,6 +64,38 @@ object OracleSql {
        |           * (p.tf * 2.2) / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.len / s.avgdl)) AS tscore
        |  FROM postings p JOIN dict d USING (term)
        |       JOIN doclens l USING (docid) CROSS JOIN stats s)""".stripMargin
+
+  /** Shared prelude: transcripts derivation, docid assignment, analysis
+    * chain, postings, doc lengths, collection stats, term dictionary,
+    * per-(term,docid) BM25 partial scores. */
+  val prelude: String =
+    s"""WITH $transcriptsCte,
+       |docs AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS BIGINT) AS docid,
+       |         conv_id, turn_idx, role, text, tool, ts
+       |  FROM transcripts),
+       |$analysisCtes""".stripMargin
+
+  /** Prelude for the ATOMIC-UPDATE flavor: conv `conv`'s original docs
+    * are in the delete set (`delset`) and a re-analyzed replacement copy
+    * (text + `suffix`) is appended past the docid watermark. Stats are
+    * STALE-inclusive (deleted docs still counted, appended docs added) —
+    * exactly the engine's manifest arithmetic; queries exclude `delset`
+    * post-scoring like ft_delete_*. */
+  def preludeUpdated(conv: String, suffix: String): String =
+    s"""WITH $transcriptsCte,
+       |docs0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS BIGINT) AS docid,
+       |         conv_id, turn_idx, role, text, tool, ts
+       |  FROM transcripts),
+       |appended AS (
+       |  SELECT (SELECT max(docid) FROM docs0)
+       |           + CAST(row_number() OVER (ORDER BY conv_id, turn_idx) AS BIGINT) AS docid,
+       |         conv_id, turn_idx, role, text || ${sq(suffix)} AS text, tool, ts
+       |  FROM transcripts WHERE conv_id = ${sq(conv)}),
+       |docs AS (SELECT * FROM docs0 UNION ALL SELECT * FROM appended),
+       |delset AS (SELECT docid FROM docs0 WHERE conv_id = ${sq(conv)}),
+       |$analysisCtes""".stripMargin
 
   /** Summed idf of a term multiset (phrase weight), duplicates kept. */
   private def sumIdfSql(terms: Seq[String]): String = {

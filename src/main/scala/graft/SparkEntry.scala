@@ -227,6 +227,31 @@ object SparkEntry {
       s"""${OracleSql.prelude}
          |SELECT CAST(count(*) AS BIGINT) AS hits FROM docs
          |WHERE docid NOT IN (SELECT docid FROM postings WHERE term = 'dup')""".stripMargin),
+    // --- atomic update-by-key (IndexWriter.UpdateDocument analog) ---
+    // one conversation replaced (delete set + appended segment in ONE
+    // manifest commit): its docs table shows only the NEW docids/text,
+    // and the new content ranks under stale-until-merge stats
+    "ft_update_docs" -> Raw(
+      (s, dir) => Engine.indexUpdated(s, dir).docs
+        .filter(col("conv_id") === Engine.UpdatedConv)
+        .select("docid", "conv_id", "turn_idx", "text").orderBy("docid"),
+      s"""${OracleSql.preludeUpdated(Engine.UpdatedConv, Engine.UpdatedSuffix)}
+         |SELECT docid, conv_id, turn_idx, text FROM docs
+         |WHERE conv_id = '${Engine.UpdatedConv}'
+         |  AND docid NOT IN (SELECT docid FROM delset)
+         |ORDER BY docid""".stripMargin),
+    "ft_update_term" -> Raw(
+      (s, dir) => Engine.topKOn(Engine.indexUpdated(s, dir),
+        TermQ("updated"), 10),
+      s"""${OracleSql.preludeUpdated(Engine.UpdatedConv, Engine.UpdatedSuffix)}
+         |SELECT CAST(row_number() OVER (ORDER BY sq.score DESC, sq.docid) AS BIGINT) AS rank,
+         |       sq.docid, round(sq.score, 4) AS score
+         |FROM (SELECT docid, tscore AS score FROM scored
+         |      WHERE term = 'updated'
+         |        AND docid NOT IN (SELECT docid FROM delset)) sq
+         |ORDER BY sq.score DESC, sq.docid
+         |LIMIT 10""".stripMargin),
+
     "ft_delete_term" -> Raw(
       (s, dir) => Engine.topKOn(Engine.indexDeleted(s, dir), TermQ("table"), 10),
       s"""${OracleSql.prelude}

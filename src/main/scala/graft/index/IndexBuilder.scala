@@ -226,9 +226,13 @@ object IndexBuilder {
     * past the store's current maxDoc — the MergeDocIDRemapper analog
     * (/root/reference/src/core/Index/MergeDocIDRemapper.cs); also the
     * streaming-sink unit (one micro-batch = one segment, SURVEY.md §2.8). */
-  def appendSegment(spark: SparkSession, turns: DataFrame, root: String,
-      numPartitions: Int = 32, lineageTag: String = "append"): Manifest = {
-    val prev = SegmentStore.latest(root)
+  /** Write (but do NOT commit) one appended segment re-based past the
+    * store watermark. Returns None for an empty batch. Shared by
+    * [[appendSegment]] and [[updateByKeyword]] — the latter folds the
+    * new segment and a delete set into ONE manifest commit. */
+  private def writeAppendedSegment(spark: SparkSession, turns: DataFrame,
+      root: String, prev: Option[Manifest], numPartitions: Int,
+      lineageTag: String): Option[SegmentMeta] = {
     // re-base past the docid WATERMARK, not numDocs: after a merge
     // expunges deletes, numDocs shrinks but surviving docids keep their
     // values — a numDocs base would collide (delete → merge → append).
@@ -246,7 +250,7 @@ object IndexBuilder {
       // conv slice): do not write a zero-doc segment — its empty blocks
       // parquet cannot be schema-inferred on re-read.
       docs.unpersist(blocking = false)
-      return prev.getOrElse(Manifest(0L, Nil))
+      return None
     }
     val id = f"seg_a$nextOrd%05d"
     SegmentStore.writeTable(root, id, "blocks",
@@ -262,10 +266,44 @@ object IndexBuilder {
       maxDocid = base + n - 1)
     SegmentStore.markComplete(root, meta)
     docs.unpersist(blocking = false)
-    val m = Manifest(prev.map(_.version + 1).getOrElse(1L),
-      prev.map(_.segments).getOrElse(Nil) :+ meta)
-    SegmentStore.commit(root, m)
-    m
+    Some(meta)
+  }
+
+  def appendSegment(spark: SparkSession, turns: DataFrame, root: String,
+      numPartitions: Int = 32, lineageTag: String = "append"): Manifest = {
+    val prev = SegmentStore.latest(root)
+    writeAppendedSegment(spark, turns, root, prev, numPartitions,
+        lineageTag) match {
+      case None => prev.getOrElse(Manifest(0L, Nil))
+      case Some(meta) =>
+        val m = Manifest(prev.map(_.version + 1).getOrElse(1L),
+          prev.map(_.segments).getOrElse(Nil) :+ meta)
+        SegmentStore.commit(root, m)
+        m
+    }
+  }
+
+  /** ATOMIC update-by-key (IndexWriter.UpdateDocument,
+    * /root/reference/src/core/Index/IndexWriter.cs:2479 — delete +
+    * add under one commit): the delete set for `field = value` and the
+    * appended replacement segment land in the SAME manifest version, so
+    * readers see either the old conv or the new one — never both, never
+    * neither. A crash before the commit leaves the old manifest intact
+    * (both staged artifacts are unreferenced and GC-able). */
+  def updateByKeyword(spark: SparkSession, root: String, field: String,
+      value: String, newTurns: DataFrame,
+      numPartitions: Int = 32): Manifest = {
+    val m = SegmentStore.latest(root).getOrElse(sys.error("empty store"))
+    val idx = SegmentStore.open(spark, root)
+    val dir = f"del_v${m.version + 1}%05d"
+    idx.docs.filter(col(field) === value).select("docid")
+      .write.mode("overwrite").parquet(s"$root/$dir")
+    val meta = writeAppendedSegment(spark, newTurns, root, Some(m),
+      numPartitions, s"update $field=$value")
+    val next = Manifest(m.version + 1, m.segments ++ meta.toSeq,
+      m.deletes :+ dir)
+    SegmentStore.commit(root, next)
+    next
   }
 
   /** Geometric compaction (LogDocMergePolicy semantics: group segments

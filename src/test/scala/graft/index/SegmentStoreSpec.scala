@@ -197,6 +197,30 @@ class SegmentStoreSpec extends AnyFunSuite {
       .filter(col("count") > 1).count() == 0)
   }
 
+  test("updateByKeyword replaces a conv atomically (one commit)") {
+    val root = tmp()
+    IndexBuilder.buildSegments(spark, turns, root, 2, 4)
+    val v0 = SegmentStore.latest(root).get.version
+    val conv = turns.select("conv_id").orderBy("conv_id").first().getString(0)
+    val updated = turns.filter(col("conv_id") === conv)
+      .withColumn("text", concat(col("text"), lit(" freshly updated")))
+    IndexBuilder.updateByKeyword(spark, root, "conv_id", conv, updated, 4)
+    val m = SegmentStore.latest(root).get
+    assert(m.version == v0 + 1, "delete + append must be ONE commit")
+    assert(m.deletes.size == 1 && m.segments.size == 3)
+    val idx = SegmentStore.open(spark, root)
+    // old docids gone, new content searchable, text carries the marker
+    val convDocs = idx.docs.filter(col("conv_id") === conv)
+      .select("docid", "text").collect()
+    assert(convDocs.nonEmpty)
+    assert(convDocs.forall(_.getString(1).endsWith(" freshly updated")))
+    assert(convDocs.forall(_.getLong(0) > SegmentStore.latest(root).get
+      .segments.init.map(_.maxDocid).max - 1))
+    val hits = new Searcher(idx).score(TermQ("freshly")).collect()
+      .map(_.getLong(0)).toSet
+    assert(hits == convDocs.map(_.getLong(0)).toSet)
+  }
+
   test("appending an empty batch is a no-op on the manifest") {
     val root = tmp()
     IndexBuilder.buildSegments(spark, turns, root, 2, 4)
