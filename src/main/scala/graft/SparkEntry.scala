@@ -161,6 +161,11 @@ object SparkEntry {
       SNear(Seq(STerm("table"), STerm("merge")), 3), STerm("key")))),
     "ft_mlt" -> TopK(MoreLikeThisQ(7L, 8)),
 
+    // --- MultiFieldQueryParser analog: parser-built AST through the
+    // same co-generated spec path (oracle derives from the same AST) ---
+    "ft_multifield" -> TopK(QueryParser.parseMultiField(
+      "spark role:assistant merge", Seq("text", "role"))),
+
     // --- spell suggest (contrib SpellChecker analog) ---
     "ft_suggest" -> Raw(
       (s, dir) => Suggest.suggest(Engine.index(s, dir), "tble", 2, 5),

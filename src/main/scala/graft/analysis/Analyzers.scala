@@ -1,0 +1,101 @@
+package graft.analysis
+
+import java.text.Normalizer
+
+import graft.analysis.Analyzer.Token
+
+/** Analyzer variants beyond the StandardAnalyzer chain, mirroring the
+  * reference's analyzer family (SURVEY.md §2.2):
+  *  - Whitespace (WhitespaceAnalyzer.cs:25): split on whitespace, no
+  *    case folding
+  *  - Simple (SimpleAnalyzer.cs:27): maximal letter runs, lowercased
+  *  - Keyword (KeywordAnalyzer.cs:26): whole value as one term
+  *  - Stop (StopAnalyzer.cs:45-50): Simple + the 33-word stop set
+  *    (position gaps preserved, StopFilter.cs:52)
+  *  - Standard: the default chain in [[Analyzer]]
+  *  - English: Standard + PorterStemFilter (PorterStemFilter.cs:42)
+  *  - Folding: ASCIIFoldingFilter (ASCIIFoldingFilter.cs:58) before the
+  *    Standard chain
+  *
+  * Each is a pure `String => Vector[Token]`, pluggable into the index
+  * build (the per-field/PerFieldAnalyzerWrapper story stays config-level:
+  * keyword columns are simply not analyzed).
+  */
+object Analyzers {
+
+  sealed trait Kind
+  case object Standard extends Kind
+  case object Whitespace extends Kind
+  case object Simple extends Kind
+  case object Keyword extends Kind
+  case object Stop extends Kind
+  case object English extends Kind
+  case object Folding extends Kind
+
+  def tokenize(kind: Kind, text: String): Vector[Token] = kind match {
+    case Standard => Analyzer.fastTokenize(text)
+    case Whitespace =>
+      if (text == null) Vector.empty
+      else text.split("\\s+").iterator.filter(_.nonEmpty).zipWithIndex
+        .map { case (t, i) => Token(t, i) }.toVector
+    case Simple => letterRuns(text).zipWithIndex
+      .map { case (t, i) => Token(t, i) }
+    case Keyword =>
+      if (text == null || text.isEmpty) Vector.empty
+      else Vector(Token(text, 0))
+    case Stop => letterRuns(text).zipWithIndex.collect {
+      case (t, i) if !Analyzer.StopWords(t) => Token(t, i)
+    }
+    case English =>
+      Analyzer.fastTokenize(text).map(t =>
+        Token(PorterStemmer.stem(t.term), t.pos))
+    case Folding => Analyzer.fastTokenize(foldToAscii(text))
+  }
+
+  /** Maximal runs of letters, lowercased (LetterTokenizer + LowerCase). */
+  private def letterRuns(text: String): Vector[String] = {
+    if (text == null) return Vector.empty
+    val out = Vector.newBuilder[String]
+    val sb = new StringBuilder
+    text.foreach { c =>
+      if (Character.isLetter(c)) sb.append(Character.toLowerCase(c))
+      else if (sb.nonEmpty) { out += sb.toString; sb.clear() }
+    }
+    if (sb.nonEmpty) out += sb.toString
+    out.result()
+  }
+
+  /** ASCII folding: NFD-decompose and strip combining marks, plus the
+    * common non-decomposable Latin special cases the reference's table
+    * covers (ASCIIFoldingFilter.cs:58 — ours is the Unicode-normalizer
+    * formulation of the same fold, not a port of its switch table). */
+  def foldToAscii(text: String): String = {
+    if (text == null) return null
+    val special = Map(
+      'ß' -> "ss", 'æ' -> "ae", 'Æ' -> "AE", 'ø' -> "o", 'Ø' -> "O",
+      'đ' -> "d", 'Đ' -> "D", 'þ' -> "th", 'Þ' -> "TH", 'ð' -> "d",
+      'Ð' -> "D", 'œ' -> "oe", 'Œ' -> "OE", 'ł' -> "l", 'Ł' -> "L",
+      'ħ' -> "h", 'Ħ' -> "H", 'ŧ' -> "t", 'Ŧ' -> "T", 'ı' -> "i")
+    val pre = text.flatMap(c => special.getOrElse(c, c.toString))
+    Normalizer.normalize(pre, Normalizer.Form.NFD)
+      .filterNot(c => Character.getType(c) == Character.NON_SPACING_MARK)
+  }
+
+  /** MappingCharFilter analog (MappingCharFilter.cs, BaseCharFilter.cs):
+    * greedy longest-match char-sequence rewriting applied BEFORE the
+    * tokenizer. Offset correction is intentionally absent — the engine
+    * tracks token positions, not char offsets (documented deviation). */
+  def mapChars(mappings: Map[String, String])(text: String): String = {
+    if (text == null || mappings.isEmpty) return text
+    val keys = mappings.keys.toSeq.sortBy(-_.length)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < text.length) {
+      keys.find(k => text.startsWith(k, i)) match {
+        case Some(k) => sb.append(mappings(k)); i += k.length
+        case None => sb.append(text.charAt(i)); i += 1
+      }
+    }
+    sb.toString
+  }
+}

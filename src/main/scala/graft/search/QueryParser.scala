@@ -31,12 +31,30 @@ object QueryParser {
     q
   }
 
+  /** MultiFieldQueryParser analog
+    * (/root/reference/src/core/QueryParser/MultiFieldQueryParser.cs):
+    * every clause WITHOUT an explicit `field:` prefix is expanded into a
+    * disjunction over `fields` (keyword fields match exactly, the
+    * analyzed text field goes through the analyzer), with optional
+    * per-field boosts (MultiFieldQueryParser.cs boosts map). Explicit
+    * `field:` prefixes bypass the expansion, like the reference. */
+  def parseMultiField(input: String, fields: Seq[String],
+      boosts: Map[String, Double] = Map.empty): Query = {
+    val fs = fields.map(f => f -> boosts.getOrElse(f, 1.0))
+    val p = new P(input, fs)
+    val q = p.parseBool()
+    p.skipWs()
+    require(p.eof, s"unconsumed query input at ${p.pos}: '${p.rest}'")
+    q
+  }
+
   private sealed trait Occur
   private case object Should extends Occur
   private case object Must extends Occur
   private case object MustNot extends Occur
 
-  private final class P(s: String) {
+  private final class P(s: String,
+      defaultFields: Seq[(String, Double)] = Seq("text" -> 1.0)) {
     var pos = 0
     def eof: Boolean = pos >= s.length
     def rest: String = s.substring(math.min(pos, s.length))
@@ -100,11 +118,13 @@ object QueryParser {
       else BoolQ(must, should, not)
     }
 
-    /** One clause: [field:] atom [^boost] */
+    /** One clause: [field:] atom [^boost]. Without an explicit field the
+      * atom expands over defaultFields (one field = the classic parser;
+      * several = the MultiFieldQueryParser disjunction). */
     private def parseClause(): Option[Query] = {
       skipWs()
       // field prefix
-      var field = "text"
+      var explicit: Option[String] = None
       val save = pos
       val w0 = {
         val start = pos
@@ -112,8 +132,23 @@ object QueryParser {
           pos += 1
         s.substring(start, pos)
       }
-      if (!eof && peek == ':' && w0.nonEmpty) { field = w0; pos += 1 }
+      if (!eof && peek == ':' && w0.nonEmpty) { explicit = Some(w0); pos += 1 }
       else pos = save
+
+      val targets: Seq[(String, Double)] =
+        explicit.map(f => Seq(f -> 1.0)).getOrElse(defaultFields)
+
+      /** Build the atom once per target field; OR the survivors. */
+      def perField(build: String => Option[Query]): Option[Query] = {
+        val qs = targets.flatMap { case (f, b) =>
+          build(f).map(q => if (b == 1.0) q else BoostQ(q, b))
+        }
+        qs match {
+          case Seq() => None
+          case Seq(one) => Some(one)
+          case many => Some(BoolQ(should = many))
+        }
+      }
 
       val base: Option[Query] =
         if (eof) None
@@ -134,10 +169,15 @@ object QueryParser {
               pos += 1
               slop = number().getOrElse(0.0).toInt
             }
-            val terms = Analyzer.tokenize(text).map(t => (t.term, t.pos))
-            if (terms.isEmpty) None
-            else if (terms.size == 1) Some(TermQ(terms.head._1))
-            else Some(PhraseQ(terms, slop))
+            perField { f =>
+              if (KeywordFields.contains(f)) Some(KeywordQ(f, text))
+              else {
+                val terms = Analyzer.tokenize(text).map(t => (t.term, t.pos))
+                if (terms.isEmpty) None
+                else if (terms.size == 1) Some(TermQ(terms.head._1))
+                else Some(PhraseQ(terms, slop))
+              }
+            }
           case '[' | '{' =>
             val incLo = peek == '['
             pos += 1
@@ -150,30 +190,33 @@ object QueryParser {
             def bound(v: String): Option[String] =
               if (v == "*" || v.isEmpty) None
               else Some(Analyzer.analyzeQuery(v).headOption.getOrElse(v))
+            // term ranges live in the analyzed term dictionary only
             // Lucene 3.0 default rewrite: constant-score AUTO
             Some(TermRangeQ(bound(lo), bound(hi), incLo, incHi,
               rewrite = AutoRewrite))
           case _ =>
             val w = word()
             if (w.isEmpty) { pos += 1; None }
-            else if (KeywordFields.contains(field)) Some(KeywordQ(field, w))
-            else if (w.endsWith("~") || w.matches(".*~\\d+$")) {
-              val idx = w.lastIndexOf('~')
-              val t = w.substring(0, idx).toLowerCase
-              val edits =
-                if (idx == w.length - 1) 2 else w.substring(idx + 1).toInt
-              Some(FuzzyQ(Analyzer.stripPossessive(t), edits))
-            } else if (w.contains('*') || w.contains('?')) {
-              val t = w.toLowerCase
-              if (t.endsWith("*") && !t.dropRight(1).exists(c => c == '*' || c == '?'))
-                Some(PrefixQ(t.dropRight(1), rewrite = AutoRewrite))
-              else Some(WildcardQ(t, rewrite = AutoRewrite))
-            } else {
-              Analyzer.analyzeQuery(w) match {
-                case Vector() => None // stopword-only clause drops out
-                case Vector(t) => Some(TermQ(t))
-                case ts => Some(PhraseQ(ts.zipWithIndex.map {
-                  case (t, i) => (t, i) }, 0))
+            else perField { f =>
+              if (KeywordFields.contains(f)) Some(KeywordQ(f, w))
+              else if (w.endsWith("~") || w.matches(".*~\\d+$")) {
+                val idx = w.lastIndexOf('~')
+                val t = w.substring(0, idx).toLowerCase
+                val edits =
+                  if (idx == w.length - 1) 2 else w.substring(idx + 1).toInt
+                Some(FuzzyQ(Analyzer.stripPossessive(t), edits))
+              } else if (w.contains('*') || w.contains('?')) {
+                val t = w.toLowerCase
+                if (t.endsWith("*") && !t.dropRight(1).exists(c => c == '*' || c == '?'))
+                  Some(PrefixQ(t.dropRight(1), rewrite = AutoRewrite))
+                else Some(WildcardQ(t, rewrite = AutoRewrite))
+              } else {
+                Analyzer.analyzeQuery(w) match {
+                  case Vector() => None // stopword-only clause drops out
+                  case Vector(t) => Some(TermQ(t))
+                  case ts => Some(PhraseQ(ts.zipWithIndex.map {
+                    case (t, i) => (t, i) }, 0))
+                }
               }
             }
         }

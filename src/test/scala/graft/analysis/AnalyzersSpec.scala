@@ -1,0 +1,91 @@
+package graft.analysis
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analysis.Analyzer.Token
+
+/** Analyzer-variant suite: Porter golden vectors are the worked examples
+  * published in Porter 1980 ("An algorithm for suffix stripping") — the
+  * same vectors the reference's PorterStemFilter is built to satisfy. */
+class AnalyzersSpec extends AnyFunSuite {
+
+  test("Porter stemmer matches the published worked examples") {
+    val vectors = Seq(
+      // step 1a
+      "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
+      "caress" -> "caress", "cats" -> "cat",
+      // step 1b
+      "feed" -> "feed", "agreed" -> "agre", "plastered" -> "plaster",
+      "bled" -> "bled", "motoring" -> "motor", "sing" -> "sing",
+      "conflated" -> "conflat", "troubled" -> "troubl", "sized" -> "size",
+      "hopping" -> "hop", "tanned" -> "tan", "falling" -> "fall",
+      "hissing" -> "hiss", "fizzed" -> "fizz", "failing" -> "fail",
+      "filing" -> "file",
+      // step 1c
+      "happy" -> "happi", "sky" -> "sky",
+      // step 2
+      "relational" -> "relat", "conditional" -> "condit",
+      "rational" -> "ration", "valenci" -> "valenc",
+      "hesitanci" -> "hesit", "digitizer" -> "digit",
+      "radicalli" -> "radic", "differentli" -> "differ", "vileli" -> "vile",
+      "analogousli" -> "analog", "vietnamization" -> "vietnam",
+      "predication" -> "predic", "operator" -> "oper",
+      "feudalism" -> "feudal", "decisiveness" -> "decis",
+      "hopefulness" -> "hope", "callousness" -> "callous",
+      "formaliti" -> "formal", "sensitiviti" -> "sensit",
+      "sensibiliti" -> "sensibl",
+      // step 3
+      "triplicate" -> "triplic", "formative" -> "form",
+      "formalize" -> "formal", "electriciti" -> "electr",
+      "electrical" -> "electr", "hopeful" -> "hope", "goodness" -> "good",
+      // step 4
+      "revival" -> "reviv", "allowance" -> "allow", "inference" -> "infer",
+      "airliner" -> "airlin", "gyroscopic" -> "gyroscop",
+      "adjustable" -> "adjust", "defensible" -> "defens",
+      "irritant" -> "irrit", "replacement" -> "replac",
+      "adjustment" -> "adjust", "dependent" -> "depend",
+      "adoption" -> "adopt", "communism" -> "commun",
+      "activate" -> "activ", "angulariti" -> "angular",
+      "homologous" -> "homolog", "effective" -> "effect",
+      "bowdlerize" -> "bowdler",
+      // step 5
+      "probate" -> "probat", "rate" -> "rate", "cease" -> "ceas",
+      "controll" -> "control", "roll" -> "roll")
+    val bad = vectors.collect {
+      case (w, want) if PorterStemmer.stem(w) != want =>
+        s"$w -> ${PorterStemmer.stem(w)} (want $want)"
+    }
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
+  test("analyzer variants") {
+    import Analyzers._
+    val s = "The QUICK-Brown foxes' jump2day"
+    assert(tokenize(Whitespace, s).map(_.term) ==
+      Vector("The", "QUICK-Brown", "foxes'", "jump2day"))
+    assert(tokenize(Simple, s).map(_.term) ==
+      Vector("the", "quick", "brown", "foxes", "jump", "day"))
+    assert(tokenize(Keyword, s) == Vector(Token(s, 0)))
+    // stop: same letter runs minus stopwords, positions preserved
+    assert(tokenize(Stop, s).map(t => (t.term, t.pos)) ==
+      Vector(("quick", 1), ("brown", 2), ("foxes", 3), ("jump", 4),
+        ("day", 5)))
+    // english: standard chain + porter
+    assert(tokenize(English, "motoring conflated tables").map(_.term) ==
+      Vector("motor", "conflat", "tabl"))
+    // folding feeds the standard chain
+    assert(tokenize(Folding, "Crème BRÛLÉE façade").map(_.term) ==
+      Vector("creme", "brulee", "facade"))
+  }
+
+  test("ascii folding handles specials and combining marks") {
+    assert(Analyzers.foldToAscii("straße œuvre Łódź") == "strasse oeuvre Lodz")
+    assert(Analyzers.foldToAscii("naïve élan") == "naive elan")
+  }
+
+  test("mapping char filter rewrites longest match first") {
+    val f = Analyzers.mapChars(
+      Map("ph" -> "f", "pha" -> "fa~", "&" -> " and ")) _
+    assert(f("alpha & phone") == "alfa~  and  fone")
+  }
+}

@@ -69,6 +69,23 @@ class QueryParserSpec extends AnyFunSuite {
       BoolQ(Seq(KeywordQ("role", "assistant"), TermQ("spark")), Nil, Nil))
   }
 
+  test("multi-field parser expands unfielded clauses") {
+    assert(QueryParser.parseMultiField("spark", Seq("text", "role")) ==
+      BoolQ(Nil, Seq(TermQ("spark"), KeywordQ("role", "spark")), Nil))
+    // explicit field bypasses the expansion
+    assert(QueryParser.parseMultiField("role:assistant", Seq("text", "role")) ==
+      KeywordQ("role", "assistant"))
+    // per-field boosts
+    assert(QueryParser.parseMultiField("spark", Seq("text", "role"),
+      Map("role" -> 0.5)) ==
+      BoolQ(Nil, Seq(TermQ("spark"),
+        BoostQ(KeywordQ("role", "spark"), 0.5)), Nil))
+    // phrases expand too; keyword fields match the raw phrase text
+    assert(QueryParser.parseMultiField("\"spark table\"", Seq("text", "role")) ==
+      BoolQ(Nil, Seq(PhraseQ(Seq("spark" -> 0, "table" -> 1)),
+        KeywordQ("role", "spark table")), Nil))
+  }
+
   test("stopword-only input yields MatchNoneQ") {
     assert(QueryParser.parse("the a to") == MatchNoneQ)
   }
