@@ -153,6 +153,28 @@ object Engine {
       SegmentStore.open(spark, root)
     })
 
+  /** Standalone CheckIndex over the segmented store (CheckIndex.cs:42
+    * analog) — gate shape: (num_docs, num_terms, violations). */
+  def checkIndexSeg(spark: SparkSession, sfDir: String): DataFrame = {
+    indexSeg(spark, sfDir) // ensure the store exists
+    graft.index.CheckIndex.reportDf(spark, segRoot(spark, sfDir, "seg"))
+  }
+
+  private val tvecBuilt = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  /** Term vectors of selected docs, via the persisted docid-partitioned
+    * tvec table (built once per store — TermVectorsWriter analog). */
+  def termVectorsOf(spark: SparkSession, sfDir: String,
+      docids: Seq[Long]): DataFrame = {
+    val root = segRoot(spark, sfDir, "seg")
+    val idx = indexSeg(spark, sfDir)
+    tvecBuilt.getOrElseUpdate(root, {
+      graft.index.TermVectors.write(root, idx, parts(spark)); true
+    })
+    spark.read.parquet(s"$root/tvec")
+      .filter(col("docid").isin(docids: _*))
+  }
+
   def searcher(spark: SparkSession, sfDir: String): Searcher =
     new Searcher(index(spark, sfDir))
 

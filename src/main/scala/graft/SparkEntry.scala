@@ -193,6 +193,28 @@ object SparkEntry {
          |       array_to_string(p.positions, ',') AS positions
          |FROM postings p JOIN doclens l USING (docid)
          |ORDER BY p.term, p.docid""".stripMargin),
+    // term-vectors forward table (TermVectorsWriter analog): one doc's
+    // vector fetched through the docid-partitioned tvec parquet
+    "ft_termvec" -> Raw(
+      (s, dir) => Engine.termVectorsOf(s, dir, Seq(7L, 8L))
+        .select(col("docid"), col("term"), col("tf"),
+          array_join(col("positions").cast("array<string>"), ",")
+            .as("positions"))
+        .orderBy("docid", "term"),
+      s"""${OracleSql.prelude}
+         |SELECT docid, term, tf,
+         |       array_to_string(positions, ',') AS positions
+         |FROM postings WHERE docid IN (7, 8)
+         |ORDER BY docid, term""".stripMargin),
+
+    // standalone CheckIndex job: zero violations over the segmented store
+    "ft_checkindex" -> Raw(
+      (s, dir) => Engine.checkIndexSeg(s, dir),
+      s"""${OracleSql.prelude}
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM docs) AS num_docs,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM dict) AS num_terms,
+         |       CAST(0 AS BIGINT) AS violations""".stripMargin),
+
     "ft_seg_term" -> Raw(
       (s, dir) => Engine.topKOn(Engine.indexSeg(s, dir), TermQ("table"), 10),
       OracleSql.topK(TermQ("table"), 10)),
