@@ -153,27 +153,68 @@ object TrainOps {
       .orderBy("a", "b")
   }
 
+  /** JVM twin of h60 (conv(substr(md5(x),1,15),16,10)): first 15 hex
+    * chars of the md5 digest as a 60-bit long. Bit-identical to the
+    * column/DuckDB forms (md5 is md5 everywhere). */
+  def h60Jvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // 15 hex chars = 7.5 bytes
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  /** JVM twin of toks(): maximal [a-z0-9]+ runs of the lowercased text. */
+  def toksJvm(text: String): Vector[String] = {
+    val s = if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT)
+    val out = Vector.newBuilder[String]
+    val sb = new StringBuilder
+    s.foreach { c =>
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+      else if (sb.nonEmpty) { out += sb.toString; sb.clear() }
+    }
+    if (sb.nonEmpty) out += sb.toString
+    out.result()
+  }
+
   /** 60-bit SimHash per doc over distinct tokens: bit k of the hash of
     * each token votes ±1; sign of the sum sets bit k.
     *
-    * MAP-ONLY: the whole signature is one nested array-fold expression
-    * per row — no 60× bit explode, no shuffle at all (the round-1 shape
+    * MAP-ONLY, partition-local: signatures are computed in a typed
+    * mapPartitions (no 60× bit explode, no shuffle — the round-1 shape
     * exploded to (doc, token, k) rows and aggregated twice; at 100 TB
-    * that explode is the dominant shuffle). Integer votes are
-    * order-independent, so the fold needs no ordering guarantees. */
-  def simhash(spark: SparkSession, sfDir: String): DataFrame =
-    docs(spark, sfDir)
-      .withColumn("hs",
-        transform(array_distinct(toks(col("text"))), t => h60(t)))
-      .select(col("doc_id"), expr(
-        """aggregate(sequence(0, 59), cast(0 as bigint), (acc, k) ->
-          |  acc + IF(
-          |    aggregate(hs, cast(0 as bigint),
-          |      (a, h) -> a + IF((shiftright(h, k) & 1) = 1,
-          |                       cast(1 as bigint), cast(-1 as bigint))) > 0,
-          |    shiftleft(cast(1 as bigint), k), cast(0 as bigint)))"""
-          .stripMargin).as("simhash"))
+    * that explode is the dominant shuffle). A column-expression fold was
+    * tried first but Catalyst's projection collapse re-evaluates the md5
+    * array once per fold step (interpreted higher-order functions), a
+    * 60× slowdown — per-partition imperative code is the right tool
+    * here. The arithmetic (md5-derived h60, ±1 integer votes) is
+    * bit-identical to the DuckDB oracle. */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, sfDir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val votes = new Array[Int](60)
+          toksJvm(text).distinct.foreach { t =>
+            val h = h60Jvm(t)
+            var k = 0
+            while (k < 60) {
+              if (((h >> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
+              k += 1
+            }
+          }
+          var sim = 0L
+          var k = 0
+          while (k < 60) { if (votes(k) > 0) sim |= 1L << k; k += 1 }
+          (id, sim)
+        }
+      }
+      .toDF("doc_id", "simhash")
       .orderBy("doc_id")
+  }
 
   /** SimHash near-dup pairs: block on equality of one of four 15-bit
     * chunks (a pair within Hamming distance 3 of a 60-bit hash must agree

@@ -3,7 +3,7 @@ package graft.search
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.index.{InvertedIndex, PostingBlocks}
+import graft.index.{Codec, InvertedIndex, PostingBlocks}
 
 /** Block-max WAND pruning for top-k disjunctions (Broder et al. CIKM'03;
   * Ding & Suel SIGIR'11 block-max variant), re-expressed for a columnar
@@ -32,63 +32,99 @@ import graft.index.{InvertedIndex, PostingBlocks}
   */
 object Wand {
 
+  /** Below this many estimated posting blocks across the query's terms,
+    * pruning cannot pay for its extra passes (each Spark job carries
+    * fixed scheduling cost, and a few hundred 128-posting blocks decode
+    * in milliseconds) — the planner devolves to the plain single-scan
+    * disjunction, exactly as the reference only engages skip lists for
+    * df >= skipInterval (SegmentTermDocs.cs:246-275). The estimate is
+    * free: ceil(df / blockSize) from the already-collected dictionary
+    * rows. */
+  val MinBlocksForPruning = 512
+
   private final case class Plan(
       live: Seq[String],
       kept: DataFrame,
       totalBlocks: () => Long,
       keptBlocks: () => Long)
 
-  private def plan(idx: InvertedIndex, terms: Seq[String], k: Int): Option[Plan] = {
+  private def plan(idx: InvertedIndex, terms: Seq[String], k: Int,
+      dfs: Map[String, Long]): Option[Plan] = {
     val blocks = idx.blocks.getOrElse(
       sys.error("WAND needs a block-backed index (SegmentStore.open)"))
     val spark = blocks.sparkSession
     import spark.implicits._
     val searcher = new Searcher(idx)
-    val dfs = searcher.dfOf(terms.toSet)
     val live = terms.distinct.filter(dfs.contains)
     if (live.isEmpty) return None
     val idf = live.map(t => t -> Bm25.idf(idx.numDocs, dfs(t))).toMap
 
+    // seed threshold: exact top-k of the single term most likely to own
+    // high scores ALONE — the highest-idf term among those with df >= k
+    // (a rarer term cannot fill a k-heap and would yield t0 = 0)
+    val seed = live.filter(t => dfs(t) >= k) match {
+      case Seq() => live.maxBy(t => dfs(t))
+      case withK => withK.maxBy(idf)
+    }
+    val seedScores = searcher.termScores(Set(seed))
+      .orderBy(col("tscore").desc).limit(k)
+      .collect().map(_.getAs[Double]("tscore"))
+    val t0 = if (seedScores.length == k) seedScores.min else 0.0
+
+    // single pruning pass, all bounds IN-PLAN (no block-stat collect):
+    // ub(block) from stats; per-term gmax via a tiny re-aggregation of
+    // the same stat columns; keep block b of term t iff
+    // ub_t(b) + Σ_{t'≠t} gmax_t' >= t0.
     val idfDf = live.map(t => (t, idf(t))).toDF("term", "idf")
     val withUb = blocks.filter(col("term").isin(live: _*))
       .join(broadcast(idfDf), Seq("term"))
       .withColumn("ub", col("idf") *
         Bm25.tfNorm(col("max_tf").cast("double"),
           col("min_len").cast("double"), idx.avgdl))
-
-    // per-term global max block bound (tiny agg → driver)
-    val gmax = withUb.groupBy("term").agg(max(col("ub")).as("g"))
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val sumGmax = gmax.values.sum
-
-    // pass 1: seed threshold from the highest-impact term
-    val seed = live.maxBy(gmax)
-    val seedScores = searcher.termScores(Set(seed))
-      .orderBy(col("tscore").desc).limit(k)
-      .collect().map(_.getAs[Double]("tscore"))
-    val t0 = if (seedScores.length == k) seedScores.min else 0.0
-
-    // pass 2: per-term block-prune threshold
-    val limits = live.map(t => (t, t0 - (sumGmax - gmax(t))))
-      .toDF("term", "keep_thresh")
-    val kept = withUb.join(broadcast(limits), Seq("term"))
-      .filter(col("ub") >= col("keep_thresh"))
-      .drop("idf", "ub", "keep_thresh")
+    val gmaxDf = withUb.groupBy("term").agg(max(col("ub")).as("gmax"))
+    val totalDf = gmaxDf.agg(sum(col("gmax")).as("gsum"))
+    val kept = withUb
+      .join(broadcast(gmaxDf), Seq("term"))
+      .crossJoin(broadcast(totalDf))
+      .filter(col("ub") >= lit(t0) - (col("gsum") - col("gmax")))
+      .drop("idf", "ub", "gmax", "gsum")
     // both counts are DIAGNOSTIC thunks (pruneStats only): the query
     // path must never pay a full block count per query
     Some(Plan(live, kept, () => withUb.count(), () => kept.count()))
   }
 
-  /** Pruned top-k for OR(terms): (docid, score), exact scores. */
+  private def estBlocks(dfs: Map[String, Long]): Long =
+    dfs.values.map(df => (df + Codec.BlockSize - 1) / Codec.BlockSize).sum
+
+  /** Pruned top-k for OR(terms): (docid, score), exact scores. Adaptive:
+    * short posting lists take the plain single-scan disjunction (same
+    * result by the tested invariant; pruning engages only when the
+    * estimated block count can amortize the seed pass). */
   def topKDisjunction(idx: InvertedIndex, terms: Seq[String], k: Int): DataFrame = {
+    val searcher = new Searcher(idx)
+    val dfs = searcher.dfOf(terms.toSet)
+    if (estBlocks(dfs) < MinBlocksForPruning)
+      return searcher.topK(BoolQ(should = terms.map(TermQ(_))), k)
+    topKPruned(idx, terms, k, dfs)
+  }
+
+  /** Force the pruned path regardless of the adaptive cutoff (tests +
+    * diagnostics — the pruned-equals-unpruned invariant must hold at any
+    * size). */
+  def topKDisjunctionPruned(idx: InvertedIndex, terms: Seq[String],
+      k: Int): DataFrame =
+    topKPruned(idx, terms, k, new Searcher(idx).dfOf(terms.toSet))
+
+  private def topKPruned(idx: InvertedIndex, terms: Seq[String], k: Int,
+      dfs: Map[String, Long]): DataFrame = {
     val spark = idx.blocks.get.sparkSession
-    plan(idx, terms, k) match {
+    plan(idx, terms, k, dfs) match {
       case None =>
         spark.range(0).select(col("id").as("docid"), lit(0.0).as("score"))
       case Some(p) =>
         val candidates = PostingBlocks.toPostings(p.kept)
           .select(col("docid")).distinct()
-        // pass 3: exact deterministic rescoring of candidates only
+        // exact deterministic rescoring of candidates only
         new Searcher(idx).termScores(p.live.toSet)
           .join(candidates, Seq("docid"), "left_semi")
           .groupBy(col("docid")).agg(
@@ -99,9 +135,10 @@ object Wand {
     }
   }
 
-  /** Diagnostic for the bench: (total blocks, blocks surviving pruning). */
+  /** Diagnostic for the bench: (total blocks, blocks surviving pruning).
+    * Always plans the pruned path, regardless of the adaptive cutoff. */
   def pruneStats(idx: InvertedIndex, terms: Seq[String], k: Int): (Long, Long) =
-    plan(idx, terms, k) match {
+    plan(idx, terms, k, new Searcher(idx).dfOf(terms.toSet)) match {
       case None => (0L, 0L)
       case Some(p) => (p.totalBlocks(), p.keptBlocks())
     }

@@ -235,7 +235,9 @@ class SegmentStoreSpec extends AnyFunSuite {
     IndexBuilder.buildSegments(spark, turns, root, 4, 4)
     val idx = SegmentStore.open(spark, root)
     val terms = Seq("error", "deploy", "the")
-    val pruned = Wand.topKDisjunction(idx, terms, 10).collect()
+    // force the pruned plan (the adaptive planner would devolve at this
+    // corpus size) — the invariant must hold regardless of cutoff
+    val pruned = Wand.topKDisjunctionPruned(idx, terms, 10).collect()
     val full = new Searcher(direct)
       .topK(BoolQ(should = terms.map(TermQ(_))), 10).collect()
     assert(pruned.map(_.getLong(0)).toSeq == full.map(_.getLong(0)).toSeq)
