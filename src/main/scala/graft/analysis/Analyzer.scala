@@ -18,10 +18,14 @@ import org.apache.spark.sql.functions._
   *      token's position is its index in the pre-stop token sequence
   *   5. discard tokens longer than 255 chars (StandardAnalyzer.cs:124)
   *
-  * The same chain exists twice, proven equivalent by property tests:
-  *  - [[tokenize]]: pure Scala (library API, unit-test oracle)
-  *  - [[rawTokensCol]] / token filters: Catalyst expressions used by the
-  *    distributed index build (codegen'd, no boxing).
+  * The same chain exists three times, proven equivalent by property
+  * tests:
+  *  - [[tokenize]]: regex-based pure Scala (the readable reference form)
+  *  - [[fastTokenize]]: hand-rolled scanner — what the distributed index
+  *    build runs inside its partition-local inversion (mapPartitions;
+  *    a Generator-shaped expression can't host the per-doc hash inversion)
+  *  - [[rawTokensCol]] / token filters: Catalyst-expression twin for
+  *    plans that want tokens as a column (codegen'd, no boxing).
   */
 object Analyzer {
 

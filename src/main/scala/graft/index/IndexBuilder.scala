@@ -169,7 +169,7 @@ object IndexBuilder {
     val assigned = DocIds.assign(transcripts,
       Seq(col("conv_id"), col("turn_idx")), numPartitions)
     val docs = assigned.docs
-    val total = docs.count()
+    val total = assigned.total
     if (sys.env.contains("SPARK_GRAFT_BUILD_TIMING"))
       System.err.println(
         f"[build] assign+count   ${(System.nanoTime() - tAssign) / 1e9}%8.2fs")
@@ -205,7 +205,9 @@ object IndexBuilder {
             timed("dict")(SegmentStore.writeTable(root, id, "dict",
               PostingBlocks.dictFromBlocks(blocksDf)))
             timed("docs")(SegmentStore.writeTable(root, id, "docs", slice))
-            val n = timed("count")(slice.count())
+            // docids are dense in [0, total): the slice size is exact
+            // arithmetic — no count job
+            val n = hi - lo
             val sumLen = blocksDf.agg(coalesce(sum(col("sum_tf")), lit(0L)))
               .collect()(0).getLong(0)
             val meta = SegmentMeta(id, b.toLong, n, sumLen, lineage,
@@ -241,17 +243,18 @@ object IndexBuilder {
       .getOrElse(-1L) + 1
     val local = DocIds.assign(turns,
       Seq(col("conv_id"), col("turn_idx")), numPartitions)
-    val docs = local.docs.withColumn("docid", col("docid") + lit(base))
-      .persist(StorageLevel.DISK_ONLY)
-    val n = docs.count() // materializes the outer pin …
-    local.release()      // … so the inner range-shuffled base can go
+    val n = local.total
     if (n == 0) {
       // empty batch (streaming micro-batch with no rows, or an empty
       // conv slice): do not write a zero-doc segment — its empty blocks
       // parquet cannot be schema-inferred on re-read.
-      docs.unpersist(blocking = false)
+      local.release()
       return None
     }
+    val docs = local.docs.withColumn("docid", col("docid") + lit(base))
+      .persist(StorageLevel.DISK_ONLY)
+    docs.count()    // materializes the outer pin …
+    local.release() // … so the inner range-shuffled base can go
     val id = f"seg_a$nextOrd%05d"
     SegmentStore.writeTable(root, id, "blocks",
       PostingBlocks.buildFromDocs(docs, numPartitions).toDF())

@@ -119,11 +119,15 @@ object TrainOps {
   def dedupMinhashLsh(spark: SparkSession, sfDir: String,
       threshold: Double = 0.5): DataFrame = {
     val sig = lshBuckets(spark, sfDir)
-    val okBuckets = sig.groupBy("band", "bkey")
-      .agg(count(lit(1)).as("bsz"))
+    // cap via a count window over the SAME (band, bkey) key the pair
+    // join shuffles on — one pass, no extra aggregation+join; the two
+    // self-join branches build identical subplans, so the physical plan
+    // reuses the exchange
+    val capped = sig
+      .withColumn("bsz", count(lit(1)).over(
+        Window.partitionBy("band", "bkey")))
       .filter(col("bsz") <= LshBucketCap)
-      .select("band", "bkey")
-    val capped = sig.join(okBuckets, Seq("band", "bkey"))
+      .drop("bsz")
     val cand = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
