@@ -52,6 +52,31 @@ object Analyzers {
     case Folding => Analyzer.fastTokenize(foldToAscii(text))
   }
 
+  /** ShingleFilter analog (contrib Analyzers ShingleFilter): token
+    * n-grams over the Standard chain's terms, joined with '_', emitted
+    * at the position of their FIRST token; unigrams optionally kept
+    * (outputUnigrams, the reference default). */
+  def shingles(text: String, n: Int = 2,
+      keepUnigrams: Boolean = true): Vector[Token] = {
+    val base = Analyzer.fastTokenize(text)
+    val grams = base.sliding(n).filter(_.size == n)
+      .map(w => Token(w.map(_.term).mkString("_"), w.head.pos)).toVector
+    if (keepUnigrams) (base ++ grams).sortBy(t => (t.pos, t.term.length))
+    else grams
+  }
+
+  /** NGramTokenizer analog (contrib Analyzers NGram): all char n-grams
+    * of each Standard-chain term for sizes in [minGram, maxGram],
+    * emitted at the source token's position. */
+  def charNGrams(text: String, minGram: Int = 2,
+      maxGram: Int = 3): Vector[Token] =
+    Analyzer.fastTokenize(text).flatMap { t =>
+      for {
+        size <- minGram to math.min(maxGram, t.term.length)
+        i <- 0 to t.term.length - size
+      } yield Token(t.term.substring(i, i + size), t.pos)
+    }
+
   /** Maximal runs of letters, lowercased (LetterTokenizer + LowerCase). */
   private def letterRuns(text: String): Vector[String] = {
     if (text == null) return Vector.empty

@@ -78,6 +78,18 @@ class AnalyzersSpec extends AnyFunSuite {
       Vector("creme", "brulee", "facade"))
   }
 
+  test("shingles and char n-grams") {
+    // "spark table merge" -> bigram shingles at first-token positions
+    val sh = Analyzers.shingles("spark table merge", 2, keepUnigrams = false)
+    assert(sh.map(t => (t.term, t.pos)) ==
+      Vector(("spark_table", 0), ("table_merge", 1)))
+    val withUni = Analyzers.shingles("spark table", 2)
+    assert(withUni.map(_.term) == Vector("spark", "spark_table", "table"))
+    val ng = Analyzers.charNGrams("fox", 2, 3)
+    assert(ng.map(_.term) == Vector("fo", "ox", "fox"))
+    assert(ng.forall(_.pos == 0))
+  }
+
   test("ascii folding handles specials and combining marks") {
     assert(Analyzers.foldToAscii("straße œuvre Łódź") == "strasse oeuvre Lodz")
     assert(Analyzers.foldToAscii("naïve élan") == "naive elan")
