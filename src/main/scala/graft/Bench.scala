@@ -208,27 +208,37 @@ object Bench {
       // per-run steal fractions are reported.
       val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
       val maxPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPS", "4").toInt
+      // a pair is "disturbed" when hypervisor steal during either of its
+      // runs exceeds this fraction — the redraw criterion is a MEASURED
+      // physical disturbance, never the gate value itself
+      val stealCap =
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_STEAL_CAP", "0.06").toDouble
       val tLows = scala.collection.mutable.ArrayBuffer.empty[Double]
       val tHighs = scala.collection.mutable.ArrayBuffer.empty[Double]
       val steals = scala.collection.mutable.ArrayBuffer.empty[Double]
       // each (low, high) pair is one same-machine-state experiment; its
       // ratio is an efficiency estimate disturbed by whatever the host
-      // did during that window. The LEAST-DISTURBED pair is the best
-      // estimate of the engine's true scaling (this guest's measured
-      // disturbances — steal bursts, kernel page-fault storms — are
-      // strictly slowdowns, and slowdown inside a pair can push its
-      // ratio in either direction, so max-over-pairs does not
-      // systematically flatter). min/min across all runs is reported
-      // alongside for transparency.
+      // did during that window. HEADLINE = median pair efficiency (an
+      // estimator a disturbance cannot systematically inflate); the
+      // least-disturbed (max) pair and the min/min ratio are reported as
+      // diagnostics. Extra pairs beyond `reps` are drawn only while the
+      // last pair was measurably steal-disturbed — a redraw criterion
+      // independent of the measured value.
       def pairEffs = tLows.zip(tHighs).map { case (l, h) => l / (4.0 * h) }
-      def eff = pairEffs.max
-      def pair(): Unit = {
+      def median(xs: Seq[Double]): Double = {
+        val s = xs.sorted
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+      }
+      def pair(): Boolean = { // returns true iff the pair was disturbed
         val (tl, sl) = buildAt(nLow, inputPath)
         val (th, sh) = buildAt(nHigh, inputPath)
         tLows += tl; tHighs += th; steals += sl; steals += sh
+        sl > stealCap || sh > stealCap
       }
-      (1 to reps).foreach(_ => pair())
-      while (eff < 0.8 && tLows.size < maxPairs) pair()
+      var lastDisturbed = false
+      (1 to reps).foreach(_ => lastDisturbed = pair())
+      while (lastDisturbed && tLows.size < maxPairs) lastDisturbed = pair()
       deleteRec(java.nio.file.Paths.get(inputPath))
       deleteRec(java.nio.file.Paths.get(warmPath))
       val (tLow, tHigh) = (tLows.min, tHighs.min)
@@ -244,7 +254,8 @@ object Bench {
           f""""pair_efficiencies":${arr(pairEffs.toSeq)},""" +
           f""""turns_per_sec_n":$thrLow%.0f,"turns_per_sec_4n":$thrHigh%.0f,""" +
           f""""scaling_efficiency_minmin":${tLows.min / (4.0 * tHighs.min)}%.3f,""" +
-          f""""scaling_efficiency":${eff}%.3f}"""
+          f""""scaling_efficiency_best_pair":${pairEffs.max}%.3f,""" +
+          f""""scaling_efficiency":${median(pairEffs.toSeq)}%.3f}"""
     }
 
     // ---- part 2: per-query wall time on the sf dir ----
@@ -255,9 +266,18 @@ object Bench {
     val spark = mkSession(cpus, forBuild = false)
     // build every index flavor FIRST (timed separately): per-query numbers
     // then measure query execution, not first-touch store construction
+    // a prewarm failure must be LOUD: per-query numbers would silently
+    // include first-touch store construction otherwise
+    var prewarmFailed = false
     val flavors = try Engine.prewarm(spark, sfDir)
-      catch { case _: Throwable => Nil }
-    val fl = flavors.map { case (k, v) => f""""$k":$v%.3f""" }
+      catch { case e: Throwable =>
+        prewarmFailed = true
+        System.err.println(s"[bench] prewarm FAILED: $e")
+        e.printStackTrace()
+        Nil
+      }
+    val fl = (flavors.map { case (k, v) => f""""$k":$v%.3f""" } ++
+      (if (prewarmFailed) Seq(""""prewarm_failed":true""") else Nil))
       .mkString("{", ",", "}")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -267,8 +287,28 @@ object Bench {
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // WAND diagnostic: forced-pruned vs plain single-scan disjunction on
+    // the same terms, plus the pruned-block fraction — the "skip lists
+    // only when they pay" evidence (SegmentTermDocs.cs:246-275 analog)
+    val wandJson = try {
+      import graft.search.{BoolQ, Searcher, TermQ, Wand}
+      val idx = Engine.indexSeg(spark, sfDir)
+      val terms = Seq("spark", "hash", "window")
+      def time(f: => Long): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val wandSec = time(Wand.topKDisjunctionPruned(idx, terms, 10).count())
+      val plainSec = time(new Searcher(idx)
+        .topK(BoolQ(should = terms.map(TermQ(_))), 10).count())
+      val (tot, kept) = Wand.pruneStats(idx, terms, 10)
+      f"""{"wand_sec":$wandSec%.3f,"plain_or_sec":$plainSec%.3f,""" +
+        f""""blocks_total":$tot,"blocks_kept":$kept}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] wand diagnostic failed: $e")
+      s"""{"err":"${e.getClass.getSimpleName}"}"""
+    }
     println(
-      f"""{"metric":"total_query_sec","value":$total%.2f,"unit":"sec","queries":$qs,"flavor_build_sec":$fl,"sf":"$sfDir","build":$scalingJson}""")
+      f"""{"metric":"total_query_sec","value":$total%.2f,"unit":"sec","queries":$qs,"flavor_build_sec":$fl,"wand":$wandJson,"sf":"$sfDir","build":$scalingJson}""")
     spark.stop()
   }
 }

@@ -32,26 +32,35 @@ object Engine {
     s"$flavor:${spark.sparkContext.applicationId}:$sfDir"
 
   private def segRoot(spark: SparkSession, sfDir: String, flavor: String) = {
-    // sanitized PATH (not just its hash) keys the store: two sfDirs can
-    // hash-collide, and the lineage-based resume would then silently
-    // "resume" stale segments of another corpus
+    // sanitized path + raw-path hash keys the store: sanitization alone
+    // can collide ('/data/sf.1' vs '_data_sf.1'), a hash alone is
+    // unreadable — the pair is both readable and collision-resistant, so
+    // lineage-based resume can never pick up stale segments of another
+    // corpus
     val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tag = Integer.toHexString(sfDir.hashCode)
     s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_${flavor}_" +
-      s"${spark.sparkContext.applicationId.replace(':', '_')}_$safe"
+      s"${spark.sparkContext.applicationId.replace(':', '_')}_${safe}_$tag"
   }
 
   def index(spark: SparkSession, sfDir: String): InvertedIndex =
     cache.getOrElseUpdate(key(spark, sfDir, "mem"),
       IndexBuilder.build(Transcripts.fromDocuments(spark, sfDir), parts(spark)))
 
-  /** Build → persist as 4 segments → open from the committed manifest. */
+  /** Build → persist as 4 segments → open from the committed manifest.
+    * A dictionary trigram index is persisted alongside (out-of-band job,
+    * like a compaction) so fuzzy/suggest candidate scans are gram-bounded
+    * instead of full-dictionary. */
   def indexSeg(spark: SparkSession, sfDir: String): InvertedIndex =
     cache.getOrElseUpdate(key(spark, sfDir, "seg"), {
       val root = segRoot(spark, sfDir, "seg")
       IndexBuilder.buildSegments(spark,
         Transcripts.fromDocuments(spark, sfDir), root,
         numBatches = 4, numPartitions = parts(spark))
-      SegmentStore.open(spark, root)
+      val idx = SegmentStore.open(spark, root)
+      if (!graft.index.Trigrams.exists(root))
+        graft.index.Trigrams.write(root, idx.termDict, parts(spark))
+      idx.copy(trigrams = Some(graft.index.Trigrams.read(spark, root)))
     })
 
   /** Segmented build, then merge-all + GC (SegmentMerger/Optimize path). */
@@ -173,6 +182,40 @@ object Engine {
     })
     spark.read.parquet(s"$root/tvec")
       .filter(col("docid").isin(docids: _*))
+  }
+
+  /** Highlighter over the persisted term-vectors table
+    * (FastVectorHighlighter.cs:26 shape): hit MATCHES come from the
+    * docid-partitioned tvec parquet (positions in raw-token
+    * coordinates), not from re-matching the analyzed tokens; only the
+    * k hit docs' vectors are fetched (range-pruned scan). Output is
+    * identical to the re-analysis path for non-stopword query terms —
+    * both gate entries share one oracle. */
+  def highlightTvec(spark: SparkSession, sfDir: String, q: Query,
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val idx = indexSeg(spark, sfDir)
+    val terms = QueryAst.terms(q)
+    val hits = new Searcher(idx).topK(q, k)
+      .withColumn("rank",
+        row_number().over(
+          Window.orderBy(col("score").desc, col("docid").asc)).cast("long"))
+      .select(col("rank"), col("docid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val tv = termVectorsOf(spark, sfDir, hits.map(_._2))
+      .filter(col("term").isin(terms.toSeq: _*))
+      .groupBy(col("docid"))
+      .agg(flatten(collect_list(col("positions"))).as("hitpos"))
+    hits.toDF("rank", "docid")
+      .join(tv, Seq("docid"), "left")
+      .join(idx.docs.select(col("docid"), col("text")), Seq("docid"))
+      .select(col("rank"), col("docid"), col("text"),
+        coalesce(col("hitpos"), array().cast("array<int>")).as("hitpos"))
+      .as[(Long, Long, String, Seq[Int])]
+      .map { case (r, d, t, ps) =>
+        (r, d, Highlight.bestFragmentFromPositions(t, ps.toSet)) }
+      .toDF("rank", "docid", "snippet")
+      .orderBy("rank")
   }
 
   def searcher(spark: SparkSession, sfDir: String): Searcher =

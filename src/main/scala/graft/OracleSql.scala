@@ -317,6 +317,10 @@ object OracleSql {
       def spanSql(s: Span): String = s match {
         case STerm(t) =>
           s"(SELECT docid, pos AS s, pos AS e FROM tok WHERE term = ${sq(t)})"
+        case SMask(f, v) =>
+          // FieldMaskingSpanQuery analog: keyword field as one width-0
+          // span at position 0 per matching doc
+          s"(SELECT docid, 0 AS s, 0 AS e FROM docs WHERE $f = ${sq(v)})"
         case SNear(cs, slop, true) =>
           cs.map(spanSql).reduce { (a, b) =>
             val (x, y) = (al(), al())
@@ -328,8 +332,23 @@ object OracleSql {
           s"""(SELECT * FROM ${spanSql(SNear(Seq(a, b), slop, true))} ${al()}
              | UNION
              | SELECT * FROM ${spanSql(SNear(Seq(b, a), slop, true))} ${al()})""".stripMargin
-        case SNear(_, _, false) =>
-          sys.error("unordered SNear supports exactly 2 clauses")
+        case SNear(cs, slop, false) =>
+          // N>=3 unordered: envelope of one span per clause (any order,
+          // overlap allowed), envelopeWidth - Σ clauseWidths <= slop —
+          // mirrors Searcher.spanQuery's combination product
+          val aliased = cs.map(c => (spanSql(c), al()))
+          val (h, ha) = aliased.head
+          val joins = aliased.tail
+            .map { case (sql2, a2) =>
+              s"JOIN $sql2 $a2 ON $a2.docid = $ha.docid" }
+            .mkString(" ")
+          val ss = aliased.map { case (_, a2) => s"$a2.s" }.mkString(", ")
+          val es = aliased.map { case (_, a2) => s"$a2.e" }.mkString(", ")
+          val cov = aliased
+            .map { case (_, a2) => s"($a2.e - $a2.s + 1)" }.mkString(" + ")
+          s"""(SELECT DISTINCT $ha.docid, least($ss) AS s, greatest($es) AS e
+             | FROM $h $ha $joins
+             | WHERE greatest($es) - least($ss) + 1 - ($cov) <= $slop)""".stripMargin
         case SFirst(sub, end) =>
           s"(SELECT * FROM ${spanSql(sub)} ${al()} WHERE e < $end)"
         case SNot(inc, exc) =>
@@ -339,7 +358,7 @@ object OracleSql {
              |   WHERE $x.docid = $i.docid AND $x.s <= $i.e AND $x.e >= $i.s))""".stripMargin
       }
       val minW = Spans.requiredLeaves(sp).size - 1
-      val reqD = Spans.requiredLeaves(sp).distinct
+      val reqD = Spans.termsOf(Spans.requiredLeaves(sp).distinct)
       s"""(SELECT g.docid,
          |   ${sumIdfSql(reqD)} * (g.tfp * 2.2)
          |     / (g.tfp + 1.2 * (1.0 - 0.75 + 0.75 * l.len / st.avgdl)) AS score
@@ -424,6 +443,45 @@ object OracleSql {
        |FROM ${scoreSql(q)} sq JOIN docs d ON d.docid = sq.docid
        |ORDER BY $order
        |LIMIT $k""".stripMargin
+  }
+
+  /** Highlighter oracle (contrib Highlighter.cs:34 analog): for each
+    * top-k hit, the best `window`-raw-token window by query-term
+    * occurrence count (leftmost tie-break), matched tokens wrapped in
+    * [brackets] — the exact arithmetic of Highlight.bestFragment
+    * expressed over the rawtok CTE (DuckDB 1-based list slicing). */
+  def highlight(q: Query, k: Int, window: Int): String = {
+    val inList = QueryAst.terms(q).toSeq.sorted.map(sq).mkString(", ")
+    s"""$prelude,
+       |hits AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY sq.score DESC, sq.docid) AS BIGINT) AS rank,
+       |         sq.docid
+       |  FROM ${scoreSql(q)} sq
+       |  ORDER BY sq.score DESC, sq.docid
+       |  LIMIT $k),
+       |htoks AS (
+       |  SELECT h.rank, h.docid, r.toks,
+       |         least($window, len(r.toks)) AS w, len(r.toks) AS n
+       |  FROM hits h JOIN rawtok r USING (docid)),
+       |starts AS (
+       |  -- lateral generate_series is unsupported for table functions;
+       |  -- unnest(range(...)) in the select list expands rows instead
+       |  SELECT rank, docid, toks, w,
+       |         unnest(range(1, n - w + 2)) AS i
+       |  FROM htoks),
+       |best AS (
+       |  SELECT rank, docid, toks, w, i FROM (
+       |    SELECT rank, docid, toks, w, i,
+       |           row_number() OVER (PARTITION BY docid ORDER BY
+       |             len(list_filter(toks[i:i+w-1], t -> t IN ($inList))) DESC,
+       |             i ASC) AS rn
+       |    FROM starts) z
+       |  WHERE rn = 1)
+       |SELECT rank, docid,
+       |  array_to_string(list_transform(toks[i:i+w-1],
+       |    t -> CASE WHEN t IN ($inList) THEN '[' || t || ']' ELSE t END),
+       |    ' ') AS snippet
+       |FROM best ORDER BY rank""".stripMargin
   }
 
   /** Score-breakdown oracle (Explain analog) — operand order identical

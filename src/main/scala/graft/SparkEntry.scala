@@ -159,12 +159,40 @@ object SparkEntry {
       STerm("batch")), 3))),
     "ft_span_nested_not" -> TopK(SpanQ(SNot(
       SNear(Seq(STerm("table"), STerm("merge")), 3), STerm("key")))),
+    // N-clause unordered near (NearSpansUnordered.cs:32 envelope
+    // semantics) + FieldMaskingSpanQuery analog (keyword field as a
+    // width-0 span at position 0 inside the text span algebra)
+    "ft_span_unord3" -> TopK(SpanQ(SNear(
+      Seq(STerm("table"), STerm("merge"), STerm("key")), 6,
+      inOrder = false))),
+    "ft_span_mask" -> TopK(SpanQ(SNear(
+      Seq(SMask("role", "assistant"), STerm("table")), 5))),
     "ft_mlt" -> TopK(MoreLikeThisQ(7L, 8)),
 
     // --- MultiFieldQueryParser analog: parser-built AST through the
     // same co-generated spec path (oracle derives from the same AST) ---
     "ft_multifield" -> TopK(QueryParser.parseMultiField(
       "spark role:assistant merge", Seq("text", "role"))),
+
+    // --- highlighter (contrib Highlighter / FastVectorHighlighter) ---
+    // best-window snippets over the top-k hits; the tvec variant takes
+    // its matches from the term-vectors table (same oracle: position-set
+    // marking == token-equality marking for non-stopword query terms)
+    "ft_highlight" -> Raw(
+      (s, dir) => {
+        val idx = Engine.index(s, dir)
+        Highlight.highlight(idx, new Searcher(idx),
+          BoolQ(should = Seq(TermQ("table"), TermQ("merge"))), 10)
+      },
+      OracleSql.highlight(
+        BoolQ(should = Seq(TermQ("table"), TermQ("merge"))), 10,
+        Highlight.Window)),
+    "ft_highlight_tvec" -> Raw(
+      (s, dir) => Engine.highlightTvec(s, dir,
+        BoolQ(should = Seq(TermQ("table"), TermQ("merge"))), 10),
+      OracleSql.highlight(
+        BoolQ(should = Seq(TermQ("table"), TermQ("merge"))), 10,
+        Highlight.Window)),
 
     // --- spell suggest (contrib SpellChecker analog) ---
     "ft_suggest" -> Raw(
@@ -218,6 +246,16 @@ object SparkEntry {
     "ft_seg_term" -> Raw(
       (s, dir) => Engine.topKOn(Engine.indexSeg(s, dir), TermQ("table"), 10),
       OracleSql.topK(TermQ("table"), 10)),
+    // fuzzy through the persisted trigram table (gram-bounded candidate
+    // scan — SpellChecker.cs:60 n-gram index shape; same oracle as the
+    // full-scan-equivalent ft_fuzzy by the pigeonhole recall guarantee)
+    // ("warnimg"~1: both pigeonhole pieces are >= 3 chars, so the
+    // gram-bounded path actually engages — "tble"~2's pieces are too
+    // short and would fall back to the contains() scan)
+    "ft_fuzzy_seg" -> Raw(
+      (s, dir) => Engine.topKOn(Engine.indexSeg(s, dir),
+        FuzzyQ("warnimg", 1), 10),
+      OracleSql.topK(FuzzyQ("warnimg", 1), 10)),
     "ft_seg_prefix" -> Raw(
       (s, dir) => Engine.topKOn(Engine.indexSeg(s, dir),
         BoolQ(must = Seq(PrefixQ("sp"), TermQ("key"))), 10),
@@ -321,17 +359,10 @@ object SparkEntry {
     Engine.topK(spark, "/root/testdata/sf0.001", TermQ("table"), 10)
 
   /** Operators with no SQL-expressible oracle — the driver records a
-    * weaker rows-only check for these. */
+    * weaker rows-only check for these. (Empty since round 3: the
+    * highlighter window-argmax turned out to be SQL-expressible.) */
   private def noOracleSpecs: Seq[(String, (SparkSession, String) => DataFrame)] =
-    Seq(
-      // contrib Highlighter analog: deterministic best-window snippets
-      // over the top-k hits (post-retrieval map — not SQL-shaped).
-      "ft_highlight" -> ((s, dir) => {
-        val idx = Engine.index(s, dir)
-        Highlight.highlight(idx, new Searcher(idx),
-          BoolQ(should = Seq(TermQ("table"), TermQ("merge"))), 10)
-      }),
-    )
+    Seq()
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

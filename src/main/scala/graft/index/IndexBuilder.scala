@@ -30,7 +30,10 @@ final case class InvertedIndex(
     numDocs: Long,
     avgdl: Double,
     blocks: Option[DataFrame] = None,
-    deleted: Option[DataFrame] = None) {
+    deleted: Option[DataFrame] = None,
+    /** Optional persisted (gram, term, df) dictionary trigram index
+      * ([[Trigrams]]) — bounds fuzzy/suggest candidate scans. */
+    trigrams: Option[DataFrame] = None) {
 
   /** Anti-join the live delete set (deleted docs are skipped at
     * iteration, stats stay stale until merge — SegmentTermDocs.Next /

@@ -91,6 +91,18 @@ object SegmentStore {
       SegmentMeta(unesc(m.group(1)), m.group(2).toLong, m.group(3).toLong,
         m.group(4).toLong, unesc(m.group(6)), m.group(5).toLong)
     }.toSeq.sortBy(_.ord)
+    // parse-completeness guard: a manifest written by an older/newer
+    // format (e.g. missing maxDocid) would match ZERO segment objects and
+    // silently read as an empty store — appendSegment would then re-base
+    // docids at 0 and commit a manifest dropping every prior segment.
+    // Count raw `"id":"..."` keys inside the segments array and fail
+    // loudly on any mismatch (loud format error > silent data loss).
+    // (a bare `"id":"` can only open a segment object: strings inside the
+    // manifest are escaped, so an embedded quote is always `\"`)
+    val rawIds = """"id":"""".r.findAllMatchIn(json).size
+    if (rawIds != segs.size)
+      sys.error(s"manifest format mismatch: $rawIds segment ids present " +
+        s"but only ${segs.size} parsed — refusing to open (json: $json)")
     val dels = DelsRe.findFirstMatchIn(json)
       .map(m => DelRe.findAllMatchIn(m.group(1)).map(x => unesc(x.group(1)))
         .toSeq)

@@ -36,6 +36,32 @@ object Highlight {
     }.mkString(" ")
   }
 
+  /** Position-set variant (FastVectorHighlighter.cs:26 shape): matches
+    * come from the TERM VECTORS' position lists instead of re-matching
+    * token strings. Positions are raw-token coordinates (the analyzer's
+    * pos counter runs over ALL word runs, stop words included), so a
+    * position p marks raw token p. For non-stopword query terms the two
+    * markings are identical — asserted by sharing one oracle. */
+  def bestFragmentFromPositions(text: String, hits: Set[Int],
+      window: Int = Window): String = {
+    val raw = Analyzer.rawTokens(text)
+    if (raw.isEmpty) return ""
+    val hit = raw.indices.map(hits.contains)
+    val n = raw.length
+    val w = math.min(window, n)
+    var best = 0; var bestScore = -1
+    var i = 0
+    var run = hit.slice(0, w).count(identity)
+    while (i + w <= n) {
+      if (run > bestScore) { bestScore = run; best = i }
+      if (i + w < n) run += (if (hit(i + w)) 1 else 0) - (if (hit(i)) 1 else 0)
+      i += 1
+    }
+    raw.zipWithIndex.slice(best, best + w).map { case (t, p) =>
+      if (hits.contains(p)) s"[$t]" else t
+    }.mkString(" ")
+  }
+
   /** (rank, docid, snippet) for the query's top-k hits. Rank is an
     * explicit materialized column (row_number over the mandatory
     * (score desc, docid asc) order, computed over the k collected rows)

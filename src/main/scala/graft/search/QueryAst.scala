@@ -118,8 +118,21 @@ final case class MultiPhraseQ(slots: Seq[(Seq[String], Int)]) extends Query
 sealed trait Span
 /** SpanTermQuery.cs:29 — every occurrence is a width-0 span. */
 final case class STerm(term: String) extends Span
+/** FieldMaskingSpanQuery.cs:72 analog: spans of a PARALLEL field
+  * participate in the masked field's span algebra. Our parallel fields
+  * are the keyword columns (role/tool/conv_id), projected into the text
+  * position space as one width-0 span at position 0 per matching doc —
+  * the aligned-parallel-field pattern the reference's own doc example
+  * uses (teacher/student fields with aligned positions). Contributes no
+  * idf (keyword semantics, like KeywordQ). */
+final case class SMask(field: String, value: String) extends Span
 /** SpanNearQuery.cs:34 over arbitrary sub-spans (nesting allowed).
-  * inOrder=false supports exactly 2 clauses (both orders chained). */
+  * inOrder=false with 2 clauses chains both orders (non-overlapping);
+  * with N>=3 clauses it uses NearSpansUnordered.cs:32 envelope
+  * semantics: one span per clause in ANY order (overlaps allowed — the
+  * reference's documented quirk), result span = the envelope
+  * [min start, max end], matching iff envelopeWidth - Σ clauseWidths
+  * <= slop. */
 final case class SNear(clauses: Seq[Span], slop: Int,
     inOrder: Boolean = true) extends Span
 /** SpanFirstQuery.cs:31 — spans ending before `end`. */
@@ -133,19 +146,30 @@ final case class SNot(include: Span, exclude: Span) extends Span
 final case class SpanQ(span: Span) extends Query
 
 object Spans {
-  def leaves(s: Span): Seq[String] = s match {
-    case STerm(t) => Seq(t)
+  /** A positions source for one span leaf: a text term (posting list) or
+    * a masked keyword field (width-0 span at position 0). */
+  sealed trait SLeaf
+  final case class TermLeaf(term: String) extends SLeaf
+  final case class MaskLeaf(field: String, value: String) extends SLeaf
+
+  def leaves(s: Span): Seq[SLeaf] = s match {
+    case STerm(t) => Seq(TermLeaf(t))
+    case SMask(f, v) => Seq(MaskLeaf(f, v))
     case SNear(cs, _, _) => cs.flatMap(leaves)
     case SFirst(sub, _) => leaves(sub)
     case SNot(i, e) => leaves(i) ++ leaves(e)
   }
   /** Leaves on the REQUIRED side only (SNot excludes join optionally). */
-  def requiredLeaves(s: Span): Seq[String] = s match {
-    case STerm(t) => Seq(t)
+  def requiredLeaves(s: Span): Seq[SLeaf] = s match {
+    case STerm(t) => Seq(TermLeaf(t))
+    case SMask(f, v) => Seq(MaskLeaf(f, v))
     case SNear(cs, _, _) => cs.flatMap(requiredLeaves)
     case SFirst(sub, _) => requiredLeaves(sub)
     case SNot(i, _) => requiredLeaves(i)
   }
+  /** Text terms among a leaf list (idf carriers; masks contribute 0). */
+  def termsOf(ls: Seq[SLeaf]): Seq[String] =
+    ls.collect { case TermLeaf(t) => t }
 }
 
 /** contrib MoreLikeThis.cs:138 — top-N tf·idf terms of a source doc

@@ -59,43 +59,114 @@ final class Searcher(idx: InvertedIndex) {
     case _ => None
   }
 
-  /** Single-scan flat boolean (clause list = (term, ord, occur, boost)):
-    * ONE postings scan for ALL TermQ leaves — the round-1 plan read the
-    * block table once per clause (a 3-term OR = 3 scans). Clause
-    * membership is recovered from the `term` column via a broadcast
-    * clause map; one hash agg per doc computes, in the SAME deterministic
-    * clause-ord order as the compositional path, the per-occur sums and
-    * counts (BooleanScorer2 algebra, BooleanQuery.cs:350-424). */
-  private def flatBool(clauses: Seq[(String, String, String, Double)],
-      nMust: Int, nShould: Int, msm: Int): DataFrame = {
+  /** One flattened clause-group of a boolean tree: a simple term clause
+    * is a trivial group (nMust=1); a pure-term sub-BoolQ keeps its own
+    * inner (nMust, nShould, msm) algebra evaluated per doc from the same
+    * single scan. */
+  private final case class FlatGroup(gid: String, outerOccur: String,
+      nMust: Int, nShould: Int, msm: Int)
+
+  /** Flatten a BoolQ whose clauses are all simple terms or PURE-TERM
+    * sub-BoolQs into (rows = (term, gid, ord, occur, boost), groups).
+    * Deeper nesting returns None (the compositional path then recurses,
+    * and each one-level-flattenable subtree still gets a single scan). */
+  private def flattenBool(q: BoolQ)
+      : Option[(Seq[(String, String, String, String, Double)], Seq[FlatGroup])] = {
+    def subRows(q2: BoolQ, gid: String)
+        : Option[Seq[(String, String, String, String, Double)]] = {
+      val cl =
+        q2.must.map(c => (c, "m")) ++ q2.should.map(c => (c, "s")) ++
+          q2.mustNot.map(c => (c, "n"))
+      require(cl.size <= Searcher.MaxClauseCount,
+        s"too many boolean clauses (maxClauseCount=${Searcher.MaxClauseCount})")
+      val simple = cl.zipWithIndex.map { case ((c, oc), i) =>
+        asSimpleTerm(c).map { case (t, b) => (t, gid, f"$oc$i%03d", oc, b) }
+      }
+      if (simple.forall(_.isDefined)) Some(simple.map(_.get)) else None
+    }
+    val outer =
+      q.must.map(c => (c, "m")) ++ q.should.map(c => (c, "s")) ++
+        q.mustNot.map(c => (c, "n"))
+    require(q.must.nonEmpty || q.should.nonEmpty, "empty BooleanQuery")
+    require(outer.size <= Searcher.MaxClauseCount,
+      s"too many boolean clauses (maxClauseCount=${Searcher.MaxClauseCount})")
+    val parts = outer.zipWithIndex.map { case ((c, oc), i) =>
+      val gid = f"$oc$i%03d"
+      asSimpleTerm(c) match {
+        case Some((t, b)) =>
+          Some((Seq((t, gid, "m000", "m", b)), FlatGroup(gid, oc, 1, 0, 0)))
+        case None => c match {
+          case sub: BoolQ if sub.must.nonEmpty || sub.should.nonEmpty =>
+            subRows(sub, gid).map(rs =>
+              (rs, FlatGroup(gid, oc, sub.must.size, sub.should.size,
+                sub.minShouldMatch)))
+          case _ => None
+        }
+      }
+    }
+    if (parts.forall(_.isDefined))
+      Some((parts.flatMap(_.get._1), parts.map(_.get._2)))
+    else None
+  }
+
+  /** Single-scan grouped boolean: ONE postings scan for EVERY term leaf
+    * of a (possibly one-level-nested) boolean tree — the round-2 plan
+    * re-scanned blocks once per nested sub-query. Clause membership is
+    * recovered via a broadcast clause map (a term in several clauses
+    * joins to several rows); one hash agg per doc collects the rows
+    * sorted by (gid, ord), then per-GROUP inner boolean algebra and the
+    * outer algebra are pure column expressions over that array
+    * (BooleanScorer2 algebra, BooleanQuery.cs:350-424). Scores sum in
+    * (gid, ord) order — deterministic run to run. */
+  private def groupedBool(
+      rows: Seq[(String, String, String, String, Double)],
+      groups: Seq[FlatGroup], outerMsm: Int): DataFrame = {
     val spark = idx.docs.sparkSession
     import spark.implicits._
-    val cmap = clauses.toDF("term", "ord", "occur", "boost")
-    val rows = termScores(clauses.map(_._1).toSet)
+    val cmap = rows.toDF("term", "gid", "ord", "occur", "boost")
+    val scored = termScores(rows.map(_._1).toSet)
       .join(broadcast(cmap), Seq("term"))
-      .select(col("docid"), col("ord"), col("occur"),
+      .select(col("docid"), col("gid"), col("ord"), col("occur"),
         (col("tscore") * col("boost")).as("score"))
     val allSorted = sort_array(collect_list(
-      struct(col("ord"), col("occur"), col("score"))))
+      struct(col("gid"), col("ord"), col("occur"), col("score"))))
+    def garr(g: FlatGroup): Column =
+      filter(col("all"), x => x.getField("gid") === g.gid)
     def sumOf(a: Column, tag: String): Column =
       aggregate(filter(a, x => x.getField("occur") === tag),
         lit(0.0), (acc, x) => acc + x.getField("score"))
     def cntOf(a: Column, tag: String): Column =
       size(filter(a, x => x.getField("occur") === tag)).cast("long")
-    val agg = rows.groupBy(col("docid"))
-      .agg(allSorted.as("all"))
-      .select(col("docid"),
-        sumOf(col("all"), "m").as("mscore"), cntOf(col("all"), "m").as("mcnt"),
-        sumOf(col("all"), "s").as("sscore"), cntOf(col("all"), "s").as("scnt"),
-        cntOf(col("all"), "n").as("ncnt"))
-      .filter(col("ncnt") === 0)
-    if (nMust > 0) {
-      val base = agg.filter(col("mcnt") === nMust)
-      val gated = if (nShould > 0) base.filter(col("scnt") >= msm) else base
-      gated.select(col("docid"), (col("mscore") + col("sscore")).as("score"))
-    } else
-      agg.filter(col("scnt") >= math.max(1, msm))
-        .select(col("docid"), col("sscore").as("score"))
+    val agg = scored.groupBy(col("docid")).agg(allSorted.as("all"))
+    // per-group matched flag + score as derived columns (small, driver-
+    // enumerated group list — clause count is capped at MaxClauseCount)
+    val withG = groups.foldLeft(agg) { (df, g) =>
+      val a = garr(g)
+      val inner =
+        if (g.nMust > 0) {
+          val base = cntOf(a, "m") === g.nMust
+          if (g.nShould > 0) base && cntOf(a, "s") >= g.msm else base
+        } else cntOf(a, "s") >= math.max(1, g.msm)
+      val matched = inner && cntOf(a, "n") === 0L
+      val gscore =
+        if (g.nMust > 0) sumOf(a, "m") + sumOf(a, "s") else sumOf(a, "s")
+      df.withColumn(s"${g.gid}_ok", matched)
+        .withColumn(s"${g.gid}_sc", when(matched, gscore).otherwise(lit(0.0)))
+    }
+    val (mustG, shouldG, notG) = (groups.filter(_.outerOccur == "m"),
+      groups.filter(_.outerOccur == "s"), groups.filter(_.outerOccur == "n"))
+    def okCnt(gs: Seq[FlatGroup]): Column =
+      gs.map(g => when(col(s"${g.gid}_ok"), lit(1)).otherwise(lit(0)))
+        .reduceOption(_ + _).getOrElse(lit(0))
+    def scSum(gs: Seq[FlatGroup]): Column =
+      gs.map(g => col(s"${g.gid}_sc")).reduceOption(_ + _).getOrElse(lit(0.0))
+    var out = withG.filter(okCnt(notG) === 0)
+    if (mustG.nonEmpty) out = out.filter(okCnt(mustG) === mustG.size)
+    if (shouldG.nonEmpty) {
+      val floor = if (mustG.isEmpty) math.max(1, outerMsm) else outerMsm
+      if (floor > 0) out = out.filter(okCnt(shouldG) >= floor)
+    }
+    out.select(col("docid"), (scSum(mustG) + scSum(shouldG)).as("score"))
   }
 
   /** Evaluate to one row per matching doc: (docid: long, score: double). */
@@ -103,19 +174,9 @@ final class Searcher(idx: InvertedIndex) {
     case TermQ(t) =>
       termScores(Set(t)).select(col("docid"), col("tscore").as("score"))
 
-    case BoolQ(must, should, mustNot, msm)
-        if (must.nonEmpty || should.nonEmpty) &&
-          (must ++ should ++ mustNot).forall(asSimpleTerm(_).isDefined) =>
-      require(must.size + should.size + mustNot.size <= Searcher.MaxClauseCount,
-        s"too many boolean clauses (maxClauseCount=${Searcher.MaxClauseCount})")
-      val cl =
-        must.zipWithIndex.map { case (c, i) =>
-          val (t, b) = asSimpleTerm(c).get; (t, f"m$i%03d", "m", b) } ++
-        should.zipWithIndex.map { case (c, i) =>
-          val (t, b) = asSimpleTerm(c).get; (t, f"s$i%03d", "s", b) } ++
-        mustNot.zipWithIndex.map { case (c, i) =>
-          val (t, b) = asSimpleTerm(c).get; (t, f"n$i%03d", "n", b) }
-      flatBool(cl, must.size, should.size, msm)
+    case q: BoolQ if flattenBool(q).isDefined =>
+      val (rows, groups) = flattenBool(q).get
+      groupedBool(rows, groups, q.minShouldMatch)
 
     case BoolQ(must, should, mustNot, msm) =>
       require(must.nonEmpty || should.nonEmpty, "empty BooleanQuery")
@@ -159,8 +220,14 @@ final class Searcher(idx: InvertedIndex) {
       multiTerm(col("term").startsWith(p), rw)
 
     case RegexQ(pat, rw) =>
-      // whole-term match (RegexTermEnum anchors the pattern)
-      multiTerm(col("term").rlike("^(?:" + pat + ")$"), rw)
+      // whole-term match (RegexTermEnum anchors the pattern); a literal
+      // pattern prefix becomes a startsWith pre-filter — a range scan on
+      // a term-sorted dictionary instead of a full regex scan (the
+      // WildcardTermEnum.cs:32 prefix-seek analog)
+      val rx = col("term").rlike("^(?:" + pat + ")$")
+      val pfx = Searcher.regexLiteralPrefix(pat)
+      multiTerm(
+        if (pfx.nonEmpty) col("term").startsWith(pfx) && rx else rx, rw)
 
     case FunctionQ(e) =>
       // ValueSourceQuery: every live doc, score = f(forward columns)
@@ -173,7 +240,14 @@ final class Searcher(idx: InvertedIndex) {
         .select(col("docid"), (col("score") * col("__cs")).as("score"))
 
     case WildcardQ(pat, rw) =>
-      multiTerm(col("term").rlike(Searcher.globToRegex(pat)), rw)
+      // constant-prefix pushdown (WildcardTermEnum.cs:32: the enum seeks
+      // to the literal prefix before matching): `spark*`-style patterns
+      // become a dictionary RANGE predicate + residual regex, not a full
+      // dictionary regex scan
+      val rx = col("term").rlike(Searcher.globToRegex(pat))
+      val pfx = pat.takeWhile(c => c != '*' && c != '?')
+      multiTerm(
+        if (pfx.nonEmpty) col("term").startsWith(pfx) && rx else rx, rw)
 
     case TermRangeQ(lo, hi, il, ih, rw) =>
       val conds = Seq(
@@ -187,15 +261,26 @@ final class Searcher(idx: InvertedIndex) {
       // generation uses the pigeonhole filter (Navarro's partition
       // lemma): split the query into maxEdits+1 contiguous pieces — any
       // term within maxEdits edits contains >=1 piece EXACTLY, so the
-      // cheap substring pre-filter has guaranteed recall and the
-      // expensive levenshtein DP runs once per surviving candidate, not
-      // per dictionary term (the round-1 plan ran the DP twice over the
-      // FULL dict). Results are therefore identical to a full scan. At
-      // 10^9 terms the pieces map onto a persisted n-gram index
-      // (SpellChecker.cs:60 shape) instead of a contains() scan.
+      // pre-filter has guaranteed recall and the expensive levenshtein
+      // DP runs once per surviving candidate, not per dictionary term.
+      // Results are therefore identical to a full scan. When the index
+      // carries a persisted trigram table (SpellChecker.cs:60 shape) and
+      // every piece is >= 3 chars, candidates come from a BOUNDED
+      // gram-range scan of that table (a contained piece implies its
+      // first trigram is shared) instead of a full-dictionary contains()
+      // scan — the 10^9-term path.
       val pieces = Searcher.pigeonPieces(t, maxEdits)
-      val cand = idx.termDict
-        .filter(pieces.map(p => col("term").contains(p)).reduce(_ || _))
+      val candBase = idx.trigrams match {
+        case Some(tg) if pieces.forall(_.length >= 3) =>
+          val grams = pieces.map(_.substring(0, 3)).distinct
+          tg.filter(col("gram").isin(grams: _*))
+            .select(col("term"), col("df")).distinct()
+        case _ =>
+          idx.termDict
+            .filter(pieces.map(p => col("term").contains(p)).reduce(_ || _))
+            .select(col("term"), col("df"))
+      }
+      val cand = candBase
         .withColumn("dist", levenshtein(col("term"), lit(t)))
         .filter(col("dist") <= maxEdits)
         .select(col("term"), col("df"),
@@ -362,7 +447,12 @@ final class Searcher(idx: InvertedIndex) {
       case ConstantScore => constantOverTerms(dictPred)
       case ScoringBoolean => scoredOverTerms(dictPred)
       case AutoRewrite =>
-        if (idx.termDict.filter(dictPred).count() <= Searcher.AutoRewriteTermCap)
+        // the decision only needs "≤ cap or not": cap the count so each
+        // partition's scan stops after cap+1 matches (LocalLimit early
+        // termination) instead of counting the whole dictionary
+        if (idx.termDict.filter(dictPred)
+            .limit(Searcher.AutoRewriteTermCap + 1).count()
+            <= Searcher.AutoRewriteTermCap)
           scoredOverTerms(dictPred)
         else constantOverTerms(dictPred)
     }
@@ -461,31 +551,44 @@ final class Searcher(idx: InvertedIndex) {
     * position" rule of the flat span family); freq = Σ 1/(1 + totalGap)
     * where totalGap = e - s - (#leaf positions - 1). */
   private def spanQuery(sp: Span): DataFrame = {
+    import Spans.{MaskLeaf, SLeaf, TermLeaf}
     val req = Spans.requiredLeaves(sp)
-    val reqD = req.distinct
-    val excl = (Spans.leaves(sp).distinct.toSet -- reqD.toSet).toSeq.sorted
-    val dfs = dfOf(reqD.toSet)
-    if (!reqD.forall(dfs.contains))
+    // term leaves first: the head leaf's posting rows carry `len` for
+    // tfNorm without a docLens join (masks have no len column)
+    val reqD = req.distinct.sortBy { case TermLeaf(_) => 0; case _ => 1 }
+    val excl = (Spans.leaves(sp).distinct.toSet -- reqD.toSet).toSeq
+      .sortBy(_.toString)
+    val reqTerms = Spans.termsOf(reqD)
+    val dfs = dfOf(reqTerms.toSet)
+    if (!reqTerms.forall(dfs.contains))
       return idx.docs.select(col("docid"), lit(1.0).as("score"))
         .filter(lit(false))
-    val sumIdf = reqD.map(t => Bm25.idf(idx.numDocs, dfs(t))).sum
+    // masked keyword leaves contribute no idf (keyword semantics)
+    val sumIdf = reqTerms.map(t => Bm25.idf(idx.numDocs, dfs(t))).sum
 
-    // one position column per distinct term; required terms inner-join,
-    // exclude-only terms left-join (missing -> empty array)
-    val colOf: Map[String, String] =
-      (reqD ++ excl).zipWithIndex.map { case (t, i) => t -> s"pos$i" }.toMap
-    val base = reqD.zipWithIndex.map { case (t, i) =>
-      val p = idx.postingsFor(Seq(t))
-      if (i == 0)
-        p.select(col("docid"), col("positions").as(colOf(t)), col("len"))
-      else p.select(col("docid"), col("positions").as(colOf(t)))
+    // one position column per distinct leaf; required leaves inner-join,
+    // exclude-only leaves left-join (missing -> empty array)
+    val colOf: Map[SLeaf, String] =
+      (reqD ++ excl).zipWithIndex.map { case (l, i) => l -> s"pos$i" }.toMap
+    def sourceOf(l: SLeaf): DataFrame = l match {
+      case TermLeaf(t) => idx.postingsFor(Seq(t))
+        .select(col("docid"), col("positions").as(colOf(l)), col("len"))
+      case MaskLeaf(f, v) => idx.docs.filter(col(f) === v)
+        .select(col("docid"),
+          array(lit(0)).cast("array<int>").as(colOf(l)))
+    }
+    val base = reqD.zipWithIndex.map { case (l, i) =>
+      val src = sourceOf(l)
+      if (i == 0) src else src.drop("len")
     }.reduce((a, b) => a.join(b, Seq("docid")))
-    val joined = excl.foldLeft(base) { (acc, t) =>
-      acc.join(idx.postingsFor(Seq(t))
-          .select(col("docid"), col("positions").as(colOf(t))),
-          Seq("docid"), "left")
-        .withColumn(colOf(t),
-          coalesce(col(colOf(t)), array().cast("array<int>")))
+    // an all-mask required set has no len column: fall back to docLens
+    val based =
+      if (reqD.headOption.exists(_.isInstanceOf[TermLeaf])) base
+      else base.join(idx.docLens, Seq("docid"))
+    val joined = excl.foldLeft(based) { (acc, l) =>
+      acc.join(sourceOf(l).drop("len"), Seq("docid"), "left")
+        .withColumn(colOf(l),
+          coalesce(col(colOf(l)), array().cast("array<int>")))
     }
 
     def chain(a: Column, b: Column, slop: Int): Column =
@@ -497,15 +600,37 @@ final class Searcher(idx: InvertedIndex) {
 
     def spansOf(s: Span): Column = s match {
       case STerm(t) =>
-        transform(col(colOf(t)), p => struct(p.as("s"), p.as("e")))
+        transform(col(colOf(TermLeaf(t))), p => struct(p.as("s"), p.as("e")))
+      case SMask(f, v) =>
+        transform(col(colOf(MaskLeaf(f, v))), p => struct(p.as("s"), p.as("e")))
       case SNear(cs, slop, true) =>
         cs.map(spansOf).reduce((a, b) => chain(a, b, slop))
       case SNear(Seq(a, b), slop, false) =>
         array_distinct(concat(
           chain(spansOf(a), spansOf(b), slop),
           chain(spansOf(b), spansOf(a), slop)))
-      case SNear(_, _, false) =>
-        sys.error("unordered SNear supports exactly 2 clauses")
+      case SNear(cs, slop, false) =>
+        // NearSpansUnordered.cs:32 envelope semantics for N>=3: one span
+        // per clause in any order (overlap allowed — the reference's
+        // documented quirk), envelope [min s, max e], match iff
+        // envelopeWidth - Σ clauseWidths <= slop. Combination product
+        // over per-clause span arrays — per-doc occurrence counts are
+        // small (position arrays), never a row explosion.
+        val init = transform(spansOf(cs.head), x =>
+          struct(x.getField("s").as("s"), x.getField("e").as("e"),
+            (x.getField("e") - x.getField("s") + lit(1)).as("cov")))
+        val combined = cs.tail.foldLeft(init) { (acc, c) =>
+          flatten(transform(acc, a => transform(spansOf(c), y =>
+            struct(least(a.getField("s"), y.getField("s")).as("s"),
+              greatest(a.getField("e"), y.getField("e")).as("e"),
+              (a.getField("cov") + y.getField("e") - y.getField("s") +
+                lit(1)).as("cov")))))
+        }
+        array_distinct(transform(
+          filter(combined, z =>
+            z.getField("e") - z.getField("s") + lit(1) - z.getField("cov")
+              <= slop),
+          z => struct(z.getField("s").as("s"), z.getField("e").as("e"))))
       case SFirst(sub, end) =>
         filter(spansOf(sub), x => x.getField("e") < end)
       case SNot(inc, exc) =>
@@ -655,6 +780,23 @@ object Searcher {
     val n = k + 1
     val cuts = (0 to n).map(i => i * q.length / n)
     (0 until n).map(i => q.substring(cuts(i), cuts(i + 1))).distinct
+  }
+
+  /** Longest literal prefix of a regex: stops at the first metachar and
+    * before any quantified atom (`ab*c` → "a" — the b is optional). Used
+    * to turn anchored dictionary regex scans into range predicates. */
+  def regexLiteralPrefix(pat: String): String = {
+    val meta = "\\^$.|?*+()[]{}"
+    val sb = new StringBuilder
+    var i = 0
+    var done = false
+    while (i < pat.length && !done) {
+      val c = pat(i)
+      if (meta.indexOf(c) >= 0) done = true
+      else if (i + 1 < pat.length && "?*+{".indexOf(pat(i + 1)) >= 0) done = true
+      else { sb += c; i += 1 }
+    }
+    sb.toString
   }
 
   def globToRegex(glob: String): String =

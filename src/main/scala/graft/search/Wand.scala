@@ -13,18 +13,26 @@ import graft.index.{Codec, InvertedIndex, PostingBlocks}
   * upgrade of the same idea: skip whole posting blocks whose score upper
   * bound cannot reach the current top-k threshold.
   *
-  * Distributed formulation (no sequential cursor — a two-pass plan):
-  *  pass 1 (seed): exact-score the postings of the single term with the
-  *    highest block-max bound; its k-th score is a valid LOWER bound T on
-  *    the final k-th total score (any doc's total ≥ its single-term
-  *    contribution).
-  *  pass 2 (prune): a block b of term t can only contain docs with total
-  *    score ≤ UB_t(b) + Σ_{t'≠t} gmax_{t'}; if that is < T the whole
-  *    block is skipped BEFORE decode (the filter runs on the compressed
-  *    block table's stat columns — Parquet row-group pruning applies).
-  *  pass 3 (exact): surviving blocks yield candidate docids; candidates
-  *    are re-scored against the FULL postings of all query terms, so
-  *    returned scores are exact, not truncated.
+  * Distributed formulation — ONE action, no driver round trips (the
+  * round-2 shape collected the seed scores to the driver between passes;
+  * three sequential jobs lost to the single-scan disjunction on fixed
+  * scheduling cost alone):
+  *  threshold (in-plan): exact-score the postings of the single term
+  *    with the highest block-max bound; its k-th score is a valid LOWER
+  *    bound T on the final k-th total score (any doc's total ≥ its
+  *    single-term contribution). T is a broadcast 1-row subplan, not a
+  *    collected scalar.
+  *  prune (in-plan): a block b of term t can only contain docs with
+  *    total score ≤ UB_t(b) + Σ_{t'≠t} gmax_{t'}; if that is < T the
+  *    whole block is skipped BEFORE decode (the filter runs on the
+  *    compressed block table's stat columns — Parquet row-group pruning
+  *    applies).
+  *  rescore (bounded decode): surviving blocks yield candidate docids;
+  *    candidates are re-scored against the full postings of all query
+  *    terms, but ONLY blocks whose [min_docid, max_docid] range contains
+  *    a candidate are decoded (each candidate hits ≤1 block per term) —
+  *    the round-2 rescore decoded every block of every term, which
+  *    erased the pruning win. Returned scores are exact, not truncated.
   *
   * UB_t(b) = idf_t · tfNorm(max_tf(b), min_len(b)) is a true bound:
   * tfNorm is monotone increasing in tf and decreasing in len.
@@ -33,18 +41,21 @@ import graft.index.{Codec, InvertedIndex, PostingBlocks}
 object Wand {
 
   /** Below this many estimated posting blocks across the query's terms,
-    * pruning cannot pay for its extra passes (each Spark job carries
-    * fixed scheduling cost, and a few hundred 128-posting blocks decode
-    * in milliseconds) — the planner devolves to the plain single-scan
-    * disjunction, exactly as the reference only engages skip lists for
-    * df >= skipInterval (SegmentTermDocs.cs:246-275). The estimate is
-    * free: ceil(df / blockSize) from the already-collected dictionary
-    * rows. */
-  val MinBlocksForPruning = 512
+    * pruning cannot pay for its extra plan complexity (threshold subplan
+    * + stat scan + bounded rescore) — the planner devolves to the plain
+    * single-scan disjunction, exactly as the reference only engages skip
+    * lists for df >= skipInterval (SegmentTermDocs.cs:246-275). The
+    * estimate is free: ceil(df / blockSize) from the already-collected
+    * dictionary rows. Calibrated by measurement at sf0.1 (see
+    * BASELINE.md): the one-action rework brought the pruned path from
+    * ~3x the plain scan down to parity at ~1.5k blocks; decode volume
+    * (not job count) now dominates, so the cutoff sits where the pruned
+    * fraction typically observed (>=30%) repays the extra stat scan. */
+  val MinBlocksForPruning = 2048
 
   private final case class Plan(
       live: Seq[String],
-      kept: DataFrame,
+      result: DataFrame,
       totalBlocks: () => Long,
       keptBlocks: () => Long)
 
@@ -59,25 +70,27 @@ object Wand {
     if (live.isEmpty) return None
     val idf = live.map(t => t -> Bm25.idf(idx.numDocs, dfs(t))).toMap
 
-    // seed threshold: exact top-k of the single term most likely to own
-    // high scores ALONE — the highest-idf term among those with df >= k
-    // (a rarer term cannot fill a k-heap and would yield t0 = 0)
+    // threshold: exact top-k of the single term most likely to own high
+    // scores ALONE — the highest-idf term among those with df >= k (a
+    // rarer term cannot fill a k-heap and would yield t0 = 0). Kept
+    // IN-PLAN as a 1-row broadcast subtree: no driver collect.
     val seed = live.filter(t => dfs(t) >= k) match {
       case Seq() => live.maxBy(t => dfs(t))
       case withK => withK.maxBy(idf)
     }
-    val seedScores = searcher.termScores(Set(seed))
+    val t0df = searcher.termScores(Set(seed))
       .orderBy(col("tscore").desc).limit(k)
-      .collect().map(_.getAs[Double]("tscore"))
-    val t0 = if (seedScores.length == k) seedScores.min else 0.0
+      .agg(min(col("tscore")).as("mn"), count(lit(1)).as("c"))
+      .select(when(col("c") === k, col("mn")).otherwise(lit(0.0)).as("t0"))
 
-    // single pruning pass, all bounds IN-PLAN (no block-stat collect):
-    // ub(block) from stats; per-term gmax via a tiny re-aggregation of
-    // the same stat columns; keep block b of term t iff
+    // pruning, all bounds IN-PLAN (no block-stat collect): ub(block)
+    // from stats; per-term gmax via a tiny re-aggregation of the same
+    // stat columns; keep block b of term t iff
     // ub_t(b) + Σ_{t'≠t} gmax_t' >= t0.
-    val idfDf = live.map(t => (t, idf(t))).toDF("term", "idf")
-    val withUb = blocks.filter(col("term").isin(live: _*))
-      .join(broadcast(idfDf), Seq("term"))
+    val idfDf = live.map(t => (t, idf(t), dfs(t))).toDF("term", "idf", "df")
+    val blocksLive = blocks.filter(col("term").isin(live: _*))
+    val withUb = blocksLive
+      .join(broadcast(idfDf.select("term", "idf")), Seq("term"))
       .withColumn("ub", col("idf") *
         Bm25.tfNorm(col("max_tf").cast("double"),
           col("min_len").cast("double"), idx.avgdl))
@@ -86,11 +99,36 @@ object Wand {
     val kept = withUb
       .join(broadcast(gmaxDf), Seq("term"))
       .crossJoin(broadcast(totalDf))
-      .filter(col("ub") >= lit(t0) - (col("gsum") - col("gmax")))
-      .drop("idf", "ub", "gmax", "gsum")
+      .crossJoin(broadcast(t0df))
+      .filter(col("ub") >= col("t0") - (col("gsum") - col("gmax")))
+      .drop("idf", "ub", "gmax", "gsum", "t0")
+
+    // candidate docids (deletes excluded so the rescore never resurrects
+    // a deleted doc), then exact deterministic rescoring of candidates
+    // against ONLY the blocks whose docid range can contain them
+    val cand0 = PostingBlocks.toPostings(kept).select(col("docid")).distinct()
+    val candidates = idx.deleted match {
+      case Some(d) => cand0.join(d, Seq("docid"), "left_anti")
+      case None => cand0
+    }
+    val rescoreBlocks = blocksLive.as("b")
+      .join(broadcast(candidates.as("c")),
+        col("c.docid").between(col("b.min_docid"), col("b.max_docid")),
+        "left_semi")
+    val result = PostingBlocks.toPostings(rescoreBlocks)
+      .join(broadcast(candidates), Seq("docid"), "left_semi")
+      .join(broadcast(idfDf.select("term", "df")), Seq("term"))
+      .select(col("docid"), col("term"),
+        Bm25.score(idx.numDocs, idx.avgdl, col("df"), col("tf"), col("len"))
+          .as("tscore"))
+      .groupBy(col("docid")).agg(
+        aggregate(
+          sort_array(collect_list(struct(col("term"), col("tscore")))),
+          lit(0.0), (acc, x) => acc + x.getField("tscore")).as("score"))
+      .orderBy(col("score").desc, col("docid").asc).limit(k)
     // both counts are DIAGNOSTIC thunks (pruneStats only): the query
     // path must never pay a full block count per query
-    Some(Plan(live, kept, () => withUb.count(), () => kept.count()))
+    Some(Plan(live, result, () => withUb.count(), () => kept.count()))
   }
 
   private def estBlocks(dfs: Map[String, Long]): Long =
@@ -99,12 +137,14 @@ object Wand {
   /** Pruned top-k for OR(terms): (docid, score), exact scores. Adaptive:
     * short posting lists take the plain single-scan disjunction (same
     * result by the tested invariant; pruning engages only when the
-    * estimated block count can amortize the seed pass). */
+    * estimated block count can amortize the stat scan). */
   def topKDisjunction(idx: InvertedIndex, terms: Seq[String], k: Int): DataFrame = {
     val searcher = new Searcher(idx)
     val dfs = searcher.dfOf(terms.toSet)
     if (estBlocks(dfs) < MinBlocksForPruning)
-      return searcher.topK(BoolQ(should = terms.map(TermQ(_))), k)
+      // distinct: the pruned path dedups terms too (plan() live list), so
+      // both paths agree on duplicate-term input
+      return searcher.topK(BoolQ(should = terms.distinct.map(TermQ(_))), k)
     topKPruned(idx, terms, k, dfs)
   }
 
@@ -121,17 +161,7 @@ object Wand {
     plan(idx, terms, k, dfs) match {
       case None =>
         spark.range(0).select(col("id").as("docid"), lit(0.0).as("score"))
-      case Some(p) =>
-        val candidates = PostingBlocks.toPostings(p.kept)
-          .select(col("docid")).distinct()
-        // exact deterministic rescoring of candidates only
-        new Searcher(idx).termScores(p.live.toSet)
-          .join(candidates, Seq("docid"), "left_semi")
-          .groupBy(col("docid")).agg(
-            aggregate(
-              sort_array(collect_list(struct(col("term"), col("tscore")))),
-              lit(0.0), (acc, x) => acc + x.getField("tscore")).as("score"))
-          .orderBy(col("score").desc, col("docid").asc).limit(k)
+      case Some(p) => p.result
     }
   }
 
