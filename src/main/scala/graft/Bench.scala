@@ -297,11 +297,18 @@ object Bench {
       def time(f: => Long): Double = {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
-      val wandSec = time(Wand.topKDisjunctionPruned(idx, terms, 10).count())
+      val adaptiveSec = time(Wand.topKDisjunction(idx, terms, 10).count())
+      val forcedSec = time(Wand.topKDisjunctionPruned(idx, terms, 10).count())
       val plainSec = time(new Searcher(idx)
         .topK(BoolQ(should = terms.map(TermQ(_))), 10).count())
       val (tot, kept) = Wand.pruneStats(idx, terms, 10)
-      f"""{"wand_sec":$wandSec%.3f,"plain_or_sec":$plainSec%.3f,""" +
+      // kept==total on this corpus is a DATA property (29-term synthetic
+      // dictionary, near-uniform tf/len → homogeneous per-block bounds;
+      // analysis in BASELINE.md) — exactly why the adaptive path devolves
+      // and wand_adaptive_sec tracks plain_or_sec; the skew spec in
+      // SegmentStoreSpec shows kept < total when the data allows pruning
+      f"""{"wand_adaptive_sec":$adaptiveSec%.3f,"wand_forced_sec":$forcedSec%.3f,""" +
+        f""""plain_or_sec":$plainSec%.3f,""" +
         f""""blocks_total":$tot,"blocks_kept":$kept}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] wand diagnostic failed: $e")

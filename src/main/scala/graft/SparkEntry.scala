@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.analysis.StemVectors
 import graft.search._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -24,6 +25,19 @@ object SparkEntry {
   /** Raw SQL pair for index-table dumps and non-query ops. */
   final case class Raw(spark: (SparkSession, String) => DataFrame,
       sql: String) extends Spec
+
+  /** The nested-boolean tree the ft_explain_bool gate decomposes (same
+    * shape as ft_nested_bool plus a boosted should clause). */
+  private val ExplainTreeQ: Query = BoolQ(
+    must = Seq(BoolQ(should = Seq(TermQ("scan"), TermQ("filter"))),
+      TermQ("row")),
+    should = Seq(BoostQ(TermQ("merge"), 1.5)),
+    mustNot = Seq(TermQ("dup")))
+
+  /** Every gate TopK query AST — ExplainSpec sweeps these with the
+    * CheckHits Explain-equals-Score invariant. */
+  def gateTopKQueries: Seq[(String, Query)] =
+    ftSpecs.collect { case (n, TopK(q, _)) => (n, q) }
 
   // ---------------------------------------------------------------------
   // The operator inventory (SURVEY.md §2) as specs
@@ -137,6 +151,19 @@ object SparkEntry {
     "ft_explain_term" -> Raw(
       (s, dir) => Engine.explainTerm(s, dir, "merge"),
       OracleSql.explainTerm("merge")),
+    // Explain() over an arbitrary query TREE: the compositional
+    // decomposition's per-doc total must equal the score DuckDB derives
+    // independently for the same nested boolean (ExplainSpec additionally
+    // sweeps every gate TopK query shape against topK scores)
+    "ft_explain_bool" -> Raw(
+      (s, dir) => new Searcher(Engine.index(s, dir))
+        .explain(ExplainTreeQ)
+        .select(col("docid"), round(col("value"), 4).as("value"))
+        .orderBy("docid"),
+      s"""${OracleSql.prelude}
+         |SELECT sq.docid, round(sq.score, 4) AS value
+         |FROM ${OracleSql.scoreSql(ExplainTreeQ)} sq
+         |ORDER BY sq.docid""".stripMargin),
 
     // --- contrib Regex / Function / CustomScore queries (§2.5) ---
     "ft_regex" -> TopK(BoolQ(
@@ -193,6 +220,37 @@ object SparkEntry {
       OracleSql.highlight(
         BoolQ(should = Seq(TermQ("table"), TermQ("merge"))), 10,
         Highlight.Window)),
+
+    // --- Snowball language analyzers (contrib Snowball / De / Fr) ---
+    // The gate runs the stemmers over a fixed vocabulary against the
+    // HAND-DERIVED vectors (frozen in the oracle as VALUES — DuckDB has
+    // no offline stemmer, and the vectors were traced from the published
+    // algorithm on paper, independent of the implementation; same
+    // method as SnowballSpec / the Porter paper vectors).
+    "ft_stem_de" -> Raw(
+      (s, dir) => {
+        import s.implicits._
+        StemVectors.german.map(_._1).toDF("word")
+          .select(col("word"))
+          .map(r => (r.getString(0),
+            graft.analysis.GermanStemmer.stem(r.getString(0))))
+          .toDF("word", "stem").orderBy("word")
+      },
+      "SELECT * FROM (VALUES " + StemVectors.german.sortBy(_._1)
+        .map { case (w, st) => s"('$w', '$st')" }.mkString(", ") +
+        ") AS t(word, stem) ORDER BY word"),
+    "ft_stem_fr" -> Raw(
+      (s, dir) => {
+        import s.implicits._
+        StemVectors.french.map(_._1).toDF("word")
+          .select(col("word"))
+          .map(r => (r.getString(0),
+            graft.analysis.FrenchStemmer.stem(r.getString(0))))
+          .toDF("word", "stem").orderBy("word")
+      },
+      "SELECT * FROM (VALUES " + StemVectors.french.sortBy(_._1)
+        .map { case (w, st) => s"('$w', '$st')" }.mkString(", ") +
+        ") AS t(word, stem) ORDER BY word"),
 
     // --- spell suggest (contrib SpellChecker analog) ---
     "ft_suggest" -> Raw(

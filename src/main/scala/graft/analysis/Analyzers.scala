@@ -31,6 +31,13 @@ object Analyzers {
   case object Stop extends Kind
   case object English extends Kind
   case object Folding extends Kind
+  /** GermanAnalyzer.cs:41 analog: Standard tokens → German stop set →
+    * Snowball German stemmer. */
+  case object German extends Kind
+  /** FrenchAnalyzer.cs:46 analog: Standard tokens → elision (l'avion →
+    * avion, ElisionFilter.cs:56 default article set) → French stop
+    * set → Snowball French stemmer. */
+  case object French extends Kind
 
   def tokenize(kind: Kind, text: String): Vector[Token] = kind match {
     case Standard => Analyzer.fastTokenize(text)
@@ -50,7 +57,71 @@ object Analyzers {
       Analyzer.fastTokenize(text).map(t =>
         Token(PorterStemmer.stem(t.term), t.pos))
     case Folding => Analyzer.fastTokenize(foldToAscii(text))
+    case German =>
+      // raw (pre-English-stop) tokens with positional gaps for the
+      // German stop set, then stem — position = raw-token index, the
+      // same coordinate system as the Standard chain
+      Analyzer.rawTokens(text).zipWithIndex.collect {
+        case (t, i) if t.nonEmpty && !GermanStopWords(t) &&
+            t.length <= Analyzer.MaxTokenLength =>
+          Token(GermanStemmer.stem(t), i)
+      }
+    case French =>
+      Analyzer.rawTokens(text).iterator.map(elide).zipWithIndex.collect {
+        case (t, i) if t.nonEmpty && !FrenchStopWords(t) &&
+            t.length <= Analyzer.MaxTokenLength =>
+          Token(FrenchStemmer.stem(t), i)
+      }.toVector
   }
+
+  /** ElisionFilter.cs:56 — strip a leading article + apostrophe
+    * (l'avion → avion); the default French article set. */
+  val ElisionArticles: Set[String] = Set("l", "m", "t", "qu", "n", "s", "j")
+
+  def elide(t: String): String = {
+    val i = t.indexOf('\'')
+    if (i > 0 && ElisionArticles(t.substring(0, i))) t.substring(i + 1)
+    else t
+  }
+
+  /** GermanAnalyzer.GERMAN_STOP_WORDS (GermanAnalyzer.cs:43). */
+  val GermanStopWords: Set[String] = Set(
+    "einer", "eine", "eines", "einem", "einen", "der", "die", "das",
+    "dass", "daß", "du", "er", "sie", "es", "was", "wer", "wie", "wir",
+    "und", "oder", "ohne", "mit", "am", "im", "in", "aus", "auf", "ist",
+    "sein", "war", "wird", "ihr", "ihre", "ihres", "als", "für", "von",
+    "dich", "dir", "mich", "mir", "mein", "kein", "durch", "wegen")
+
+  /** FrenchAnalyzer.FRENCH_STOP_WORDS (FrenchAnalyzer.cs:64). */
+  val FrenchStopWords: Set[String] = Set(
+    "a", "afin", "ai", "ainsi", "après", "attendu", "au", "aujourd",
+    "auquel", "aussi", "autre", "autres", "aux", "auxquelles", "auxquels",
+    "avait", "avant", "avec", "avoir", "c", "car", "ce", "ceci", "cela",
+    "celle", "celles", "celui", "cependant", "certain", "certaine",
+    "certaines", "certains", "ces", "cet", "cette", "ceux", "chez", "ci",
+    "combien", "comme", "comment", "concernant", "contre", "d", "dans",
+    "de", "debout", "dedans", "dehors", "delà", "depuis", "derrière",
+    "des", "désormais", "desquelles", "desquels", "dessous", "dessus",
+    "devant", "devers", "devra", "divers", "diverse", "diverses", "doit",
+    "donc", "dont", "du", "duquel", "durant", "dès", "elle", "elles",
+    "en", "entre", "environ", "est", "et", "etc", "etre", "eu", "eux",
+    "excepté", "hormis", "hors", "hélas", "hui", "il", "ils", "j", "je",
+    "jusqu", "jusque", "l", "la", "laquelle", "le", "lequel", "les",
+    "lesquelles", "lesquels", "leur", "leurs", "lorsque", "lui", "là",
+    "ma", "mais", "malgré", "me", "merci", "mes", "mien", "mienne",
+    "miennes", "miens", "moi", "moins", "mon", "moyennant", "même",
+    "mêmes", "n", "ne", "ni", "non", "nos", "notre", "nous", "néanmoins",
+    "nôtre", "nôtres", "on", "ont", "ou", "outre", "où", "par", "parmi",
+    "partant", "pas", "passé", "pendant", "plein", "plus", "plusieurs",
+    "pour", "pourquoi", "proche", "près", "puisque", "qu", "quand", "que",
+    "quel", "quelle", "quelles", "quels", "qui", "quoi", "quoique",
+    "revoici", "revoilà", "s", "sa", "sans", "sauf", "se", "selon",
+    "seront", "ses", "si", "sien", "sienne", "siennes", "siens", "sinon",
+    "soi", "soit", "son", "sont", "sous", "suivant", "sur", "ta", "te",
+    "tes", "tien", "tienne", "tiennes", "tiens", "toi", "ton", "tous",
+    "tout", "toute", "toutes", "tu", "un", "une", "va", "vers", "voici",
+    "voilà", "vos", "votre", "vous", "vu", "vôtre", "vôtres", "y", "à",
+    "ça", "ès", "été", "être", "ô")
 
   /** ShingleFilter analog (contrib Analyzers ShingleFilter): token
     * n-grams over the Standard chain's terms, joined with '_', emitted

@@ -1,0 +1,58 @@
+package graft.analysis
+
+/** Golden (word, stem) vectors for the Snowball German/French stemmers,
+  * derived BY HAND from the published algorithm descriptions — each case
+  * traced through the region/suffix rules on paper, independent of the
+  * implementation (the PorterStemmer paper-vector method). Shared by
+  * SnowballSpec and the ft_stem_de / ft_stem_fr gate entries (the
+  * DuckDB oracle freezes these as a VALUES table: no offline stemmer
+  * exists there). */
+object StemVectors {
+
+  val german: Seq[(String, String)] = Seq(
+    // step 1 declension suffixes in R1
+    "tische" -> "tisch", "tischen" -> "tisch",
+    "häuser" -> "haus", // er in R1, then umlaut removal
+    "aufeinander" -> "aufeinand",
+    "arbeiterinnen" -> "arbeiterinn",
+    // ß → ss, valid-s-ending gate ('s' after 's' is not strippable)
+    "größe" -> "gross", "ausmaß" -> "ausmass",
+    "abschließen" -> "abschliess",
+    // e-deletion then niss → nis
+    "kenntnisse" -> "kenntnis", "bedürfnisse" -> "bedurfnis",
+    // 's' after non-s-ending survives
+    "verständnis" -> "verstandnis",
+    // step 2 st after a valid st-ending with 3+ letters before it
+    "glaubst" -> "glaub", "kleinste" -> "klein",
+    // step 3 derivational suffixes with R2 gating
+    "zufriedenheit" -> "zufried", // heit in R2, then en in R1
+    "beziehung" -> "bezieh", // ung exactly at R2
+    "häufig" -> "haufig", // ig NOT in R2 → kept
+    "schönheit" -> "schonheit", // heit in R1 but not R2 → kept
+    // u between vowels is consonant-marked (affects R1)
+    "bauern" -> "bau",
+    "lesen" -> "les")
+
+  val french: Seq[(String, String)] = Seq(
+    // step 1 standard suffixes
+    "continuellement" -> "continuel", // ement in RV, then un-double ell
+    "franchement" -> "franch",
+    "informations" -> "inform", // ations in R2
+    "majestueux" -> "majestu", // eux in R2
+    "majestueuse" -> "majestu", // euse in R2
+    "nationaux" -> "national", // aux → al in R1
+    "chevaux" -> "cheval",
+    "châteaux" -> "château", // eaux → eau unconditionally
+    "possibilité" -> "possibil", // ité in R2 (no abil/ic/iv before)
+    "logiquement" -> "logiqu", // ement; iqU NOT in R2 → kept
+    // ment found but 2a/2b follow; step-1 deletion stands
+    "absolument" -> "absolu",
+    // step 2a/2b verb suffixes confined to RV
+    "parlaient" -> "parl", // aIent after consonant-marking
+    "importante" -> "import", // ante
+    "qualité" -> "qualit", // ité blocked by R2 → 2b strips é
+    // step 4 residual (no step 1/2 change): s then e
+    "chiens" -> "chien",
+    "traditionnelle" -> "traditionnel", // residual e, then un-double ell
+    "traditionnel" -> "traditionnel")
+}

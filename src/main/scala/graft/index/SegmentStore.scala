@@ -186,20 +186,57 @@ object SegmentStore {
     markComplete(root, meta)
   }
 
+  /** The per-segment DataFrames of one opened segment — the
+    * SegmentReader analog. Immutable once committed, so a later commit
+    * can REUSE the view (and any cache state hanging off its lineage)
+    * for every segment it did not touch. */
+  final case class SegmentView(docs: DataFrame, blocks: DataFrame,
+      dict: DataFrame)
+
+  /** A reopenable commit-point view (IndexReader + its sub-readers). */
+  final case class OpenIndex(version: Long,
+      views: Seq[(String, SegmentView)], index: InvertedIndex)
+
   /** Open the latest commit point as a logical InvertedIndex. Collection
     * stats (numDocs, avgdl) come from the manifest — no scan. The blocks
     * handle is kept so term lookups prune blocks BEFORE decoding
     * (predicate pushdown can't cross the decode flatMap). */
-  def open(spark: SparkSession, root: String): InvertedIndex = {
+  def open(spark: SparkSession, root: String): InvertedIndex =
+    reopen(spark, root, None).index
+
+  /** Incremental reopen (IndexReader.Reopen,
+    * /root/reference/src/core/Index/IndexReader.cs:403-432): if the
+    * commit point is unchanged, returns `prev` itself; otherwise builds
+    * a new view REUSING the per-segment DataFrames of every segment id
+    * the new manifest shares with `prev` — segment dirs are immutable,
+    * so identity-reuse is sound, and a micro-batch reader that persisted
+    * a segment's DataFrames keeps its cache across commits instead of
+    * re-reading every segment from parquet (the round-2 behavior). */
+  def reopen(spark: SparkSession, root: String,
+      prev: Option[OpenIndex]): OpenIndex = {
     val m = latest(root).getOrElse(sys.error(s"no committed manifest in $root"))
     require(m.segments.nonEmpty, s"empty manifest in $root")
-    def unionOf(sub: String): DataFrame =
-      m.segments.map(s => spark.read.parquet(s"${segDir(root, s.id)}/$sub"))
-        .reduce(_ unionByName _)
-    val docs0 = unionOf("docs")
-    val blocks = unionOf("blocks")
+    prev.filter(_.version == m.version).getOrElse {
+      val prevViews: Map[String, SegmentView] =
+        prev.map(_.views.toMap).getOrElse(Map.empty)
+      val views = m.segments.map { s =>
+        s.id -> prevViews.getOrElse(s.id, {
+          val d = segDir(root, s.id)
+          SegmentView(spark.read.parquet(s"$d/docs"),
+            spark.read.parquet(s"$d/blocks"),
+            spark.read.parquet(s"$d/dict"))
+        })
+      }
+      OpenIndex(m.version, views, assemble(spark, root, m, views.map(_._2)))
+    }
+  }
+
+  private def assemble(spark: SparkSession, root: String, m: Manifest,
+      views: Seq[SegmentView]): InvertedIndex = {
+    val docs0 = views.map(_.docs).reduce(_ unionByName _)
+    val blocks = views.map(_.blocks).reduce(_ unionByName _)
     // global dict: docid spaces are disjoint → df/cf add across segments
-    val dict = unionOf("dict").groupBy("term")
+    val dict = views.map(_.dict).reduce(_ unionByName _).groupBy("term")
       .agg(sum("df").as("df"), sum("cf").as("cf"))
     // live delete set applied as an anti-join on docid (SegmentTermDocs
     // skipping deleted docs); stats/df stay un-discounted until a merge

@@ -743,6 +743,80 @@ final class Searcher(idx: InvertedIndex) {
     base.orderBy(Searcher.sortOrder(sorts): _*).limit(k)
   }
 
+  private val PartsType = "array<struct<part:string,value:double>>"
+
+  /** Structural score decomposition for an ARBITRARY query tree — the
+    * Explanation analog (Explanation.cs; CheckHits.cs:41,349 asserts
+    * Explain().Value == hit score for every query shape; ExplainSpec
+    * sweeps every gate TopK query with the same tolerance). Returns
+    * (docid, parts, value): `parts` are leaf contributions whose sum IS
+    * `value`, and `value` must equal score(q) on every doc matching q.
+    * Boolean trees are decomposed COMPOSITIONALLY (per-clause join +
+    * msm/not algebra re-derived here), so the invariant cross-checks the
+    * optimized single-scan boolean paths against an independent
+    * evaluation; non-decomposable scorers (phrase, span, dismax,
+    * function) are single leaves carrying their full score. */
+  def explain(q: Query): DataFrame =
+    explainParts(q).select(col("docid"), col("parts"),
+      aggregate(col("parts"), lit(0.0),
+        (a, x) => a + x.getField("value")).as("value"))
+
+  private def leafParts(label: String, scored: DataFrame): DataFrame =
+    scored.select(col("docid"),
+      array(struct(lit(label).as("part"), col("score").as("value")))
+        .as("parts"))
+
+  private def explainParts(q: Query): DataFrame = q match {
+    case TermQ(t) =>
+      termScores(Set(t)).select(col("docid"),
+        array(struct(lit(s"weight($t)").as("part"),
+          col("tscore").as("value"))).as("parts"))
+
+    case BoostQ(sub, b) =>
+      explainParts(sub).select(col("docid"),
+        transform(col("parts"), x =>
+          struct(concat(x.getField("part"), lit(s"×$b")).as("part"),
+            (x.getField("value") * lit(b)).as("value"))).as("parts"))
+
+    case BoolQ(must, should, mustNot, msm) =>
+      require(must.nonEmpty || should.nonEmpty, "empty BooleanQuery")
+      def tagged(i: Int, c: Query): DataFrame =
+        explainParts(c).select(col("docid"), col("parts").as(s"p$i"))
+      val mustJ = must.zipWithIndex
+        .map { case (c, i) => tagged(i, c) }
+        .reduceOption((a, b) => a.join(b, Seq("docid")))
+      val shouldJ = should.zipWithIndex
+        .map { case (c, i) => tagged(must.size + i, c) }
+        .reduceOption((a, b) => a.join(b, Seq("docid"), "full_outer"))
+      val joined = (mustJ, shouldJ) match {
+        case (Some(m), Some(s)) => m.join(s, Seq("docid"), "left")
+        case (Some(m), None) => m
+        case (None, Some(s)) => s
+        case _ => sys.error("unreachable: empty BooleanQuery")
+      }
+      val shouldCols = should.indices.map(i => col(s"p${must.size + i}"))
+      val scnt = shouldCols.map(c => when(c.isNotNull, 1).otherwise(0))
+        .reduceOption(_ + _).getOrElse(lit(0))
+      val floor = if (must.isEmpty) math.max(1, msm) else msm
+      val gated =
+        if (should.nonEmpty && floor > 0) joined.filter(scnt >= floor)
+        else joined
+      val anti = mustNot.foldLeft(gated) { (acc, c) =>
+        acc.join(score(c).select("docid"), Seq("docid"), "left_anti")
+      }
+      val allParts = (0 until must.size + should.size)
+        .map(i => coalesce(col(s"p$i"), array().cast(PartsType)))
+      anti.select(col("docid"),
+        flatten(array(allParts: _*)).as("parts"))
+
+    case ConstantScoreQ(sub, sc) =>
+      leafParts(s"ConstantScore($sc)", score(q))
+
+    case other =>
+      // non-decomposable scorer: one leaf carrying the full score
+      leafParts(other.getClass.getSimpleName, score(other))
+  }
+
   /** Per-posting score breakdown for one term — the Explain() analog
     * (the reference asserts Explain == Score, CheckHits.cs:41,349; our
     * spec asserts idf * tfnorm == score the same way). */

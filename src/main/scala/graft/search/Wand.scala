@@ -46,18 +46,32 @@ object Wand {
     * single-scan disjunction, exactly as the reference only engages skip
     * lists for df >= skipInterval (SegmentTermDocs.cs:246-275). The
     * estimate is free: ceil(df / blockSize) from the already-collected
-    * dictionary rows. Calibrated by measurement at sf0.1 (see
-    * BASELINE.md): the one-action rework brought the pruned path from
-    * ~3x the plain scan down to parity at ~1.5k blocks; decode volume
-    * (not job count) now dominates, so the cutoff sits where the pruned
-    * fraction typically observed (>=30%) repays the extra stat scan. */
+    * dictionary rows. Measured at sf0.1 (BENCH_r03 wand diagnostic): the
+    * forced pruned plan costs ~4 s of fixed overhead against a ~1 s
+    * plain scan at ~400 blocks, so the cutoff sits well above that;
+    * above the cutoff the [[PruneWorthFraction]] probe — not this static
+    * guess — makes the final call from measured prunability. */
   val MinBlocksForPruning = 2048
+
+  /** Above the block cutoff, the planner first runs a STAT-ONLY probe
+    * (one aggregation over the block-stat columns + the seed top-k — no
+    * posting decode; at dictionary scale the stats table is orders of
+    * magnitude smaller than the postings) and devolves to the plain
+    * single-scan disjunction when more than this fraction of blocks
+    * survives pruning: a near-complete keep means the pruned plan would
+    * decode everything the plain scan decodes AND pay the extra joins.
+    * Homogeneous corpora (uniform tf/len — e.g. the synthetic testdata
+    * dictionary, where every term's per-block bounds are near-constant)
+    * always devolve; skewed-tf corpora engage (SegmentStoreSpec "WAND
+    * prunes on a tf-skewed corpus"). */
+  val PruneWorthFraction = 0.7
 
   private final case class Plan(
       live: Seq[String],
       result: DataFrame,
-      totalBlocks: () => Long,
-      keptBlocks: () => Long)
+      /** ONE action: (total blocks, blocks surviving pruning) from the
+        * stat columns only — no posting decode. */
+      stats: () => (Long, Long))
 
   private def plan(idx: InvertedIndex, terms: Seq[String], k: Int,
       dfs: Map[String, Long]): Option[Plan] = {
@@ -96,12 +110,13 @@ object Wand {
           col("min_len").cast("double"), idx.avgdl))
     val gmaxDf = withUb.groupBy("term").agg(max(col("ub")).as("gmax"))
     val totalDf = gmaxDf.agg(sum(col("gmax")).as("gsum"))
-    val kept = withUb
+    val flagged = withUb
       .join(broadcast(gmaxDf), Seq("term"))
       .crossJoin(broadcast(totalDf))
       .crossJoin(broadcast(t0df))
-      .filter(col("ub") >= col("t0") - (col("gsum") - col("gmax")))
-      .drop("idf", "ub", "gmax", "gsum", "t0")
+      .withColumn("keep", col("ub") >= col("t0") - (col("gsum") - col("gmax")))
+    val kept = flagged.filter(col("keep"))
+      .drop("keep", "idf", "ub", "gmax", "gsum", "t0")
 
     // candidate docids (deletes excluded so the rescore never resurrects
     // a deleted doc), then exact deterministic rescoring of candidates
@@ -126,9 +141,13 @@ object Wand {
           sort_array(collect_list(struct(col("term"), col("tscore")))),
           lit(0.0), (acc, x) => acc + x.getField("tscore")).as("score"))
       .orderBy(col("score").desc, col("docid").asc).limit(k)
-    // both counts are DIAGNOSTIC thunks (pruneStats only): the query
-    // path must never pay a full block count per query
-    Some(Plan(live, result, () => withUb.count(), () => kept.count()))
+    // the stats thunk is one stat-only aggregation (probe + pruneStats);
+    // the result plan never pays it
+    Some(Plan(live, result, () => {
+      val r = flagged.agg(count(lit(1)).as("tot"),
+        count_if(col("keep")).as("kept")).head()
+      (r.getLong(0), r.getLong(1))
+    }))
   }
 
   private def estBlocks(dfs: Map[String, Long]): Long =
@@ -141,11 +160,19 @@ object Wand {
   def topKDisjunction(idx: InvertedIndex, terms: Seq[String], k: Int): DataFrame = {
     val searcher = new Searcher(idx)
     val dfs = searcher.dfOf(terms.toSet)
-    if (estBlocks(dfs) < MinBlocksForPruning)
-      // distinct: the pruned path dedups terms too (plan() live list), so
-      // both paths agree on duplicate-term input
-      return searcher.topK(BoolQ(should = terms.distinct.map(TermQ(_))), k)
-    topKPruned(idx, terms, k, dfs)
+    // distinct: the pruned path dedups terms too (plan() live list), so
+    // both paths agree on duplicate-term input
+    def plain = searcher.topK(BoolQ(should = terms.distinct.map(TermQ(_))), k)
+    if (estBlocks(dfs) < MinBlocksForPruning) return plain
+    plan(idx, terms, k, dfs) match {
+      case None => plain
+      case Some(p) =>
+        // measured prunability: stat-only probe, then commit to whichever
+        // path the keep fraction says will decode less
+        val (total, kept) = p.stats()
+        if (total == 0 || kept.toDouble / total > PruneWorthFraction) plain
+        else p.result
+    }
   }
 
   /** Force the pruned path regardless of the adaptive cutoff (tests +
@@ -170,6 +197,6 @@ object Wand {
   def pruneStats(idx: InvertedIndex, terms: Seq[String], k: Int): (Long, Long) =
     plan(idx, terms, k, new Searcher(idx).dfOf(terms.toSet)) match {
       case None => (0L, 0L)
-      case Some(p) => (p.totalBlocks(), p.keptBlocks())
+      case Some(p) => p.stats()
     }
 }

@@ -1,0 +1,62 @@
+package graft.analysis
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analysis.Analyzer.Token
+
+/** Golden vectors for the Snowball German/French stemmers, derived BY
+  * HAND from the published algorithm descriptions (the same method as
+  * PorterStemmer's paper vectors — each case was traced through the
+  * region/suffix rules on paper, independently of the implementation).
+  * The reference's own fixtures (test/contrib/Analyzers/De/data.txt)
+  * gate its OLDER recursive GermanStemmer.cs, a different published
+  * algorithm — where behaviors coincide (häufig→haufig, Ausmaß→ausmass,
+  * abschließen→abschliess) the case is included below. */
+class SnowballSpec extends AnyFunSuite {
+
+  private val germanVectors = StemVectors.german
+  private val frenchVectors = StemVectors.french
+
+  test("German Snowball vectors (hand-derived)") {
+    germanVectors.foreach { case (w, want) =>
+      assert(GermanStemmer.stem(w) == want,
+        s"$w: got ${GermanStemmer.stem(w)}, want $want")
+    }
+  }
+
+  test("French Snowball vectors (hand-derived)") {
+    frenchVectors.foreach { case (w, want) =>
+      assert(FrenchStemmer.stem(w) == want,
+        s"$w: got ${FrenchStemmer.stem(w)}, want $want")
+    }
+  }
+
+  test("stemmers are idempotent on their own output") {
+    (germanVectors.map(_._2).map(s => s -> GermanStemmer.stem(s)) ++
+      Seq("haus", "tisch", "bezieh").map(s => s -> GermanStemmer.stem(s)))
+      .foreach { case (s, s2) => assert(s2 == GermanStemmer.stem(s2)) }
+    frenchVectors.map(_._2).foreach { s =>
+      val once = FrenchStemmer.stem(s)
+      assert(FrenchStemmer.stem(once) == FrenchStemmer.stem(once))
+    }
+  }
+
+  test("German analyzer chain: stop words gap positions, then stem") {
+    val toks = Analyzers.tokenize(Analyzers.German,
+      "die Häuser und der kleinste Tisch")
+    // die(0) und(2) der(3) stopped; positions preserved
+    assert(toks == Vector(Token("haus", 1), Token("klein", 4),
+      Token("tisch", 5)))
+  }
+
+  test("French analyzer chain: elision, stop words, stem") {
+    val toks = Analyzers.tokenize(Analyzers.French,
+      "l'avion et les informations nationaux")
+    assert(toks == Vector(Token("avion", 0), Token("inform", 3),
+      Token("national", 4)))
+    // aujourd'hui: 'aujourd' is not an article — elision leaves it;
+    // apostrophe-joined token survives as one term
+    assert(Analyzers.elide("aujourd'hui") == "aujourd'hui")
+    assert(Analyzers.elide("qu'il") == "il")
+  }
+}

@@ -248,6 +248,98 @@ class SegmentStoreSpec extends AnyFunSuite {
     assert(total >= kept && kept > 0)
   }
 
+  test("incremental reopen reuses unchanged segments' views (IndexReader.Reopen)") {
+    val root = tmp()
+    val convs = turns.select("conv_id").distinct().orderBy("conv_id")
+      .collect().map(_.getString(0))
+    val cut = convs(convs.length / 2)
+    IndexBuilder.buildSegments(spark, turns.filter(col("conv_id") < cut),
+      root, 3, 4)
+    val h1 = SegmentStore.reopen(spark, root, None)
+    // unchanged commit → the SAME handle instance (Reopen's same-reader
+    // contract)
+    assert(SegmentStore.reopen(spark, root, Some(h1)) eq h1)
+
+    IndexBuilder.appendSegment(spark, turns.filter(col("conv_id") >= cut),
+      root, 4)
+    val h2 = SegmentStore.reopen(spark, root, Some(h1))
+    assert(h2.version > h1.version)
+    assert(h2.views.size == h1.views.size + 1)
+    // every carried-over segment reuses the previous view BY IDENTITY
+    // (so cache state on those DataFrames survives the reopen)
+    val prevViews = h1.views.toMap
+    h2.views.foreach { case (id, v) =>
+      prevViews.get(id).foreach(pv => assert(v eq pv))
+    }
+    assert(h2.views.count { case (id, _) => prevViews.contains(id) }
+      == h1.views.size)
+
+    // the reopened view answers exactly like a cold open
+    val cold = SegmentStore.open(spark, root)
+    val a = new Searcher(h2.index).topK(TermQ("error"), 10).collect()
+    val b = new Searcher(cold).topK(TermQ("error"), 10).collect()
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq)
+    a.zip(b).foreach { case (x, y) =>
+      assert(math.abs(x.getDouble(1) - y.getDouble(1)) < 1e-12)
+    }
+  }
+
+  test("WAND prunes on a tf-skewed corpus and the probe devolves on a uniform one") {
+    import spark.implicits._
+    // skewed: "jackpot" tf=8 in 96 short docs (one contiguous conv run →
+    // 1-2 posting blocks), tf=1 in 6000 LONG docs, absent from 2000 more
+    // (so idf stays real). Per-block upper bounds idf·tfNorm(max_tf,
+    // min_len) then split ~2.4× apart (t0≈0.59 from the tf=8 docs vs
+    // ub≈0.25 for the tf=1 long-doc blocks), so the tf=1 blocks — the
+    // overwhelming majority — are certified unreachable and pruned
+    // before decode. The purest case is the single-term top-k (the
+    // block-max skip of a TermScorer); a multi-term OR can additionally
+    // prune only when the OTHER terms' global maxima stay below t0
+    // (here: filler idf≈0.01), the fundamental looseness of the
+    // sum-of-gmax bound.
+    val ts = new java.sql.Timestamp(1735689600000L)
+    val rich = (0 until 96).map { i =>
+      graft.model.TranscriptTurn(f"c_rich${i / 16}%04d", i % 16, "user",
+        ("jackpot " * 8).trim, None, ts)
+    }
+    val dilute = (0 until 6000).map { i =>
+      graft.model.TranscriptTurn(f"c_dilute${i / 16}%05d", i % 16, "user",
+        "jackpot " + ("filler " * 120).trim, None, ts)
+    }
+    val quiet = (0 until 2000).map { i =>
+      graft.model.TranscriptTurn(f"c_quiet${i / 16}%05d", i % 16, "user",
+        ("filler " * 10).trim, None, ts)
+    }
+    val root = tmp()
+    IndexBuilder.buildSegments(spark, (rich ++ dilute ++ quiet).toDF(),
+      root, 2, 4)
+    val idx = SegmentStore.open(spark, root)
+    val (total, kept) = Wand.pruneStats(idx, Seq("jackpot"), 10)
+    assert(total > 20, s"corpus too small to block up: $total")
+    assert(kept < total / 4,
+      s"expected the tf=1 blocks pruned, kept $kept of $total")
+    // exactness under real pruning, multi-term (filler's gmax≈0.03 stays
+    // below t0 so jackpot's weak blocks still prune)
+    val terms = Seq("jackpot", "filler")
+    val (t2, k2) = Wand.pruneStats(idx, terms, 10)
+    assert(k2 < t2, s"expected some pruning on the OR, kept $k2 of $t2")
+    val pruned = Wand.topKDisjunctionPruned(idx, terms, 10).collect()
+    val full = new Searcher(idx)
+      .topK(BoolQ(should = terms.map(TermQ(_))), 10).collect()
+    assert(pruned.map(_.getLong(0)).toSeq == full.map(_.getLong(0)).toSeq)
+    pruned.zip(full).foreach { case (p, f) =>
+      assert(math.abs(p.getDouble(1) - f.getDouble(1)) < 1e-9)
+    }
+    // uniform corpus: the stat probe must report near-zero prunability
+    // (the adaptive path then devolves to the single-scan disjunction)
+    val rootU = tmp()
+    IndexBuilder.buildSegments(spark, turns, rootU, 2, 4)
+    val idxU = SegmentStore.open(spark, rootU)
+    val (tU, kU) = Wand.pruneStats(idxU, Seq("error", "the"), 10)
+    assert(kU.toDouble / tU > Wand.PruneWorthFraction,
+      s"uniform corpus should keep ~all blocks, kept $kU of $tU")
+  }
+
   private def deleteRec(p: Path): Unit = {
     if (Files.isDirectory(p))
       Files.list(p).iterator().asScala.toSeq.foreach(deleteRec)

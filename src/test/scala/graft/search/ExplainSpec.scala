@@ -1,0 +1,62 @@
+package graft.search
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.index.IndexBuilder
+import graft.model.Transcripts
+
+/** CheckHits analog (reference test/core/Search/CheckHits.cs:41,349):
+  * for EVERY gate TopK query shape, Explain().value on a hit must equal
+  * the hit's topK score (tolerance 2.5e-4, CheckHits.EXPLAIN_SCORE_
+  * TOLERANCE_DELTA). The explain decomposition re-derives boolean
+  * algebra compositionally, so this cross-checks the optimized
+  * single-scan boolean/dismax paths against an independent evaluation. */
+class ExplainSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private lazy val idx = IndexBuilder.build(
+    Transcripts.synthetic(spark, 1200, seed = 5L, partitions = 4), 4)
+  private lazy val searcher = new Searcher(idx)
+
+  test("Explain.value == topK score for every gate TopK query") {
+    val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+    graft.SparkEntry.gateTopKQueries.foreach { case (name, q) =>
+      val hits =
+        try searcher.topK(q, 10).collect()
+        catch {
+          // corpus-dependent specs (e.g. an MLT source docid absent in
+          // this synthetic corpus) are skipped, not silently passed
+          case e: Exception => skipped += s"$name (${e.getMessage})"; Array.empty[org.apache.spark.sql.Row]
+        }
+      if (hits.nonEmpty) {
+        val ex = searcher.explain(q)
+          .select("docid", "value").collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        hits.foreach { h =>
+          val (docid, score) = (h.getLong(0), h.getDouble(1))
+          assert(ex.contains(docid), s"$name: explain missing doc $docid")
+          assert(math.abs(ex(docid) - score) <= 2.5e-4,
+            s"$name: explain ${ex(docid)} != score $score for doc $docid")
+        }
+      }
+    }
+    // the sweep must actually cover the suite: tolerate only a handful
+    // of corpus-dependent skips
+    assert(skipped.size <= 2, s"too many skipped: $skipped")
+  }
+
+  test("explain parts sum to value and carry leaf labels") {
+    val q = BoolQ(
+      must = Seq(TermQ("error")),
+      should = Seq(BoostQ(TermQ("deploy"), 2.0)))
+    val rows = searcher.explain(q).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val parts = r.getSeq[org.apache.spark.sql.Row](1)
+      val value = r.getDouble(2)
+      assert(math.abs(parts.map(_.getDouble(1)).sum - value) < 1e-9)
+      assert(parts.exists(_.getString(0).startsWith("weight(error)")))
+    }
+  }
+}
