@@ -221,7 +221,7 @@ object Engine {
   def searcher(spark: SparkSession, sfDir: String): Searcher =
     new Searcher(index(spark, sfDir))
 
-  private def ranked(scored: DataFrame): DataFrame =
+  private[graft] def ranked(scored: DataFrame): DataFrame =
     scored.withColumn("rank",
       row_number().over(
         Window.orderBy(col("score").desc, col("docid").asc)).cast("long"))

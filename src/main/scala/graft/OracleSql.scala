@@ -420,6 +420,17 @@ object OracleSql {
        |ORDER BY sq.score DESC, sq.docid
        |LIMIT $k""".stripMargin
 
+  /** Filtered top-k oracle (FilteredQuery + CachingWrapperFilter
+    * analog): the filter GATES docids but contributes no score. */
+  def topKFiltered(q: Query, filterWhere: String, k: Int): String =
+    s"""$prelude
+       |SELECT CAST(row_number() OVER (ORDER BY sq.score DESC, sq.docid) AS BIGINT) AS rank,
+       |       sq.docid, round(sq.score, 4) AS score
+       |FROM ${scoreSql(q)} sq
+       |WHERE sq.docid IN (SELECT docid FROM docs WHERE $filterWhere)
+       |ORDER BY sq.score DESC, sq.docid
+       |LIMIT $k""".stripMargin
+
   /** Count-only oracle (TotalHitCountCollector analog). */
   def countQ(q: Query): String =
     s"""$prelude

@@ -221,6 +221,20 @@ object SparkEntry {
         BoolQ(should = Seq(TermQ("table"), TermQ("merge"))), 10,
         Highlight.Window)),
 
+    // --- cacheable filter (FilteredQuery + CachingWrapperFilter) ---
+    // the persisted docid set gates TWO different scoring queries (the
+    // reuse CachingWrapperFilter exists for); filters contribute no
+    // score. The small per-run persisted set is intentionally not
+    // released inside the entry: the returned plan is evaluated lazily
+    // by the driver after this function returns.
+    "ft_cached_filter" -> Raw(
+      (s, dir) => {
+        val sr = new Searcher(Engine.index(s, dir))
+        val f = sr.cacheFilter(KeywordQ("role", "assistant"))
+        Engine.ranked(sr.topKFiltered(TermQ("table"), f, 10))
+      },
+      OracleSql.topKFiltered(TermQ("table"), "role = 'assistant'", 10)),
+
     // --- Snowball language analyzers (contrib Snowball / De / Fr) ---
     // The gate runs the stemmers over a fixed vocabulary against the
     // HAND-DERIVED vectors (frozen in the oracle as VALUES — DuckDB has

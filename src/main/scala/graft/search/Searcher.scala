@@ -730,6 +730,27 @@ final class Searcher(idx: InvertedIndex) {
   def topK(q: Query, k: Int): DataFrame =
     score(q).orderBy(col("score").desc, col("docid").asc).limit(k)
 
+  /** Build a reusable cached filter (CachingWrapperFilter.cs:33 /
+    * Filter.GetDocIdSet analog): the matching docid set is computed
+    * ONCE and persisted (MEMORY_AND_DISK — spills, never recomputes),
+    * then restricts any number of queries via [[topKFiltered]] without
+    * re-deriving the set per query. Scores are NOT affected by the
+    * filter (FilteredQuery semantics: the filter gates, the query
+    * scores). Call [[Searcher.CachedFilter.release]] when done. */
+  def cacheFilter(q: Query): Searcher.CachedFilter = {
+    val bits = score(q).select("docid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bits.count() // materialize so every consumer hits the cache
+    Searcher.CachedFilter(bits)
+  }
+
+  /** Top-k of `q` restricted to a cached filter's docid set. The join is
+    * a left-semi on the persisted bits — auto-broadcast when small,
+    * shuffled when a filter matches a large fraction (both scale). */
+  def topKFiltered(q: Query, f: Searcher.CachedFilter, k: Int): DataFrame =
+    score(q).join(f.bits, Seq("docid"), "left_semi")
+      .orderBy(col("score").desc, col("docid").asc).limit(k)
+
   /** Field-sorted top-k (TopFieldCollector.cs:35 + Sort.cs:100 +
     * FieldComparator.cs:83-960): sort keys are forward doc columns (the
     * columnar docs table IS the FieldCache — no un-inversion), with
@@ -834,6 +855,12 @@ final class Searcher(idx: InvertedIndex) {
 }
 
 object Searcher {
+  /** A persisted docid set usable across many queries — the
+    * CachingWrapperFilter analog (see [[Searcher.cacheFilter]]). */
+  final case class CachedFilter(bits: DataFrame) {
+    def release(): Unit = bits.unpersist()
+  }
+
   /** BooleanQuery.maxClauseCount (BooleanQuery.cs:76). */
   val MaxClauseCount = 1024
 
