@@ -47,6 +47,20 @@ object Engine {
     cache.getOrElseUpdate(key(spark, sfDir, "mem"),
       IndexBuilder.build(Transcripts.fromDocuments(spark, sfDir), parts(spark)))
 
+  /** positionBoost(firstN=5, boost=2) payload parameters of the payload
+    * flavor — [[OracleSql.payloadTermTopK]] mirrors exactly these. */
+  val PayloadFirstN = 5
+  val PayloadBoost = 2.0f
+
+  /** Mem-flavor index whose postings carry per-occurrence payloads
+    * (early-in-turn tokens boosted — the NumericPayloadTokenFilter-shaped
+    * assigner, graft.analysis.Payloads). */
+  def indexPayload(spark: SparkSession, sfDir: String): InvertedIndex =
+    cache.getOrElseUpdate(key(spark, sfDir, "pay"),
+      IndexBuilder.buildPay(Transcripts.fromDocuments(spark, sfDir),
+        graft.analysis.Payloads.positionBoost(PayloadFirstN, PayloadBoost),
+        parts(spark)))
+
   /** Build → persist as 4 segments → open from the committed manifest.
     * A dictionary trigram index is persisted alongside (out-of-band job,
     * like a compaction) so fuzzy/suggest candidate scans are gram-bounded

@@ -431,6 +431,31 @@ object OracleSql {
        |ORDER BY sq.score DESC, sq.docid
        |LIMIT $k""".stripMargin
 
+  /** Payload-term top-k oracle (PayloadTermQuery + positionBoost
+    * assigner): the payload of an occurrence at position p is `boost`
+    * when p < firstN else the neutral 1.0 — recomputed here from the
+    * positions list, independent of the engine's stored payload bytes. */
+  def payloadTermTopK(term: String, fn: graft.search.PayloadFn,
+      firstN: Int, boost: Double, includeSpanScore: Boolean,
+      k: Int): String = {
+    val payList =
+      s"list_transform(sq.positions, p -> CASE WHEN p < $firstN " +
+        s"THEN CAST($boost AS DOUBLE) ELSE 1.0 END)"
+    val payAgg = fn match {
+      case graft.search.PayAvg => s"list_aggregate($payList, 'avg')"
+      case graft.search.PayMin => s"list_aggregate($payList, 'min')"
+      case graft.search.PayMax => s"list_aggregate($payList, 'max')"
+    }
+    val base = if (includeSpanScore) s"sq.tscore * " else ""
+    s"""$prelude
+       |SELECT CAST(row_number() OVER (ORDER BY s2.score DESC, s2.docid) AS BIGINT) AS rank,
+       |       s2.docid, round(s2.score, 4) AS score
+       |FROM (SELECT sq.docid, $base$payAgg AS score
+       |      FROM scored sq WHERE sq.term = ${sq(term)}) s2
+       |ORDER BY s2.score DESC, s2.docid
+       |LIMIT $k""".stripMargin
+  }
+
   /** Count-only oracle (TotalHitCountCollector analog). */
   def countQ(q: Query): String =
     s"""$prelude

@@ -221,6 +221,23 @@ object SparkEntry {
         BoolQ(should = Seq(TermQ("table"), TermQ("merge"))), 10,
         Highlight.Window)),
 
+    // --- payload family (PayloadTermQuery + payload functions) ---
+    // the payload flavor stores a 2.0 payload on every occurrence at
+    // position < 5 (codec payload bit in the position stream); the
+    // oracle recomputes the same payloads from raw positions
+    "ft_payload_term" -> Raw(
+      (s, dir) => Engine.ranked(new Searcher(Engine.indexPayload(s, dir))
+        .topK(PayloadTermQ("table", PayAvg), 10)),
+      OracleSql.payloadTermTopK("table", PayAvg,
+        Engine.PayloadFirstN, Engine.PayloadBoost.toDouble,
+        includeSpanScore = true, 10)),
+    "ft_payload_max" -> Raw(
+      (s, dir) => Engine.ranked(new Searcher(Engine.indexPayload(s, dir))
+        .topK(PayloadTermQ("merge", PayMax, includeSpanScore = false), 10)),
+      OracleSql.payloadTermTopK("merge", PayMax,
+        Engine.PayloadFirstN, Engine.PayloadBoost.toDouble,
+        includeSpanScore = false, 10)),
+
     // --- cacheable filter (FilteredQuery + CachingWrapperFilter) ---
     // the persisted docid set gates TWO different scoring queries (the
     // reuse CachingWrapperFilter exists for); filters contribute no

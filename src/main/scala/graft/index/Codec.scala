@@ -11,9 +11,14 @@ import scala.collection.mutable.ArrayBuffer
   *    tf==1 → VLong(gap<<1 | 1); else VLong(gap<<1) then VLong(tf)
   *    (reference /root/reference/src/core/Index/FormatPostingsDocsWriter.cs:72-110).
   *  - Position stream: per occurrence, delta from previous position in the
-  *    same doc, VLong-coded (reference
-  *    /root/reference/src/core/Index/FormatPostingsPositionsWriter.cs:56-78,
-  *    payload bit dropped — we carry no payloads).
+  *    same doc, VLong((delta<<1) | hasPayload); when the payload bit is
+  *    set, VLong(float bits) follows — the reference's payload-in-prox
+  *    layout (/root/reference/src/core/Index/FormatPostingsPositionsWriter.cs:56-78
+  *    writes (delta<<1)|1 + length + bytes; we type the payload as ONE
+  *    float, the overwhelmingly common case the reference wraps as
+  *    PayloadHelper-encoded floats in its payload queries,
+  *    /root/reference/src/core/Search/Payloads/PayloadTermQuery.cs:26-40).
+  *    Payload-free streams cost one extra bit per delta and nothing else.
   *  - Doc-length stream (our norms analog — exact ints instead of the
   *    lossy norm byte, see SURVEY.md §1.1): VLong(len) per posting.
   *
@@ -99,7 +104,7 @@ object Codec {
         writeVLong(lensB, p.len)
         var prevPos = 0L
         p.positions.foreach { pp =>
-          writeVLong(posB, pp - prevPos); prevPos = pp
+          writeVLong(posB, (pp - prevPos).toLong << 1); prevPos = pp
         }
         if (p.tf > maxTf) maxTf = p.tf
         if (p.len < minLen) minLen = p.len
@@ -111,13 +116,34 @@ object Codec {
 
   /** VByte-encode one posting's positions (deltas, prev starts at 0) —
     * the per-posting pos stream fragment; block encoding concatenates
-    * these verbatim. */
+    * these verbatim. Payload bit cleared on every occurrence. */
   def encodePositions(positions: Array[Int]): Array[Byte] = {
     val buf = new ArrayBuffer[Byte](positions.length + 2)
     var prev = 0L
     var k = 0
     while (k < positions.length) {
-      writeVLong(buf, positions(k) - prev); prev = positions(k); k += 1
+      writeVLong(buf, (positions(k) - prev) << 1); prev = positions(k); k += 1
+    }
+    buf.toArray
+  }
+
+  /** Positions + per-occurrence payloads (Float.NaN = this occurrence
+    * carries none → payload bit 0, nothing stored). `payloads` is
+    * parallel to `positions`. */
+  def encodePosPay(positions: Array[Int], payloads: Array[Float]): Array[Byte] = {
+    require(positions.length == payloads.length,
+      s"payloads not parallel to positions: ${payloads.length} vs ${positions.length}")
+    val buf = new ArrayBuffer[Byte](positions.length * 2 + 2)
+    var prev = 0L
+    var k = 0
+    while (k < positions.length) {
+      val pay = payloads(k)
+      val hasPay = !java.lang.Float.isNaN(pay)
+      writeVLong(buf,
+        ((positions(k) - prev) << 1) | (if (hasPay) 1L else 0L))
+      if (hasPay)
+        writeVLong(buf, java.lang.Float.floatToIntBits(pay) & 0xffffffffL)
+      prev = positions(k); k += 1
     }
     buf.toArray
   }
@@ -128,12 +154,37 @@ object Codec {
     var prev = 0L
     var k = 0
     while (k < out.length) {
-      val (d, p1) = readVLong(blob, p); p = p1
-      prev += d
+      val (code, p1) = readVLong(blob, p); p = p1
+      if ((code & 1L) == 1L) { val (_, p2) = readVLong(blob, p); p = p2 }
+      prev += code >>> 1
       out(k) = prev.toInt
       k += 1
     }
     out
+  }
+
+  /** Positions + payloads; an occurrence without a stored payload reads
+    * as 1.0f (the reference's DefaultSimilarity.ScorePayload identity —
+    * payload-less occurrences are scored neutrally,
+    * /root/reference/src/core/Search/Payloads/PayloadFunction.cs:30). */
+  def decodePosPay(blob: Array[Byte], tf: Long): (Array[Int], Array[Float]) = {
+    val pos = new Array[Int](tf.toInt)
+    val pay = new Array[Float](tf.toInt)
+    var p = 0
+    var prev = 0L
+    var k = 0
+    while (k < pos.length) {
+      val (code, p1) = readVLong(blob, p); p = p1
+      prev += code >>> 1
+      pos(k) = prev.toInt
+      pay(k) =
+        if ((code & 1L) == 1L) {
+          val (bits, p2) = readVLong(blob, p); p = p2
+          java.lang.Float.intBitsToFloat(bits.toInt)
+        } else 1.0f
+      k += 1
+    }
+    (pos, pay)
   }
 
   /** A pre-shuffle posting: positions already VByte-encoded (compact on
@@ -232,7 +283,11 @@ object Codec {
       val (len, lp1) = readVLong(b.lens, lp); lp = lp1
       val start = pp
       var k = 0L
-      while (k < tf) { val (_, p1) = readVLong(b.pos, pp); pp = p1; k += 1 }
+      while (k < tf) {
+        val (code, p1) = readVLong(b.pos, pp); pp = p1
+        if ((code & 1L) == 1L) { val (_, p2) = readVLong(b.pos, pp); pp = p2 }
+        k += 1
+      }
       i += 1
       RawPosting(b.term, docid, tf, len,
         java.util.Arrays.copyOfRange(b.pos, start, pp))
@@ -276,13 +331,57 @@ object Codec {
       var prevPos = 0L
       var k = 0
       while (k < tf) {
-        val (d, pp1) = readVLong(b.pos, pp); pp = pp1
-        prevPos += d
+        val (code, pp1) = readVLong(b.pos, pp); pp = pp1
+        if ((code & 1L) == 1L) { val (_, pp2) = readVLong(b.pos, pp); pp = pp2 }
+        prevPos += code >>> 1
         positions(k) = prevPos.toInt
         k += 1
       }
       i += 1
       Posting(docid, tf, len, positions)
+    }
+  }
+
+  /** A posting with its per-occurrence payloads materialized (1.0f for
+    * occurrences that stored none). */
+  final case class PostingPay(docid: Long, tf: Long, len: Long,
+      positions: Array[Int], payloads: Array[Float])
+
+  /** Payload-materializing decode — the TermPositions.GetPayload path
+    * (/root/reference/src/core/Index/SegmentTermPositions.cs:141-176).
+    * Only payload queries pay for the float arrays; every other decode
+    * skips payload bytes in-stream. */
+  def decodePay(b: Block): Iterator[PostingPay] = new Iterator[PostingPay] {
+    private var i = 0
+    private var dp = 0
+    private var lp = 0
+    private var pp = 0
+    private var docid = b.minDocid
+    override def hasNext: Boolean = i < b.n
+    override def next(): PostingPay = {
+      val (code, dp1) = readVLong(b.docs, dp); dp = dp1
+      docid += (code >>> 1)
+      val tf =
+        if ((code & 1L) == 1L) 1L
+        else { val (t, dp2) = readVLong(b.docs, dp); dp = dp2; t }
+      val (len, lp1) = readVLong(b.lens, lp); lp = lp1
+      val positions = new Array[Int](tf.toInt)
+      val payloads = new Array[Float](tf.toInt)
+      var prevPos = 0L
+      var k = 0
+      while (k < tf) {
+        val (c, pp1) = readVLong(b.pos, pp); pp = pp1
+        prevPos += c >>> 1
+        positions(k) = prevPos.toInt
+        payloads(k) =
+          if ((c & 1L) == 1L) {
+            val (bits, pp2) = readVLong(b.pos, pp); pp = pp2
+            java.lang.Float.intBitsToFloat(bits.toInt)
+          } else 1.0f
+        k += 1
+      }
+      i += 1
+      PostingPay(docid, tf, len, positions, payloads)
     }
   }
 }

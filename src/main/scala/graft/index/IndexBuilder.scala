@@ -56,6 +56,21 @@ final case class InvertedIndex(
     case None => postings.filter(col("term").isin(terms: _*))
   }
 
+  /** Payload-materializing variant of [[postingsFor]] — adds the
+    * `payloads` column (parallel to positions). Block-backed indexes
+    * decode payloads straight from the position stream's payload bit;
+    * mem-flavor indexes must have been built with
+    * [[IndexBuilder.buildPay]]. */
+  def postingsForPay(terms: Seq[String]): DataFrame = blocks match {
+    case Some(b) =>
+      live(PostingBlocks.toPostingsPay(b.filter(col("term").isin(terms: _*))))
+    case None =>
+      require(postings.columns.contains("payloads"),
+        "payload query over an index built without payloads " +
+          "(use IndexBuilder.buildPay or a block-backed store)")
+      postings.filter(col("term").isin(terms: _*))
+  }
+
   /** Postings for every term matching a dictionary predicate (multi-term
     * rewrites: prefix/wildcard/range/fuzzy — MultiTermQuery.cs:58-200).
     * The matched term set is joined (broadcast) against blocks before
@@ -112,6 +127,53 @@ object IndexBuilder {
       }
   }
 
+  /** Payload-carrying partition-local inversion: identical to
+    * [[invertRaw]] except each occurrence's payload (from `assigner`;
+    * NaN = none) rides in the position blob via the codec's payload bit
+    * — the blob then flows VERBATIM through the range shuffle, run
+    * stitching, and segment persistence, so every storage flavor keeps
+    * payloads for free (the reference threads payloads through
+    * FreqProxTermsWriter the same way, FreqProxTermsWriter.cs:70-157). */
+  def invertRawPay(docs: DataFrame, assigner: graft.analysis.Payloads.Assigner)
+      : org.apache.spark.sql.Dataset[Codec.RawPosting] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("docid"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (docid, text) =>
+          val toks = Analyzer.fastTokenize(text)
+          val len = toks.size.toLong
+          val m = scala.collection.mutable.LinkedHashMap
+            .empty[String, (scala.collection.mutable.ArrayBuffer[Int],
+              scala.collection.mutable.ArrayBuffer[Float])]
+          toks.foreach { t =>
+            val e = m.getOrElseUpdate(t.term,
+              (new scala.collection.mutable.ArrayBuffer[Int](4),
+                new scala.collection.mutable.ArrayBuffer[Float](4)))
+            e._1 += t.pos
+            e._2 += assigner(t.term, t.pos)
+          }
+          m.iterator.map { case (t, (ps, ws)) =>
+            Codec.RawPosting(t, docid, ps.length.toLong, len,
+              Codec.encodePosPay(ps.toArray, ws.toArray))
+          }
+        }
+      }
+  }
+
+  /** Logical-view inversion with payloads materialized as a column
+    * (mem-flavor payload indexes). */
+  def invertPay(docs: DataFrame,
+      assigner: graft.analysis.Payloads.Assigner): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    invertRawPay(docs, assigner).map { r =>
+      val (ps, ws) = Codec.decodePosPay(r.pos_blob, r.tf)
+      PayPostingRow(r.term, r.docid, r.tf, r.len, ps.toSeq, ws.toSeq)
+    }.toDF()
+  }
+
   /** Logical-view inversion (in-memory indexes / tests): decodes the raw
     * position blobs back to arrays. */
   def invert(docs: DataFrame): (DataFrame, DataFrame) = {
@@ -150,6 +212,29 @@ object IndexBuilder {
     assigned.release()
     // sumLen = Σ tf over postings ≡ Σ len over docs (integer arithmetic —
     // exactly reproducible across engines)
+    val sumLen = postings.agg(coalesce(sum(col("tf")), lit(0L)))
+      .collect()(0).getLong(0)
+    InvertedIndex(docs, postings, termDict, docLens, n, sumLen.toDouble / n)
+  }
+
+  /** In-memory build whose postings carry per-occurrence payloads (the
+    * `payloads` column). Every non-payload query works on it unchanged —
+    * the extra column is simply pruned from their plans. */
+  def buildPay(transcripts: DataFrame,
+      assigner: graft.analysis.Payloads.Assigner,
+      numPartitions: Int = 32): InvertedIndex = {
+    val assigned = DocIds.assign(transcripts,
+      Seq(col("conv_id"), col("turn_idx")), numPartitions)
+    val docs = assigned.docs
+    val postings = invertPay(docs, assigner)
+    val docLens = docs.select(col("docid"))
+      .join(postings.groupBy(col("docid")).agg(max(col("len")).as("len")),
+        Seq("docid"), "left")
+      .select(col("docid"), coalesce(col("len"), lit(0L)).as("len"))
+    val termDict = dictOf(postings)
+    docs.cache(); postings.cache(); docLens.cache(); termDict.cache()
+    val n = docs.count()
+    assigned.release()
     val sumLen = postings.agg(coalesce(sum(col("tf")), lit(0L)))
       .collect()(0).getLong(0)
     InvertedIndex(docs, postings, termDict, docLens, n, sumLen.toDouble / n)

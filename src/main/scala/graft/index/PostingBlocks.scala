@@ -26,6 +26,17 @@ final case class PostingRow(
     len: Long,
     positions: Seq[Int])
 
+/** Posting row with per-occurrence payloads (parallel to positions;
+  * 1.0f where the occurrence stored none) — only payload queries
+  * materialize this shape. */
+final case class PayPostingRow(
+    term: String,
+    docid: Long,
+    tf: Long,
+    len: Long,
+    positions: Seq[Int],
+    payloads: Seq[Float])
+
 /** Posting blocks: the at-rest representation of the inverted lists.
   *
   * Build: range-shuffle on (term, docid) — a hot term's postings span
@@ -192,6 +203,20 @@ object PostingBlocks {
         r.max_tf, r.min_len, r.sum_tf, r.docs, r.lens, r.pos))
         .map(p => PostingRow(r.term, p.docid, p.tf, p.len,
           p.positions.toSeq))
+    }.toDF()
+  }
+
+  /** Payload-materializing decode of a block table — the query path for
+    * payload queries only (everything else uses [[toPostings]], which
+    * skips payload bytes in-stream). */
+  def toPostingsPay(blocks: DataFrame): DataFrame = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    blocks.as[BlockRow].flatMap { r =>
+      Codec.decodePay(Codec.Block(r.term, r.n, r.min_docid, r.max_docid,
+        r.max_tf, r.min_len, r.sum_tf, r.docs, r.lens, r.pos))
+        .map(p => PayPostingRow(r.term, p.docid, p.tf, p.len,
+          p.positions.toSeq, p.payloads.toSeq))
     }.toDF()
   }
 

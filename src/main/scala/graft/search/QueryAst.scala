@@ -191,6 +191,21 @@ final case class FunctionQ(exprSql: String) extends Query
   * expression: score = subScore * exprSql(doc). */
 final case class CustomScoreQ(q: Query, exprSql: String) extends Query
 
+/** Per-doc reduction over a term's occurrence payloads
+  * (PayloadFunction.cs:30 family: Average/Min/MaxPayloadFunction). */
+sealed trait PayloadFn
+case object PayAvg extends PayloadFn
+case object PayMin extends PayloadFn
+case object PayMax extends PayloadFn
+
+/** PayloadTermQuery.cs:26-40: term scoring modulated by the payloads at
+  * the match positions — score = bm25(term) * fn(payloads) when
+  * `includeSpanScore` (the reference's IncludeSpanScore), else
+  * fn(payloads) alone. Occurrences without a stored payload read as the
+  * neutral 1.0. */
+final case class PayloadTermQ(term: String, fn: PayloadFn = PayAvg,
+    includeSpanScore: Boolean = true) extends Query
+
 /** Sort key for field-sorted top-k (SortField.cs:43-101): a forward doc
   * column, or the special name "score" (SortField.FIELD_SCORE). */
 final case class SortField(field: String, desc: Boolean = false)
@@ -205,6 +220,7 @@ object QueryAst {
     case ConstantScoreQ(s, _) => terms(s)
     case BoostQ(s, _) => terms(s)
     case DisMaxQ(ds, _) => ds.flatMap(terms).toSet
+    case PayloadTermQ(t, _, _) => Set(t)
     case _ => Set.empty
   }
 }

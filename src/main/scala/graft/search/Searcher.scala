@@ -239,6 +239,28 @@ final class Searcher(idx: InvertedIndex) {
           expr(e).cast("double").as("__cs")), Seq("docid"))
         .select(col("docid"), (col("score") * col("__cs")).as("score"))
 
+    case PayloadTermQ(t, fn, includeSpan) =>
+      // PayloadTermQuery.cs:26-40 — one payload-materializing postings
+      // scan; payloads reduce per doc IN STORED (position) ORDER, so the
+      // float fold is deterministic
+      val dict = idx.termDict.filter(col("term") === t)
+        .select(col("term"), col("df"))
+      val payD = col("payloads").cast("array<double>")
+      val payScore = fn match {
+        case PayAvg =>
+          aggregate(payD, lit(0.0), (a, x) => a + x) /
+            size(col("payloads")).cast("double")
+        case PayMin => array_min(payD)
+        case PayMax => array_max(payD)
+      }
+      val base =
+        if (includeSpan)
+          Bm25.score(idx.numDocs, idx.avgdl, col("df"), col("tf"), col("len"))
+        else lit(1.0)
+      idx.postingsForPay(Seq(t))
+        .join(broadcast(dict), Seq("term"))
+        .select(col("docid"), (base * payScore).as("score"))
+
     case WildcardQ(pat, rw) =>
       // constant-prefix pushdown (WildcardTermEnum.cs:32: the enum seeks
       // to the literal prefix before matching): `spark*`-style patterns

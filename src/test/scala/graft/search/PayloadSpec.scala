@@ -1,0 +1,105 @@
+package graft.search
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.analysis.{Analyzer, Payloads}
+import graft.index.{Codec, DocIds, IndexBuilder, InvertedIndex, PostingBlocks}
+import graft.model.Transcripts
+
+/** Payload family invariants (PayloadTermQuery.cs:26-40,
+  * PayloadFunction.cs:30, FormatPostingsPositionsWriter.cs:56-78):
+  * payloads round-trip through the codec's payload bit, flow verbatim
+  * through block encoding, and modulate — never replace — membership. */
+class PayloadSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  test("codec: positions+payloads round-trip; absence reads as 1.0") {
+    val pos = Array(1, 4, 9, 10, 300)
+    val pay = Array(2.5f, Float.NaN, 0.25f, Float.NaN, 7f)
+    val blob = Codec.encodePosPay(pos, pay)
+    val (gp, gw) = Codec.decodePosPay(blob, pos.length.toLong)
+    assert(gp.toSeq == pos.toSeq)
+    assert(gw.toSeq == Seq(2.5f, 1.0f, 0.25f, 1.0f, 7f))
+    // payload-skipping decode sees the same positions
+    assert(Codec.decodePositions(blob, pos.length.toLong).toSeq == pos.toSeq)
+    // payload-free encoding decodes identically through BOTH paths
+    val blob0 = Codec.encodePositions(pos)
+    assert(Codec.decodePositions(blob0, pos.length.toLong).toSeq == pos.toSeq)
+    val (gp0, gw0) = Codec.decodePosPay(blob0, pos.length.toLong)
+    assert(gp0.toSeq == pos.toSeq && gw0.forall(_ == 1.0f))
+  }
+
+  test("delimited tokenizer: term|weight split with float payloads") {
+    val toks = Payloads.delimitedTokenize("Quick|2.5 brown fox|0.5 x|oops")
+    assert(toks.map(t => (t.term, t.pos)) ==
+      Vector(("quick", 0), ("brown", 1), ("fox", 2), ("x", 3)))
+    assert(toks(0).payload == 2.5f)
+    assert(toks(1).payload.isNaN) // no delimiter -> no payload
+    assert(toks(2).payload == 0.5f)
+    assert(toks(3).payload.isNaN) // unparseable weight -> no payload
+  }
+
+  test("payload query: mem and block flavors agree and match brute force") {
+    val t = Transcripts.synthetic(spark, 600, seed = 7L, partitions = 4)
+    val assigner = Payloads.positionBoost(3, 2.0f)
+    val mem = IndexBuilder.buildPay(t, assigner, 4)
+
+    // block-backed twin over the SAME docids: blocks from the
+    // payload-carrying raw inversion (blobs flow verbatim)
+    val blocks = PostingBlocks.fromRaw(
+      IndexBuilder.invertRawPay(mem.docs, assigner), 4).toDF().cache()
+    val blk = InvertedIndex(mem.docs, mem.postings, mem.termDict,
+      mem.docLens, mem.numDocs, mem.avgdl, blocks = Some(blocks))
+
+    val term = "error"
+    for (fn <- Seq(PayAvg: PayloadFn, PayMin, PayMax)) {
+      val q = PayloadTermQ(term, fn)
+      val gotMem = new Searcher(mem).topK(q, 20).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      val gotBlk = new Searcher(blk).topK(q, 20).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(gotMem.toSeq == gotBlk.toSeq, s"mem != blocks for $fn")
+
+      // brute force from raw text + the assigner definition
+      val docs = mem.docs.select("docid", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      val n = mem.numDocs
+      val df = mem.termDict.filter(col("term") === term)
+        .select("df").collect()(0).getLong(0)
+      val brute = docs.toSeq.flatMap { case (docid, text) =>
+        val toks = Analyzer.fastTokenize(text)
+        val occ = toks.filter(_.term == term)
+        if (occ.isEmpty) None
+        else {
+          val pays = occ.map(o => if (o.pos < 3) 2.0 else 1.0)
+          val payScore = fn match {
+            case PayAvg => pays.sum / pays.size
+            case PayMin => pays.min
+            case PayMax => pays.max
+          }
+          val tf = occ.size.toDouble
+          val len = toks.size.toDouble
+          val bm = Bm25.idf(n, df) * (tf * 2.2) /
+            (tf + 1.2 * (1 - 0.75 + 0.75 * len / mem.avgdl))
+          Some(docid -> bm * payScore)
+        }
+      }.sortBy { case (d, s) => (-s, d) }.take(20)
+      brute.zip(gotMem).foreach { case ((bd, bs), (gd, gs)) =>
+        assert(bd == gd && math.abs(bs - gs) < 1e-9, s"fn=$fn")
+      }
+    }
+    blocks.unpersist()
+  }
+
+  test("includeSpanScore=false scores by payload function alone") {
+    val t = Transcripts.synthetic(spark, 300, seed = 11L, partitions = 2)
+    val idx = IndexBuilder.buildPay(t, Payloads.positionBoost(3, 2.0f), 2)
+    val got = new Searcher(idx)
+      .topK(PayloadTermQ("error", PayMax, includeSpanScore = false), 1000)
+      .collect().map(_.getDouble(1)).toSet
+    // every match scores exactly 2.0 (an early occurrence) or 1.0
+    assert(got.nonEmpty && got.subsetOf(Set(1.0, 2.0)))
+  }
+}
