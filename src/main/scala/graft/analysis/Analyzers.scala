@@ -148,6 +148,88 @@ object Analyzers {
       } yield Token(t.term.substring(i, i + size), t.pos)
     }
 
+  // ---- Classic/StandardTokenizer typed tokens ----
+
+  /** StandardTokenizer token types
+    * (/root/reference/src/core/Analysis/Standard/StandardTokenizer.cs:43-55:
+    * ALPHANUM, APOSTROPHE, ACRONYM, COMPANY, EMAIL, HOST, NUM). COMPANY
+    * (`AT&T`-style) and CJ are out of scope for the transcript corpus. */
+  sealed trait TokenType
+  case object Alphanum extends TokenType
+  case object Apostrophe extends TokenType
+  case object Acronym extends TokenType
+  case object Email extends TokenType
+  case object Host extends TokenType
+  case object Num extends TokenType
+
+  final case class TypedToken(term: String, pos: Int, tpe: TokenType)
+
+  private val EmailRe = "[A-Za-z0-9_+.-]+@[A-Za-z0-9-]+(?:\\.[A-Za-z0-9-]+)+"
+  private val AcronymRe = "[A-Za-z](?:\\.[A-Za-z])+\\.?"
+  private val HostNumRe = "[A-Za-z0-9-]+(?:\\.[A-Za-z0-9-]+)+"
+  private val NumRe = "[A-Za-z0-9]+(?:[.,/_-][A-Za-z0-9]+)+"
+  private val ApostRe = "[A-Za-z]+(?:'[A-Za-z]+)+"
+  private val AlnumRe = "[A-Za-z0-9]+"
+  // priority alternation — first match wins, longest-at-point semantics
+  private val ClassicRe =
+    s"(?:$EmailRe)|(?:$AcronymRe)|(?:$HostNumRe)|(?:$NumRe)|(?:$ApostRe)|(?:$AlnumRe)".r
+  private val EmailFull = s"^$EmailRe$$".r
+  private val AcronymFull = s"^$AcronymRe$$".r
+  private val HostNumFull = s"^$HostNumRe$$".r
+  private val NumFull = s"^$NumRe$$".r
+  private val ApostFull = s"^$ApostRe$$".r
+
+  /** The reference StandardTokenizer's typed scan (StandardTokenizer
+    * grammar, StandardTokenizerImpl.cs:33-47): `bob@example.com` is ONE
+    * EMAIL token, `www.example.com` one HOST, `u.s.a.` one ACRONYM,
+    * `3.14`/`R2-D2` one NUM, `o'brien` one APOSTROPHE. Case preserved
+    * (the LowerCaseFilter is a separate stage, as in the chain). */
+  def classicTokenize(text: String): Vector[TypedToken] = {
+    if (text == null) return Vector.empty
+    ClassicRe.findAllIn(text).zipWithIndex.map { case (m, i) =>
+      val tpe =
+        if (EmailFull.findFirstIn(m).isDefined) Email
+        else if (AcronymFull.findFirstIn(m).isDefined) Acronym
+        else if (HostNumFull.findFirstIn(m).isDefined) {
+          // an all-digit dotted run (3.14) is a NUM, not a HOST
+          if (m.exists(Character.isLetter)) Host else Num
+        } else if (NumFull.findFirstIn(m).isDefined) Num
+        else if (ApostFull.findFirstIn(m).isDefined) Apostrophe
+        else Alphanum
+      TypedToken(m, i, tpe)
+    }.toVector
+  }
+
+  /** Type-aware StandardFilter (StandardFilter.cs:23-60): strip dots
+    * from ACRONYMs (`u.s.a.` → `usa`) and the trailing possessive from
+    * APOSTROPHE tokens (`o'brien's` → `o'brien`); other types pass
+    * through. */
+  def classicFilter(t: TypedToken): TypedToken = t.tpe match {
+    case Acronym => t.copy(term = t.term.replace(".", ""))
+    case Apostrophe =>
+      val lower = t.term
+      if (lower.toLowerCase(java.util.Locale.ROOT).endsWith("'s"))
+        t.copy(term = lower.substring(0, lower.length - 2))
+      else t
+    case _ => t
+  }
+
+  /** Full Classic chain: typed tokenizer → type-aware StandardFilter →
+    * lowercase → stop/length — the reference's StandardAnalyzer with
+    * token types intact (the default [[Analyzer]] chain is the scoped
+    * word-break contract; this is the full-fidelity variant). */
+  def classicChain(text: String): Vector[TypedToken] =
+    classicTokenize(text).map(classicFilter)
+      .map(t => t.copy(term = t.term.toLowerCase(java.util.Locale.ROOT)))
+      .filter(t => t.term.nonEmpty && !Analyzer.StopWords(t.term) &&
+        t.term.length <= Analyzer.MaxTokenLength)
+
+  /** LengthFilter (LengthFilter.cs:27-43): drop tokens outside
+    * [min, max] chars, positions preserved (no gap renumbering — the
+    * reference increments positions only via StopFilter). */
+  def lengthFilter(toks: Vector[Token], min: Int, max: Int): Vector[Token] =
+    toks.filter(t => t.term.length >= min && t.term.length <= max)
+
   /** Maximal runs of letters, lowercased (LetterTokenizer + LowerCase). */
   private def letterRuns(text: String): Vector[String] = {
     if (text == null) return Vector.empty
@@ -179,19 +261,43 @@ object Analyzers {
 
   /** MappingCharFilter analog (MappingCharFilter.cs, BaseCharFilter.cs):
     * greedy longest-match char-sequence rewriting applied BEFORE the
-    * tokenizer. Offset correction is intentionally absent — the engine
-    * tracks token positions, not char offsets (documented deviation). */
-  def mapChars(mappings: Map[String, String])(text: String): String = {
-    if (text == null || mappings.isEmpty) return text
+    * tokenizer. */
+  def mapChars(mappings: Map[String, String])(text: String): String =
+    mapCharsWithOffsets(mappings)(text)._1
+
+  /** Mapping char filter WITH offset correction
+    * (BaseCharFilter.CorrectOffset, BaseCharFilter.cs:28-61): returns
+    * (filtered text, correct) where correct(offset-in-filtered) = the
+    * offset in the ORIGINAL input — what highlighters need to place
+    * snippets on raw text after char filtering. Checkpoint pairs
+    * (filteredPos, cumulativeDelta) are recorded at each replacement
+    * end, exactly the reference's AddOffCorrectMap arrays. */
+  def mapCharsWithOffsets(mappings: Map[String, String])(
+      text: String): (String, Int => Int) = {
+    if (text == null || mappings.isEmpty) return (text, identity)
     val keys = mappings.keys.toSeq.sortBy(-_.length)
     val sb = new StringBuilder
+    // parallel arrays: filtered position -> cumulative (orig - filtered)
+    val cps = scala.collection.mutable.ArrayBuffer[(Int, Int)]((0, 0))
     var i = 0
     while (i < text.length) {
       keys.find(k => text.startsWith(k, i)) match {
-        case Some(k) => sb.append(mappings(k)); i += k.length
+        case Some(k) =>
+          sb.append(mappings(k)); i += k.length
+          cps += ((sb.length, i - sb.length))
         case None => sb.append(text.charAt(i)); i += 1
       }
     }
-    sb.toString
+    val arr = cps.toArray
+    val correct = (off: Int) => {
+      // last checkpoint at or before off (arrays are ascending)
+      var lo = 0; var hi = arr.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi + 1) >>> 1
+        if (arr(mid)._1 <= off) lo = mid else hi = mid - 1
+      }
+      off + arr(lo)._2
+    }
+    (sb.toString, correct)
   }
 }

@@ -100,4 +100,52 @@ class AnalyzersSpec extends AnyFunSuite {
       Map("ph" -> "f", "pha" -> "fa~", "&" -> " and ")) _
     assert(f("alpha & phone") == "alfa~  and  fone")
   }
+
+  test("mapping char filter corrects offsets back to the original") {
+    val (out, correct) =
+      Analyzers.mapCharsWithOffsets(Map("&" -> "and", "ß" -> "ss"))(
+        "a & straße end")
+    assert(out == "a and strasse end")
+    // filtered "and" starts at 2 == the original '&' at 2
+    assert(correct(2) == 2)
+    // after "&"->"and" the stream is 2 chars longer: filtered
+    // "strasse" at 6 maps back to original "straße" at 4
+    assert(correct(6) == 4)
+    // after both replacements (cumulative delta -3): filtered "end"
+    // at 14 maps back to original "end" at 11
+    assert(correct(14) == 11)
+    assert(correct(0) == 0)
+  }
+
+  test("classic tokenizer types: email, host, acronym, num, apostrophe") {
+    import Analyzers._
+    val toks = classicTokenize(
+      "Mail bob@Example.COM or visit www.example.com; U.S.A. has 3.14 " +
+        "R2-D2 and O'Brien's book")
+    val byTerm = toks.map(t => t.term -> t.tpe).toMap
+    assert(byTerm("bob@Example.COM") == Email)
+    assert(byTerm("www.example.com") == Host)
+    assert(byTerm("U.S.A.") == Acronym)
+    assert(byTerm("3.14") == Num)   // all-digit dotted run is NUM not HOST
+    assert(byTerm("R2-D2") == Num)
+    assert(byTerm("O'Brien's") == Apostrophe)
+    assert(byTerm("Mail") == Alphanum)
+    // positions are the scan order
+    assert(toks.map(_.pos) == toks.indices.toVector)
+
+    // type-aware StandardFilter + full chain
+    val chain = classicChain("U.S.A. mailed O'Brien's file to bob@x.org")
+    assert(chain.map(_.term) ==
+      Vector("usa", "mailed", "o'brien", "file", "bob@x.org"))
+  }
+
+  test("length filter min and max") {
+    import graft.analysis.Analyzer.Token
+    val toks = Vector(Token("a", 0), Token("spark", 1), Token("hi", 2),
+      Token("extraordinarily", 3))
+    assert(Analyzers.lengthFilter(toks, 2, 10).map(_.term) ==
+      Vector("spark", "hi"))
+    // positions preserved, not renumbered
+    assert(Analyzers.lengthFilter(toks, 2, 10).map(_.pos) == Vector(1, 2))
+  }
 }
