@@ -28,6 +28,67 @@ object TrainEntries {
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)}) / (sqrt(${norm2Sql(a)}) * sqrt(${norm2Sql(b)}))"
 
+  /** Unrolled Lloyd-iteration mirror of [[TrainOps.annIvfKmeans]]: the
+    * hash-sample init, per-iteration argmax assignment (ties → lower
+    * cell) and vec_id-ordered elementwise means (list fold — the same
+    * left-to-right double addition the Scala trainer does), then the
+    * full-corpus assignment + probe + exact rescore. */
+  private def ivfKmeansSql: String = {
+    val C = TrainOps.IvfCells
+    val S = TrainOps.IvfTrainSample
+    def asgCte(name: String, cents: String): String =
+      s"""$name AS (SELECT vec_id, cell FROM
+         |  (SELECT s.vec_id, c.cell,
+         |     row_number() OVER (PARTITION BY s.vec_id ORDER BY
+         |       ${cosSql("s.embedding", "c.cvec")} DESC, c.cell) AS rn
+         |   FROM samp s CROSS JOIN $cents c) z WHERE rn = 1)""".stripMargin
+    def stepCtes(i: Int): String =
+      s"""${asgCte(s"asg$i", s"cents${i - 1}")},
+         |m$i AS (SELECT a.cell, sv.dim,
+         |          list_aggregate(list(sv.v ORDER BY sv.vec_id), 'sum')
+         |            / count(*) AS mv
+         |        FROM sampv sv JOIN asg$i a USING (vec_id)
+         |        GROUP BY a.cell, sv.dim),
+         |cents$i AS (SELECT c.cell, coalesce(m.cvec, c.cvec) AS cvec
+         |            FROM cents${i - 1} c LEFT JOIN
+         |              (SELECT cell, list(mv ORDER BY dim) AS cvec
+         |               FROM m$i GROUP BY cell) m USING (cell))""".stripMargin
+    val steps = (1 to TrainOps.IvfKmeansIters).map(stepCtes).mkString(",\n")
+    val last = s"cents${TrainOps.IvfKmeansIters}"
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |ranked AS (SELECT vec_id, embedding, row_number() OVER (ORDER BY
+       |             ${h60("CAST(vec_id AS VARCHAR)")}, vec_id) AS rn
+       |           FROM embeddings),
+       |samp AS (SELECT vec_id, embedding FROM ranked WHERE rn <= $S),
+       |cents0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+       |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+       |           FROM ranked WHERE rn <= $C),
+       |sampv AS (SELECT vec_id, dim, CAST(embedding[dim] AS DOUBLE) AS v FROM
+       |            (SELECT vec_id, embedding,
+       |               generate_subscripts(embedding, 1) AS dim FROM samp) z),
+       |$steps,
+       |asgf AS (SELECT vec_id, cell FROM
+       |  (SELECT e.vec_id, c.cell,
+       |     row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |       ${cosSql("e.embedding", "c.cvec")} DESC, c.cell) AS rn
+       |   FROM embeddings e CROSS JOIN $last c) z WHERE rn = 1),
+       |qcos AS (SELECT c.cell, ${cosSql("q.qv", "c.cvec")} AS cos
+       |         FROM $last c CROSS JOIN q),
+       |probed AS (SELECT cell FROM
+       |             (SELECT cell, row_number() OVER
+       |                (ORDER BY cos DESC, cell) AS rn FROM qcos) zz
+       |           WHERE rn <= ${TrainOps.IvfProbes}),
+       |hits AS (SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cos
+       |         FROM embeddings e
+       |              JOIN asgf ON asgf.vec_id = e.vec_id
+       |              JOIN probed p ON p.cell = asgf.cell
+       |              CROSS JOIN q
+       |         WHERE e.vec_id != 0)
+       |SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank,
+       |       vec_id, round(cos, 4) AS cos
+       |FROM hits ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   private val shingleCte =
     s"""tokt AS (SELECT doc_id, $tokSql AS tk FROM documents),
        |sh AS (SELECT DISTINCT doc_id, tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS s
@@ -147,6 +208,10 @@ object TrainEntries {
          |SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank,
          |       vec_id, round(cos, 4) AS cos
          |FROM hits ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin),
+
+    ("ann_ivf_kmeans",
+      (s, d) => TrainOps.annIvfKmeans(s, d),
+      ivfKmeansSql),
 
     // ---- text analysis ----
     ("tx_tokens",

@@ -325,6 +325,113 @@ object TrainOps {
       .select(col("rank"), col("vec_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Training-sample size for [[annIvfKmeans]] — IVF training runs on a
+    * deterministic hash sample, never the full corpus (at 100 TB the
+    * full corpus can't feed Lloyd iterations; faiss-style samples of
+    * 39·k..256·k points per centroid are the published practice). */
+  val IvfTrainSample = 256
+  val IvfKmeansIters = 2
+
+  private def cosD(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Cosine of an embedding column against a DOUBLE query/centroid
+    * vector — operand order identical to the oracle's cosSql
+    * (index-ordered products; emb norm first in the denominator). */
+  def cosToQueryD(emb: Column, qv: IndexedSeq[Double]): Column = {
+    val qn = math.sqrt(qv.map(x => x * x).sum)
+    val dot = (0 until qv.length).map { i =>
+      element_at(emb, i + 1).cast("double") * lit(qv(i))
+    }.reduce(_ + _)
+    val n2 = aggregate(emb, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    dot / (sqrt(n2) * lit(qn))
+  }
+
+  /** IVF with TRAINED centroids: Lloyd k-means on the
+    * [[IvfTrainSample]]-vector hash sample (driver-side — the sample is
+    * bounded by construction, so training is O(sample·cells·iters)
+    * regardless of corpus size), then ONE broadcast-argmax scan assigns
+    * the full corpus and the query probes its [[IvfProbes]] nearest
+    * cells. Every arithmetic step (init order, member order inside a
+    * mean, fold order inside a dot product, argmax tie-break) is fixed
+    * so the DuckDB oracle replays it bit-identically. Empty cells keep
+    * their previous centroid. */
+  def annIvfKmeans(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+      k: Int = 10): DataFrame = {
+    val e = embeddings(spark, sfDir)
+    // deterministic hash sample, ordered (h60, vec_id)
+    val sample: Array[(Long, Array[Double])] = e
+      .select(col("vec_id"), col("embedding"), h60(col("vec_id")).as("hk"))
+      .orderBy(col("hk").asc, col("vec_id").asc).limit(IvfTrainSample)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    // init: the IvfCells smallest-hash sample members, cell ids 0..C-1
+    // in vec_id order (the hash-sample init the untrained variant uses)
+    var cents: IndexedSeq[Array[Double]] = sample.take(IvfCells)
+      .sortBy(_._1).map(_._2).toIndexedSeq
+    for (_ <- 1 to IvfKmeansIters) {
+      // assign sample → argmax cos, tie → lower cell id
+      val asg = sample.map { case (vid, v) =>
+        var best = 0; var bestCos = Double.NegativeInfinity
+        var c = 0
+        while (c < cents.length) {
+          val cos = cosD(v, cents(c))
+          if (cos > bestCos) { bestCos = cos; best = c }
+          c += 1
+        }
+        (vid, best, v)
+      }
+      // per-cell elementwise mean, members folded in vec_id order
+      // (sample is vec_id-unsorted — sort explicitly)
+      cents = cents.indices.map { c =>
+        val members = asg.filter(_._2 == c).sortBy(_._1).map(_._3)
+        if (members.isEmpty) cents(c)
+        else {
+          val dim = members(0).length
+          val sum = new Array[Double](dim)
+          members.foreach { v =>
+            var i = 0
+            while (i < dim) { sum(i) += v(i); i += 1 }
+          }
+          val n = members.length
+          sum.map(_ / n)
+        }
+      }
+    }
+    val qv = e.filter(col("vec_id") === queryId)
+      .select("embedding").collect()(0).getSeq[Float](0)
+      .map(_.toDouble).toIndexedSeq
+
+    // full-corpus assignment: broadcast-literal argmax, ties → lower cell
+    val scored = cents.zipWithIndex.map { case (cv, c) =>
+      struct(cosToQueryD(col("embedding"), cv.toIndexedSeq).as("cos"),
+        lit(-c).as("negid"))
+    }
+    val cellCol = greatest(scored: _*).getField("negid") * -1
+
+    val probed = cents.zipWithIndex
+      .map { case (cv, c) => c -> cosD(qv, cv.toIndexedSeq) }
+      .sortBy { case (c, cos) => (-cos, c) }
+      .take(IvfProbes).map(_._1)
+
+    e.filter(col("vec_id") =!= queryId)
+      .withColumn("cell", cellCol)
+      .filter(col("cell").isin(probed: _*))
+      .select(col("vec_id"),
+        cosToQueryD(col("embedding"), qv).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
+      .select(col("rank"), col("vec_id"), round(col("cos"), 4).as("cos"))
+  }
+
   // -------------------------------------------------------------------
   // Text analysis
   // -------------------------------------------------------------------
