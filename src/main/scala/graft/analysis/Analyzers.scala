@@ -38,6 +38,10 @@ object Analyzers {
     * avion, ElisionFilter.cs:56 default article set) → French stop
     * set → Snowball French stemmer. */
   case object French extends Kind
+  /** SnowballAnalyzer("Spanish") analog (SnowballAnalyzer.cs:39 wraps
+    * Ext/SpanishStemmer.cs:11): Standard tokens → Spanish stop set
+    * (the published Snowball list's core) → Snowball Spanish stemmer. */
+  case object Spanish extends Kind
 
   def tokenize(kind: Kind, text: String): Vector[Token] = kind match {
     case Standard => Analyzer.fastTokenize(text)
@@ -72,7 +76,30 @@ object Analyzers {
             t.length <= Analyzer.MaxTokenLength =>
           Token(FrenchStemmer.stem(t), i)
       }.toVector
+    case Spanish =>
+      Analyzer.rawTokens(text).zipWithIndex.collect {
+        case (t, i) if t.nonEmpty && !SpanishStopWords(t) &&
+            t.length <= Analyzer.MaxTokenLength =>
+          Token(SpanishStemmer.stem(t), i)
+      }
   }
+
+  /** Core of the published Snowball Spanish stop list (articles,
+    * pronouns, common prepositions/conjunctions, ser/estar/haber
+    * high-frequency forms). */
+  val SpanishStopWords: Set[String] = Set(
+    "de", "la", "que", "el", "en", "y", "a", "los", "del", "se", "las",
+    "por", "un", "para", "con", "no", "una", "su", "al", "lo", "como",
+    "más", "pero", "sus", "le", "ya", "o", "este", "sí", "porque",
+    "esta", "entre", "cuando", "muy", "sin", "sobre", "también", "me",
+    "hasta", "hay", "donde", "quien", "desde", "todo", "nos", "durante",
+    "todos", "uno", "les", "ni", "contra", "otros", "ese", "eso",
+    "ante", "ellos", "e", "esto", "mí", "antes", "algunos", "qué",
+    "unos", "yo", "otro", "otras", "otra", "él", "tanto", "esa",
+    "estos", "mucho", "quienes", "nada", "muchos", "cual", "poco",
+    "ella", "estar", "estas", "algunas", "algo", "nosotros", "mi",
+    "mis", "tú", "te", "ti", "tu", "tus", "es", "son", "está", "están",
+    "fue", "ser", "ha", "han", "he", "era", "eran")
 
   /** ElisionFilter.cs:56 — strip a leading article + apostrophe
     * (l'avion → avion); the default French article set. */

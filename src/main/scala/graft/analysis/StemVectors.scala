@@ -55,4 +55,30 @@ object StemVectors {
     "chiens" -> "chien",
     "traditionnelle" -> "traditionnel", // residual e, then un-double ell
     "traditionnel" -> "traditionnel")
+
+  val spanish: Seq[(String, String)] = Seq(
+    // step 2b verb suffixes in RV
+    "cantando" -> "cant", "comiendo" -> "com", "gustaría" -> "gust",
+    "canciones" -> "cancion", "guerras" -> "guerr",
+    // gu → g after stripping an e-initial verb suffix
+    "llegues" -> "lleg",
+    // step 2a: y-suffix after u
+    "construyendo" -> "constru",
+    // step 0: pronoun after accented gerund (ándo un-accented),
+    // then the gerund strips in 2b
+    "quitándose" -> "quit",
+    // step 1 families with R1/R2 gating
+    "poderoso" -> "poder",          // oso in R2
+    "críticos" -> "critic",         // icos NOT in R2 → residual os only
+    "lógica" -> "logic",            // ica NOT in R2 → residual a only
+    "importancia" -> "import",      // ancia in R2
+    "nacionalidad" -> "nacional",   // idad in R2
+    "agradecimiento" -> "agradec",  // imiento in R2
+    "mineralogía" -> "mineralog",   // logía → log
+    "constitución" -> "constitu",   // ución → u
+    "transparencia" -> "transparent", // encia → ente, residual e
+    "rápidamente" -> "rapid",       // amente in R1
+    "significativas" -> "signific", // ivas in R2, then at in R2
+    // residual accents survive only as un-accented vowels
+    "está" -> "esta")               // á not in RV → kept, un-accented
 }

@@ -31,6 +31,21 @@ class SnowballSpec extends AnyFunSuite {
     }
   }
 
+  test("Spanish Snowball vectors (hand-derived)") {
+    StemVectors.spanish.foreach { case (w, want) =>
+      assert(SpanishStemmer.stem(w) == want,
+        s"$w: got ${SpanishStemmer.stem(w)}, want $want")
+    }
+  }
+
+  test("Spanish analyzer chain: stop words gap positions, then stem") {
+    val toks = Analyzers.tokenize(Analyzers.Spanish,
+      "las canciones más significativas de la constitución")
+    // las(0) más(2) de(4) la(5) stopped; positions preserved
+    assert(toks == Vector(Token("cancion", 1), Token("signific", 3),
+      Token("constitu", 6)))
+  }
+
   test("stemmers are idempotent on their own output") {
     (germanVectors.map(_._2).map(s => s -> GermanStemmer.stem(s)) ++
       Seq("haus", "tisch", "bezieh").map(s => s -> GermanStemmer.stem(s)))
