@@ -294,6 +294,18 @@ object SparkEntry {
       "SELECT * FROM (VALUES " + StemVectors.spanish.sortBy(_._1)
         .map { case (w, st) => s"('$w', '$st')" }.mkString(", ") +
         ") AS t(word, stem) ORDER BY word"),
+    "ft_stem_ru" -> Raw(
+      (s, dir) => {
+        import s.implicits._
+        StemVectors.russian.map(_._1).toDF("word")
+          .select(col("word"))
+          .map(r => (r.getString(0),
+            graft.analysis.RussianStemmer.stem(r.getString(0))))
+          .toDF("word", "stem").orderBy("word")
+      },
+      "SELECT * FROM (VALUES " + StemVectors.russian.sortBy(_._1)
+        .map { case (w, st) => s"('$w', '$st')" }.mkString(", ") +
+        ") AS t(word, stem) ORDER BY word"),
 
     // --- spell suggest (contrib SpellChecker analog) ---
     "ft_suggest" -> Raw(

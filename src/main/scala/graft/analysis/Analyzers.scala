@@ -42,6 +42,12 @@ object Analyzers {
     * Ext/SpanishStemmer.cs:11): Standard tokens → Spanish stop set
     * (the published Snowball list's core) → Snowball Spanish stemmer. */
   case object Spanish extends Kind
+  /** RussianAnalyzer.cs:79 analog with the Snowball stemmer
+    * (Ext/RussianStemmer.cs:11; the reference's own contrib/Analyzers/Ru
+    * stemmer is the OLDER table-driven algorithm — documented
+    * deviation): Standard tokens → RUSSIAN_STOP_WORDS
+    * (RussianAnalyzer.cs:43-64) → Snowball Russian stemmer. */
+  case object Russian extends Kind
 
   def tokenize(kind: Kind, text: String): Vector[Token] = kind match {
     case Standard => Analyzer.fastTokenize(text)
@@ -82,7 +88,27 @@ object Analyzers {
             t.length <= Analyzer.MaxTokenLength =>
           Token(SpanishStemmer.stem(t), i)
       }
+    case Russian =>
+      Analyzer.rawTokens(text).zipWithIndex.collect {
+        case (t, i) if t.nonEmpty && !RussianStopWords(t) &&
+            t.length <= Analyzer.MaxTokenLength =>
+          Token(RussianStemmer.stem(t), i)
+      }
   }
+
+  /** RussianAnalyzer.RUSSIAN_STOP_WORDS (RussianAnalyzer.cs:43-64). */
+  val RussianStopWords: Set[String] = Set(
+    "а", "без", "более", "бы", "был", "была", "были", "было", "быть",
+    "в", "вам", "вас", "весь", "во", "вот", "все", "всего", "всех",
+    "вы", "где", "да", "даже", "для", "до", "его", "ее", "ей", "ею",
+    "если", "есть", "еще", "же", "за", "здесь", "и", "из", "или", "им",
+    "их", "к", "как", "ко", "когда", "кто", "ли", "либо", "мне",
+    "может", "мы", "на", "надо", "наш", "не", "него", "нее", "нет",
+    "ни", "них", "но", "ну", "о", "об", "однако", "он", "она", "они",
+    "оно", "от", "очень", "по", "под", "при", "с", "со", "так",
+    "также", "такой", "там", "те", "тем", "то", "того", "тоже", "той",
+    "только", "том", "ты", "у", "уже", "хотя", "чего", "чей", "чем",
+    "что", "чтобы", "чье", "чья", "эта", "эти", "это", "я")
 
   /** Core of the published Snowball Spanish stop list (articles,
     * pronouns, common prepositions/conjunctions, ser/estar/haber

@@ -81,4 +81,29 @@ object StemVectors {
     "significativas" -> "signific", // ivas in R2, then at in R2
     // residual accents survive only as un-accented vowels
     "está" -> "esta")               // á not in RV → kept, un-accented
+
+  val russian: Seq[(String, String)] = Seq(
+    // noun endings in RV
+    "книги" -> "книг", "книга" -> "книг", "процессы" -> "процесс",
+    "территории" -> "территор",
+    // perfective gerund (group 1 needs preceding а/я inside RV)
+    "читавшись" -> "чита",
+    // reflexive then verb group 1 (ет after а)
+    "делается" -> "дела",
+    // reflexive then verb group 1 (ла after а)
+    "осталась" -> "оста",
+    // adjectival, then optional participle
+    "важная" -> "важн",
+    "работающий" -> "работа", // ий, then ющ after а
+    "лучший" -> "лучш",
+    "людей" -> "люд",
+    // а/я condition char must itself be in RV: нн participle NOT
+    // stripped (а at rv-1), step 4 undoubles нн instead
+    "странный" -> "стран",
+    // verb group 2
+    "говорить" -> "говор", "сказал" -> "сказа",
+    // derivational ость in R2 after noun ь
+    "возможность" -> "возможн",
+    // superlative ейш(е) in step 4
+    "красивейшее" -> "красив", "сильнейший" -> "сильн")
 }

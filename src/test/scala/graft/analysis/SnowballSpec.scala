@@ -46,6 +46,22 @@ class SnowballSpec extends AnyFunSuite {
       Token("constitu", 6)))
   }
 
+  test("Russian Snowball vectors (hand-derived)") {
+    StemVectors.russian.foreach { case (w, want) =>
+      assert(RussianStemmer.stem(w) == want,
+        s"$w: got ${RussianStemmer.stem(w)}, want $want")
+    }
+  }
+
+  test("Russian analyzer chain: stop words gap positions, then stem") {
+    val toks = Analyzers.tokenize(Analyzers.Russian,
+      "все книги на территории")
+    // все(0) на(2) stopped; positions preserved
+    assert(toks == Vector(Token("книг", 1), Token("территор", 3)))
+    // ё folds to е before stemming
+    assert(RussianStemmer.stem("всё") == RussianStemmer.stem("все"))
+  }
+
   test("stemmers are idempotent on their own output") {
     (germanVectors.map(_._2).map(s => s -> GermanStemmer.stem(s)) ++
       Seq("haus", "tisch", "bezieh").map(s => s -> GermanStemmer.stem(s)))
