@@ -146,13 +146,19 @@ object Engine {
       idx.termDict.count() // materializes the mem flavor's postings cache
       name -> (System.nanoTime() - t0) / 1e9
     }
-    Seq(
+    val flavors = Seq(
       t("mem")(index(spark, sfDir)),
+      t("pay")(indexPayload(spark, sfDir)),
       t("seg")(indexSeg(spark, sfDir)),
       t("cmp")(indexCompacted(spark, sfDir)),
       t("app")(indexAppended(spark, sfDir)),
       t("del")(indexDeleted(spark, sfDir)),
       t("upd")(indexUpdated(spark, sfDir)))
+    // the seg store's tvec parquet is store construction too — build it
+    // here so the tvec-highlighter query times only the query
+    val t0 = System.nanoTime()
+    termVectorsOf(spark, sfDir, Seq(0L)).count()
+    flavors :+ ("tvec" -> (System.nanoTime() - t0) / 1e9)
   }
 
   /** Conversation updated in the "upd" flavor + the text suffix appended

@@ -294,6 +294,30 @@ object Codec {
     }
   }
 
+  /** Scoring-only decode: (docid, tf, len) with the position stream
+    * never touched — BM25 needs nothing else, so the hot term/boolean
+    * scoring path skips the per-posting positions allocation entirely
+    * (the reference reads .frq without .prx the same way: TermDocs vs
+    * TermPositions, SegmentTermDocs.cs:30 vs SegmentTermPositions.cs:28). */
+  def decodeScoring(b: Block): Iterator[(Long, Long, Long)] =
+    new Iterator[(Long, Long, Long)] {
+      private var i = 0
+      private var dp = 0
+      private var lp = 0
+      private var docid = b.minDocid
+      override def hasNext: Boolean = i < b.n
+      override def next(): (Long, Long, Long) = {
+        val (code, dp1) = readVLong(b.docs, dp); dp = dp1
+        docid += (code >>> 1)
+        val tf =
+          if ((code & 1L) == 1L) 1L
+          else { val (t, dp2) = readVLong(b.docs, dp); dp = dp2; t }
+        val (len, lp1) = readVLong(b.lens, lp); lp = lp1
+        i += 1
+        (docid, tf, len)
+      }
+    }
+
   /** Decode only (docid, len) pairs — skips position materialization
     * (doc-length derivation from blocks). */
   def decodeDocLens(b: Block): Iterator[(Long, Long)] =

@@ -56,6 +56,29 @@ final case class InvertedIndex(
     case None => postings.filter(col("term").isin(terms: _*))
   }
 
+  /** Scoring-only postings for a fixed term set: (term, docid, tf, len),
+    * positions never decoded (TermDocs semantics — SegmentTermDocs.cs:30
+    * reads .frq without .prx). The BM25 paths use this; the mem flavor
+    * relies on Catalyst column pruning instead. */
+  def postingsForScoring(terms: Seq[String]): DataFrame = blocks match {
+    case Some(b) =>
+      live(PostingBlocks.toScoring(b.filter(col("term").isin(terms: _*))))
+    case None => postings.filter(col("term").isin(terms: _*))
+      .select(col("term"), col("docid"), col("tf"), col("len"))
+  }
+
+  /** Scoring-only variant of [[postingsForTermSet]]. */
+  def postingsForTermSetScoring(terms: DataFrame): DataFrame = blocks match {
+    case Some(b) =>
+      live(PostingBlocks.toScoring(b.join(broadcast(terms), Seq("term"))))
+    case None => postings.join(broadcast(terms), Seq("term"))
+      .select(col("term"), col("docid"), col("tf"), col("len"))
+  }
+
+  /** Scoring-only variant of [[postingsWhereTerm]]. */
+  def postingsWhereTermScoring(dictPred: Column): DataFrame =
+    postingsForTermSetScoring(termDict.filter(dictPred).select("term"))
+
   /** Payload-materializing variant of [[postingsFor]] — adds the
     * `payloads` column (parallel to positions). Block-backed indexes
     * decode payloads straight from the position stream's payload bit;

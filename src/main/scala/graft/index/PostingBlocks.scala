@@ -206,6 +206,20 @@ object PostingBlocks {
     }.toDF()
   }
 
+  /** Scoring-only decode: (term, docid, tf, len), the position stream
+    * untouched (TermDocs-vs-TermPositions split). The BM25 scoring paths
+    * read THIS view — no per-posting positions array is ever allocated
+    * for queries that don't inspect positions. */
+  def toScoring(blocks: DataFrame): DataFrame = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    blocks.as[BlockRow].flatMap { r =>
+      Codec.decodeScoring(Codec.Block(r.term, r.n, r.min_docid,
+        r.max_docid, r.max_tf, r.min_len, r.sum_tf, r.docs, r.lens, r.pos))
+        .map { case (docid, tf, len) => (r.term, docid, tf, len) }
+    }.toDF("term", "docid", "tf", "len")
+  }
+
   /** Payload-materializing decode of a block table — the query path for
     * payload queries only (everything else uses [[toPostings]], which
     * skips payload bytes in-stream). */

@@ -30,7 +30,7 @@ final class Searcher(idx: InvertedIndex) {
     val ts = terms.toSeq
     val dict = idx.termDict.filter(col("term").isin(ts: _*))
       .select(col("term"), col("df"))
-    idx.postingsFor(ts)
+    idx.postingsForScoring(ts)
       .join(broadcast(dict), Seq("term"))
       .select(col("term"), col("docid"),
         Bm25.score(idx.numDocs, idx.avgdl, col("df"), col("tf"), col("len"))
@@ -309,7 +309,7 @@ final class Searcher(idx: InvertedIndex) {
           (lit(1.0) - col("dist").cast("double") /
             least(length(col("term")), lit(t.length)).cast("double"))
             .as("boost"))
-      val scored = idx.postingsForTermSet(cand.select("term"))
+      val scored = idx.postingsForTermSetScoring(cand.select("term"))
         .join(broadcast(cand), Seq("term"))
         .select(col("docid"), col("term").as("ord"),
           (Bm25.score(idx.numDocs, idx.avgdl, col("df"), col("tf"),
@@ -482,7 +482,7 @@ final class Searcher(idx: InvertedIndex) {
   /** Constant-score multi-term rewrite (MultiTermQuery.cs:84-114): match
     * the dictionary predicate, semi-join into postings, dedup docs. */
   private def constantOverTerms(dictPred: Column): DataFrame =
-    idx.postingsWhereTerm(dictPred)
+    idx.postingsWhereTermScoring(dictPred)
       .select(col("docid")).distinct()
       .select(col("docid"), lit(1.0).as("score"))
 
@@ -491,7 +491,7 @@ final class Searcher(idx: InvertedIndex) {
     * order (deterministic float fold, same as FuzzyQ). */
   private def scoredOverTerms(dictPred: Column): DataFrame = {
     val dict = idx.termDict.filter(dictPred).select(col("term"), col("df"))
-    idx.postingsForTermSet(dict.select("term"))
+    idx.postingsForTermSetScoring(dict.select("term"))
       .join(broadcast(dict), Seq("term"))
       .select(col("docid"), col("term").as("ord"),
         Bm25.score(idx.numDocs, idx.avgdl, col("df"), col("tf"), col("len"))
@@ -866,7 +866,7 @@ final class Searcher(idx: InvertedIndex) {
   def explainTerm(t: String): DataFrame = {
     val dict = idx.termDict.filter(col("term") === t)
       .select(col("term"), col("df"))
-    idx.postingsFor(Seq(t))
+    idx.postingsForScoring(Seq(t))
       .join(broadcast(dict), Seq("term"))
       .select(col("docid"), col("term"), col("tf"), col("len"), col("df"),
         Bm25.idfCol(idx.numDocs, col("df")).as("idf"),

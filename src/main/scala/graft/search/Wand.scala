@@ -121,7 +121,7 @@ object Wand {
     // candidate docids (deletes excluded so the rescore never resurrects
     // a deleted doc), then exact deterministic rescoring of candidates
     // against ONLY the blocks whose docid range can contain them
-    val cand0 = PostingBlocks.toPostings(kept).select(col("docid")).distinct()
+    val cand0 = PostingBlocks.toScoring(kept).select(col("docid")).distinct()
     val candidates = idx.deleted match {
       case Some(d) => cand0.join(d, Seq("docid"), "left_anti")
       case None => cand0
@@ -130,7 +130,7 @@ object Wand {
       .join(broadcast(candidates.as("c")),
         col("c.docid").between(col("b.min_docid"), col("b.max_docid")),
         "left_semi")
-    val result = PostingBlocks.toPostings(rescoreBlocks)
+    val result = PostingBlocks.toScoring(rescoreBlocks)
       .join(broadcast(candidates), Seq("docid"), "left_semi")
       .join(broadcast(idfDf.select("term", "df")), Seq("term"))
       .select(col("docid"), col("term"),
