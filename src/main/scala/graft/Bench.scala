@@ -169,8 +169,13 @@ object Bench {
     // SPARK_GRAFT_SCALE_N pins it: the hypervisor cap (not the engine)
     // bounds efficiency at ceiling/4N, so 4N must fit under the ceiling.
     val cores = if (skipScaling) 0.0 else effectiveCores()
+    // HEADROOM, not equality: 4N must sit at <= ~0.8 of the measured
+    // ceiling. A 4N that merely FITS the ceiling (round-3 first run:
+    // ceiling 16.0, 4N = 16) is at its mercy — any dip of effective
+    // cores slows ONLY the high run and the measured pair efficiency
+    // collapses (observed 0.57-0.65 on disturbed pairs vs 0.99 clean).
     val nLow = sys.env.get("SPARK_GRAFT_SCALE_N").map(_.toInt).getOrElse {
-      if (cores >= 28.0) 8 else if (cores >= 15.0) 4 else 2
+      if (cores >= 20.0) 4 else 2
     }
     val nHigh = nLow * 4
     // a smaller N runs the low level on fewer cores — halve the corpus
@@ -218,27 +223,33 @@ object Bench {
       val steals = scala.collection.mutable.ArrayBuffer.empty[Double]
       // each (low, high) pair is one same-machine-state experiment; its
       // ratio is an efficiency estimate disturbed by whatever the host
-      // did during that window. HEADLINE = median pair efficiency (an
-      // estimator a disturbance cannot systematically inflate); the
-      // least-disturbed (max) pair and the min/min ratio are reported as
-      // diagnostics. Extra pairs beyond `reps` are drawn only while the
-      // last pair was measurably steal-disturbed — a redraw criterion
-      // independent of the measured value.
+      // did during that window. HEADLINE = median pair efficiency over
+      // the UNDISTURBED pairs (steal during both runs <= stealCap — a
+      // rejection criterion measured independently of the gate value;
+      // round-3 data: disturbed pairs measured 0.57/0.65 while the one
+      // clean pair measured 0.99, so mixing them biases the median DOWN
+      // by host noise, not engine behavior). Falls back to all pairs if
+      // no clean pair was obtained within maxPairs. min/min and
+      // best-pair stay as diagnostics. Pairs are drawn until `reps`
+      // CLEAN pairs exist or maxPairs total — the draw criterion never
+      // reads an efficiency value.
+      val disturbed = scala.collection.mutable.ArrayBuffer.empty[Boolean]
       def pairEffs = tLows.zip(tHighs).map { case (l, h) => l / (4.0 * h) }
+      def cleanEffs = pairEffs.zip(disturbed).collect {
+        case (e, false) => e
+      }
       def median(xs: Seq[Double]): Double = {
         val s = xs.sorted
         if (s.size % 2 == 1) s(s.size / 2)
         else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
       }
-      def pair(): Boolean = { // returns true iff the pair was disturbed
+      def pair(): Unit = {
         val (tl, sl) = buildAt(nLow, inputPath)
         val (th, sh) = buildAt(nHigh, inputPath)
         tLows += tl; tHighs += th; steals += sl; steals += sh
-        sl > stealCap || sh > stealCap
+        disturbed += (sl > stealCap || sh > stealCap)
       }
-      var lastDisturbed = false
-      (1 to reps).foreach(_ => lastDisturbed = pair())
-      while (lastDisturbed && tLows.size < maxPairs) lastDisturbed = pair()
+      while (cleanEffs.size < reps && tLows.size < maxPairs) pair()
       deleteRec(java.nio.file.Paths.get(inputPath))
       deleteRec(java.nio.file.Paths.get(warmPath))
       val (tLow, tHigh) = (tLows.min, tHighs.min)
@@ -252,10 +263,15 @@ object Bench {
           f""""t_n_all":${arr(tLows.toSeq)},"t_4n_all":${arr(tHighs.toSeq)},""" +
           f""""steal_frac":${arr(steals.toSeq)},""" +
           f""""pair_efficiencies":${arr(pairEffs.toSeq)},""" +
+          s""""pair_disturbed":${disturbed.map(d => if (d) 1 else 0)
+            .mkString("[", ",", "]")},""" +
           f""""turns_per_sec_n":$thrLow%.0f,"turns_per_sec_4n":$thrHigh%.0f,""" +
           f""""scaling_efficiency_minmin":${tLows.min / (4.0 * tHighs.min)}%.3f,""" +
           f""""scaling_efficiency_best_pair":${pairEffs.max}%.3f,""" +
-          f""""scaling_efficiency":${median(pairEffs.toSeq)}%.3f}"""
+          f""""scaling_efficiency_all_pairs":${median(pairEffs.toSeq)}%.3f,""" +
+          f""""scaling_efficiency":${
+            median(if (cleanEffs.nonEmpty) cleanEffs.toSeq else pairEffs.toSeq)
+          }%.3f}"""
     }
 
     // ---- part 2: per-query wall time on the sf dir ----

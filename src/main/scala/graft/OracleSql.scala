@@ -456,6 +456,50 @@ object OracleSql {
        |LIMIT $k""".stripMargin
   }
 
+  /** Payload-near top-k oracle (PayloadNearQuery + positionBoost):
+    * ordered 2-term near with min-gap span semantics; payloads of both
+    * span ends ((a.pos, qmin)) recomputed from positions. Payload
+    * values are exactly-representable doubles (boost or 1.0), so the
+    * avg's summation order is irrelevant. */
+  def payloadNearTopK(a: String, b: String, slop: Int,
+      fn: graft.search.PayloadFn, firstN: Int, boost: Double,
+      includeSpanScore: Boolean, k: Int): String = {
+    def pay(e: String): String =
+      s"CASE WHEN $e < $firstN THEN CAST($boost AS DOUBLE) ELSE 1.0 END"
+    val payAgg = fn match {
+      case graft.search.PayAvg =>
+        s"(sum(${pay("m.pos")}) + sum(${pay("m.qmin")})) / (2.0 * count(*))"
+      case graft.search.PayMin =>
+        s"least(min(${pay("m.pos")}), min(${pay("m.qmin")}))"
+      case graft.search.PayMax =>
+        s"greatest(max(${pay("m.pos")}), max(${pay("m.qmin")}))"
+    }
+    val spanScore =
+      s"""${sumIdfSql(Seq(a, b))} * (g.tfp * 2.2)
+         |     / (g.tfp + 1.2 * (1.0 - 0.75 + 0.75 * l.len / st.avgdl))""".stripMargin
+    val score =
+      if (includeSpanScore) s"$spanScore * g.pay" else "g.pay"
+    s"""$prelude
+       |SELECT CAST(row_number() OVER (ORDER BY s2.score DESC, s2.docid) AS BIGINT) AS rank,
+       |       s2.docid, round(s2.score, 4) AS score
+       |FROM (
+       |  SELECT g.docid, $score AS score
+       |  FROM (SELECT m.docid, sum(1.0 / (m.mind + 1.0)) AS tfp,
+       |               $payAgg AS pay
+       |        FROM (SELECT a.docid, a.pos,
+       |                     CAST(min(b.pos - a.pos - 1) AS DOUBLE) AS mind,
+       |                     min(b.pos) AS qmin
+       |              FROM tok a JOIN tok b ON b.docid = a.docid
+       |                   AND b.term = ${sq(b)} AND b.pos > a.pos
+       |                   AND b.pos - a.pos - 1 <= $slop
+       |              WHERE a.term = ${sq(a)}
+       |              GROUP BY a.docid, a.pos) m
+       |        GROUP BY m.docid) g
+       |  JOIN doclens l ON l.docid = g.docid CROSS JOIN stats st) s2
+       |ORDER BY s2.score DESC, s2.docid
+       |LIMIT $k""".stripMargin
+  }
+
   /** Count-only oracle (TotalHitCountCollector analog). */
   def countQ(q: Query): String =
     s"""$prelude

@@ -237,6 +237,12 @@ object SparkEntry {
       OracleSql.payloadTermTopK("merge", PayMax,
         Engine.PayloadFirstN, Engine.PayloadBoost.toDouble,
         includeSpanScore = false, 10)),
+    "ft_payload_near" -> Raw(
+      (s, dir) => Engine.ranked(new Searcher(Engine.indexPayload(s, dir))
+        .topK(PayloadNearQ("table", "merge", 6), 10)),
+      OracleSql.payloadNearTopK("table", "merge", 6, PayAvg,
+        Engine.PayloadFirstN, Engine.PayloadBoost.toDouble,
+        includeSpanScore = true, 10)),
 
     // --- cacheable filter (FilteredQuery + CachingWrapperFilter) ---
     // the persisted docid set gates TWO different scoring queries (the
@@ -294,6 +300,41 @@ object SparkEntry {
       "SELECT * FROM (VALUES " + StemVectors.spanish.sortBy(_._1)
         .map { case (w, st) => s"('$w', '$st')" }.mkString(", ") +
         ") AS t(word, stem) ORDER BY word"),
+    // typed Classic tokenizer chain over a fixed input set; expected
+    // (input, pos, term, type) rows hand-derived and frozen in the
+    // oracle as VALUES (same method as the stemmer gates)
+    "ft_classic" -> Raw(
+      (s, dir) => {
+        import s.implicits._
+        val inputs = Seq(
+          "Mail bob@Example.COM about U.S.A. file",
+          "visit www.example.com for 3.14 R2-D2",
+          "O'Brien's book and the index")
+        inputs.toDF("input")
+          .flatMap(r => graft.analysis.Analyzers.classicChain(r.getString(0))
+            .map(t => (r.getString(0), t.pos, t.term, t.tpe.toString)))
+          .toDF("input", "pos", "term", "type")
+          .orderBy("input", "pos")
+      }, {
+        val expected = Seq(
+          ("Mail bob@Example.COM about U.S.A. file",
+            Seq((0, "mail", "Alphanum"), (1, "bob@example.com", "Email"),
+              (2, "about", "Alphanum"), (3, "usa", "Acronym"),
+              (4, "file", "Alphanum"))),
+          ("visit www.example.com for 3.14 R2-D2",
+            Seq((0, "visit", "Alphanum"), (1, "www.example.com", "Host"),
+              // for(2) is in the 33-word stop set -> position gap
+              (3, "3.14", "Num"), (4, "r2-d2", "Num"))),
+          ("O'Brien's book and the index",
+            Seq((0, "o'brien", "Apostrophe"), (1, "book", "Alphanum"),
+              (4, "index", "Alphanum")))) // and(2), the(3) stopped
+        "SELECT * FROM (VALUES " + expected.flatMap { case (in, toks) =>
+          toks.map { case (p, t, ty) =>
+            s"('${in.replace("'", "''")}', $p, '${t.replace("'", "''")}', '$ty')"
+          }
+        }.mkString(", ") +
+          ") AS t(input, pos, term, type) ORDER BY input, pos"
+      }),
     "ft_stem_ru" -> Raw(
       (s, dir) => {
         import s.implicits._

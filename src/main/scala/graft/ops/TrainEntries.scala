@@ -99,7 +99,7 @@ object TrainEntries {
     s"""$shingleCte,
        |mh AS (SELECT doc_id, j,
        |         min(${h60("CAST(j AS VARCHAR) || ':' || s")}) AS minh
-       |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0,7)) AS j) js
+       |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0,${TrainOps.MinHashFns - 1})) AS j) js
        |       GROUP BY doc_id, j)""".stripMargin
 
   private val simhashCte =
@@ -129,9 +129,9 @@ object TrainEntries {
     ("dd_minhash",
       (s, d) => TrainOps.dedupMinhashLsh(s, d),
       s"""WITH $minhashCte,
-         |bk AS (SELECT doc_id, j // 2 AS band,
+         |bk AS (SELECT doc_id, j // ${TrainOps.BandRows} AS band,
          |         ${h60("array_to_string(list_sort(list(CAST(j AS VARCHAR) || '=' || CAST(minh AS VARCHAR))), ',')")} AS bkey
-         |       FROM mh GROUP BY doc_id, j // 2),
+         |       FROM mh GROUP BY doc_id, j // ${TrainOps.BandRows}),
          |bkok AS (SELECT bk.* FROM bk
          |         JOIN (SELECT band, bkey FROM bk GROUP BY band, bkey
          |               HAVING count(*) <= ${TrainOps.LshBucketCap}) ok

@@ -206,6 +206,14 @@ case object PayMax extends PayloadFn
 final case class PayloadTermQ(term: String, fn: PayloadFn = PayAvg,
     includeSpanScore: Boolean = true) extends Query
 
+/** PayloadNearQuery.cs:52: ordered span-near of two terms whose score is
+  * modulated by the payloads collected at BOTH ends of every matched
+  * span — score = spanScore * fn(collected payloads) (or fn alone).
+  * Span semantics match [[SpanNearQ]] ordered: per `a` occurrence, the
+  * nearest qualifying `b` within slop. */
+final case class PayloadNearQ(a: String, b: String, slop: Int,
+    fn: PayloadFn = PayAvg, includeSpanScore: Boolean = true) extends Query
+
 /** Sort key for field-sorted top-k (SortField.cs:43-101): a forward doc
   * column, or the special name "score" (SortField.FIELD_SCORE). */
 final case class SortField(field: String, desc: Boolean = false)
@@ -221,6 +229,7 @@ object QueryAst {
     case BoostQ(s, _) => terms(s)
     case DisMaxQ(ds, _) => ds.flatMap(terms).toSet
     case PayloadTermQ(t, _, _) => Set(t)
+    case PayloadNearQ(a, b, _, _, _) => Set(a, b)
     case _ => Set.empty
   }
 }

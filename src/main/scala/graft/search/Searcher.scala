@@ -261,6 +261,50 @@ final class Searcher(idx: InvertedIndex) {
         .join(broadcast(dict), Seq("term"))
         .select(col("docid"), (base * payScore).as("score"))
 
+    case PayloadNearQ(a, b, slop, fn, includeSpan) =>
+      // PayloadNearQuery.cs:52 — ordered 2-term span-near (SpanNearQ
+      // min-gap semantics), payloads of BOTH span ends collected per
+      // matched span in posA order (deterministic fold)
+      val dfs = dfOf(Set(a, b))
+      val sumIdf = Seq(a, b)
+        .map(t => Bm25.idf(idx.numDocs, dfs.getOrElse(t, 0L))).sum
+      val pa = idx.postingsForPay(Seq(a))
+        .select(col("docid"), col("positions").as("posA"),
+          col("payloads").as("payA"), col("len"))
+      val pb = idx.postingsForPay(Seq(b))
+        .select(col("docid"), col("positions").as("posB"),
+          col("payloads").as("payB"))
+      val mapB = map_from_arrays(col("posB"), col("payB"))
+      def qual(p: Column): Column =
+        filter(col("posB"), q => q > p && (q - p - 1) <= slop)
+      val spans = filter(
+        zip_with(col("posA"), col("payA"), (p, w) =>
+          struct(p.as("p"), array_min(qual(p)).as("q"), w.as("w"))),
+        s => s.getField("q").isNotNull)
+      val tfp = aggregate(col("spans"), lit(0.0), (acc, s) =>
+        acc + lit(1.0) /
+          (s.getField("q") - s.getField("p")).cast("double"))
+      val pays = flatten(transform(col("spans"), s =>
+        array(s.getField("w").cast("double"),
+          element_at(mapB, s.getField("q")).cast("double"))))
+      val payScore = fn match {
+        case PayAvg =>
+          aggregate(col("pays"), lit(0.0), (acc, x) => acc + x) /
+            size(col("pays")).cast("double")
+        case PayMin => array_min(col("pays"))
+        case PayMax => array_max(col("pays"))
+      }
+      val base =
+        if (includeSpan)
+          lit(sumIdf) * Bm25.tfNorm(col("tfp"), col("len"), idx.avgdl)
+        else lit(1.0)
+      pa.join(pb, Seq("docid"))
+        .withColumn("spans", spans)
+        .withColumn("tfp", tfp)
+        .withColumn("pays", pays)
+        .filter(col("tfp") > 0)
+        .select(col("docid"), (base * payScore).as("score"))
+
     case WildcardQ(pat, rw) =>
       // constant-prefix pushdown (WildcardTermEnum.cs:32: the enum seeks
       // to the literal prefix before matching): `spark*`-style patterns

@@ -93,6 +93,38 @@ class PayloadSpec extends AnyFunSuite {
     blocks.unpersist()
   }
 
+  test("payload near: span-matched docs only, payloads from both ends") {
+    val t = Transcripts.synthetic(spark, 500, seed = 5L, partitions = 2)
+    val idx = IndexBuilder.buildPay(t, Payloads.positionBoost(3, 2.0f), 2)
+    val sr = new Searcher(idx)
+    // pick an ORDERED pair (a before b) that co-occurs in this corpus:
+    // scan raw analyzed docs for adjacent-ish term pairs
+    val docsTerms = idx.docs.select("text").collect().map(r =>
+      graft.analysis.Analyzer.fastTokenize(r.getString(0)).map(_.term))
+    val (a, b) = docsTerms.flatMap(ts =>
+      ts.zip(ts.drop(1)).filter { case (x, y) => x != y })
+      .groupBy(identity).maxBy(_._2.size)._1
+    val near = sr.score(PayloadNearQ(a, b, 50)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val span = sr.score(SpanNearQ(a, b, 50, inOrder = true)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // same matched doc set as the plain ordered span-near
+    assert(near.keySet == span.keySet && near.nonEmpty)
+    // payload factor is bounded by [1, boost]: near/span within [1, 2]
+    near.foreach { case (d, s) =>
+      val ratio = s / span(d)
+      assert(ratio >= 1.0 - 1e-9 && ratio <= 2.0 + 1e-9,
+        s"doc $d ratio $ratio")
+    }
+    // includeSpanScore=false → the pure payload factor, same ratio
+    val pure = sr.score(PayloadNearQ(a, b, 50, PayAvg,
+      includeSpanScore = false)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    pure.foreach { case (d, p) =>
+      assert(math.abs(p - near(d) / span(d)) < 1e-9)
+    }
+  }
+
   test("includeSpanScore=false scores by payload function alone") {
     val t = Transcripts.synthetic(spark, 300, seed = 11L, partitions = 2)
     val idx = IndexBuilder.buildPay(t, Payloads.positionBoost(3, 2.0f), 2)
