@@ -335,6 +335,18 @@ object SparkEntry {
         }.mkString(", ") +
           ") AS t(input, pos, term, type) ORDER BY input, pos"
       }),
+    "ft_stem_it" -> Raw(
+      (s, dir) => {
+        import s.implicits._
+        StemVectors.italian.map(_._1).toDF("word")
+          .select(col("word"))
+          .map(r => (r.getString(0),
+            graft.analysis.ItalianStemmer.stem(r.getString(0))))
+          .toDF("word", "stem").orderBy("word")
+      },
+      "SELECT * FROM (VALUES " + StemVectors.italian.sortBy(_._1)
+        .map { case (w, st) => s"('$w', '$st')" }.mkString(", ") +
+        ") AS t(word, stem) ORDER BY word"),
     "ft_stem_ru" -> Raw(
       (s, dir) => {
         import s.implicits._

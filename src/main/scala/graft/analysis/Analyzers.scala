@@ -42,6 +42,10 @@ object Analyzers {
     * Ext/SpanishStemmer.cs:11): Standard tokens → Spanish stop set
     * (the published Snowball list's core) → Snowball Spanish stemmer. */
   case object Spanish extends Kind
+  /** SnowballAnalyzer("Italian") analog (SnowballAnalyzer.cs:39 wraps
+    * Ext/ItalianStemmer.cs:11): Standard tokens → Italian elision
+    * (l'arte → arte) → Italian stop set → Snowball Italian stemmer. */
+  case object Italian extends Kind
   /** RussianAnalyzer.cs:79 analog with the Snowball stemmer
     * (Ext/RussianStemmer.cs:11; the reference's own contrib/Analyzers/Ru
     * stemmer is the OLDER table-driven algorithm — documented
@@ -94,7 +98,50 @@ object Analyzers {
             t.length <= Analyzer.MaxTokenLength =>
           Token(RussianStemmer.stem(t), i)
       }
+    case Italian =>
+      Analyzer.rawTokens(text).iterator.map(elideIt).zipWithIndex.collect {
+        case (t, i) if t.nonEmpty && !ItalianStopWords(t) &&
+            t.length <= Analyzer.MaxTokenLength =>
+          Token(ItalianStemmer.stem(t), i)
+      }.toVector
   }
+
+  /** Italian elision article set (the ElisionFilter set ItalianAnalyzer
+    * uses in later Lucene — c/l/all/dall/dell/nell/sull/coll/pell/gl/
+    * agl/dagl/degl/negl/sugl/un/m/t/s/v/d). */
+  val ItalianElisionArticles: Set[String] = Set(
+    "c", "l", "all", "dall", "dell", "nell", "sull", "coll", "pell",
+    "gl", "agl", "dagl", "degl", "negl", "sugl", "un", "m", "t", "s",
+    "v", "d")
+
+  def elideIt(t: String): String = {
+    val i = t.indexOf('\'')
+    if (i > 0 && ItalianElisionArticles(t.substring(0, i)))
+      t.substring(i + 1)
+    else t
+  }
+
+  /** Core of the published Snowball Italian stop list (articles,
+    * pronouns, prepositions + essere/avere high-frequency forms). */
+  val ItalianStopWords: Set[String] = Set(
+    "ad", "al", "allo", "ai", "agli", "all", "agl", "alla", "alle",
+    "con", "col", "coi", "da", "dal", "dallo", "dai", "dagli", "dall",
+    "dagl", "dalla", "dalle", "di", "del", "dello", "dei", "degli",
+    "dell", "degl", "della", "delle", "in", "nel", "nello", "nei",
+    "negli", "nell", "negl", "nella", "nelle", "su", "sul", "sullo",
+    "sui", "sugli", "sull", "sugl", "sulla", "sulle", "per", "tra",
+    "contro", "io", "tu", "lui", "lei", "noi", "voi", "loro", "mio",
+    "mia", "miei", "mie", "tuo", "tua", "tuoi", "tue", "suo", "sua",
+    "suoi", "sue", "nostro", "nostra", "nostri", "nostre", "vostro",
+    "vostra", "vostri", "vostre", "mi", "ti", "ci", "vi", "lo", "la",
+    "li", "le", "gli", "ne", "il", "un", "uno", "una", "ma", "ed",
+    "se", "perché", "anche", "come", "dov", "dove", "che", "chi",
+    "cui", "non", "più", "quale", "quanto", "quanti", "quanta",
+    "quante", "quello", "quelli", "quella", "quelle", "questo",
+    "questi", "questa", "queste", "si", "tutto", "tutti", "a", "c",
+    "e", "i", "l", "o", "ho", "hai", "ha", "abbiamo", "avete", "hanno",
+    "sono", "sei", "è", "siamo", "siete", "era", "erano", "essere",
+    "stato", "stata")
 
   /** RussianAnalyzer.RUSSIAN_STOP_WORDS (RussianAnalyzer.cs:43-64). */
   val RussianStopWords: Set[String] = Set(

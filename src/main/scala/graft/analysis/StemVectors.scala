@@ -82,6 +82,28 @@ object StemVectors {
     // residual accents survive only as un-accented vowels
     "está" -> "esta")               // á not in RV → kept, un-accented
 
+  val italian: Seq[(String, String)] = Seq(
+    // step 2 verb suffixes in RV
+    "cantare" -> "cant", "cantavano" -> "cant", "parliamo" -> "parl",
+    // step 0 pronouns: gerund (delete) and infinitive (restore e)
+    "vedendolo" -> "ved",   // endo + lo → vedendo → ved
+    "mangiarlo" -> "mang",  // ar + lo → mangiare → mangi → mang (3a i)
+    // step 1 families with R1/R2/RV gating
+    "organizzazione" -> "organizz", // azione in R2
+    "nazione" -> "nazion",          // azione NOT in R2 → residual e only
+    "mineralogia" -> "mineralog",   // logia → log
+    "distribuzione" -> "distribu",  // uzione → u
+    "differenza" -> "different",    // enza → ente, residual e
+    "cambiamento" -> "camb",        // amento in RV, then residual i
+    "rapidamente" -> "rapid",       // amente in R1
+    "possibilità" -> "possibil",    // ità in R2; abil NOT in R2 → kept
+    "indicativo" -> "indic",        // ivo in R2, then at in R2
+    // step 3a residual vowel (+ preceding i), 3b ch → c
+    "bellezza" -> "bellezz",
+    "cronache" -> "cronac",
+    // prelude: u after q marked consonant → RV shifts
+    "quando" -> "quand")
+
   val russian: Seq[(String, String)] = Seq(
     // noun endings in RV
     "книги" -> "книг", "книга" -> "книг", "процессы" -> "процесс",

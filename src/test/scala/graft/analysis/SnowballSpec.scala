@@ -46,6 +46,21 @@ class SnowballSpec extends AnyFunSuite {
       Token("constitu", 6)))
   }
 
+  test("Italian Snowball vectors (hand-derived)") {
+    StemVectors.italian.foreach { case (w, want) =>
+      assert(ItalianStemmer.stem(w) == want,
+        s"$w: got ${ItalianStemmer.stem(w)}, want $want")
+    }
+  }
+
+  test("Italian analyzer chain: elision, stop words, stem") {
+    val toks = Analyzers.tokenize(Analyzers.Italian,
+      "l'organizzazione delle cronache e la differenza")
+    // delle(1) e(3) la(4) stopped; l' elided; positions preserved
+    assert(toks == Vector(Token("organizz", 0), Token("cronac", 2),
+      Token("different", 5)))
+  }
+
   test("Russian Snowball vectors (hand-derived)") {
     StemVectors.russian.foreach { case (w, want) =>
       assert(RussianStemmer.stem(w) == want,
