@@ -347,6 +347,18 @@ object SparkEntry {
       "SELECT * FROM (VALUES " + StemVectors.italian.sortBy(_._1)
         .map { case (w, st) => s"('$w', '$st')" }.mkString(", ") +
         ") AS t(word, stem) ORDER BY word"),
+    "ft_stem_sv" -> Raw(
+      (s, dir) => {
+        import s.implicits._
+        StemVectors.swedish.map(_._1).toDF("word")
+          .select(col("word"))
+          .map(r => (r.getString(0),
+            graft.analysis.SwedishStemmer.stem(r.getString(0))))
+          .toDF("word", "stem").orderBy("word")
+      },
+      "SELECT * FROM (VALUES " + StemVectors.swedish.sortBy(_._1)
+        .map { case (w, st) => s"('$w', '$st')" }.mkString(", ") +
+        ") AS t(word, stem) ORDER BY word"),
     "ft_stem_ru" -> Raw(
       (s, dir) => {
         import s.implicits._

@@ -52,6 +52,10 @@ object Analyzers {
     * deviation): Standard tokens → RUSSIAN_STOP_WORDS
     * (RussianAnalyzer.cs:43-64) → Snowball Russian stemmer. */
   case object Russian extends Kind
+  /** SnowballAnalyzer("Swedish") analog (SnowballAnalyzer.cs:39 wraps
+    * Ext/SwedishStemmer.cs:11): Standard tokens → Swedish stop set
+    * (the published Snowball list) → Snowball Swedish stemmer. */
+  case object Swedish extends Kind
 
   def tokenize(kind: Kind, text: String): Vector[Token] = kind match {
     case Standard => Analyzer.fastTokenize(text)
@@ -104,7 +108,30 @@ object Analyzers {
             t.length <= Analyzer.MaxTokenLength =>
           Token(ItalianStemmer.stem(t), i)
       }.toVector
+    case Swedish =>
+      Analyzer.rawTokens(text).zipWithIndex.collect {
+        case (t, i) if t.nonEmpty && !SwedishStopWords(t) &&
+            t.length <= Analyzer.MaxTokenLength =>
+          Token(SwedishStemmer.stem(t), i)
+      }
   }
+
+  /** The published Snowball Swedish stop list. */
+  val SwedishStopWords: Set[String] = Set(
+    "och", "det", "att", "i", "en", "jag", "hon", "som", "han", "på",
+    "den", "med", "var", "sig", "för", "så", "till", "är", "men", "ett",
+    "om", "hade", "de", "av", "icke", "mig", "du", "henne", "då", "sin",
+    "nu", "har", "inte", "hans", "honom", "skulle", "hennes", "där",
+    "min", "man", "ej", "vid", "kunde", "något", "från", "ut", "när",
+    "efter", "upp", "vi", "dem", "vara", "vad", "över", "än", "dig",
+    "kan", "sina", "här", "ha", "mot", "alla", "under", "någon", "eller",
+    "allt", "mycket", "sedan", "ju", "denna", "själv", "detta", "åt",
+    "utan", "varit", "hur", "ingen", "mitt", "ni", "bli", "blev", "oss",
+    "din", "dessa", "några", "deras", "blir", "mina", "samma", "vilken",
+    "er", "sådan", "vår", "blivit", "dess", "inom", "mellan", "sådant",
+    "varför", "varje", "vilka", "ditt", "vem", "vilket", "sitta",
+    "sådana", "vart", "dina", "vars", "vårt", "våra", "ert", "era",
+    "vilkas")
 
   /** Italian elision article set (the ElisionFilter set ItalianAnalyzer
     * uses in later Lucene — c/l/all/dall/dell/nell/sull/coll/pell/gl/

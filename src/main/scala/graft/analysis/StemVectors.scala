@@ -104,6 +104,31 @@ object StemVectors {
     // prelude: u after q marked consonant → RV shifts
     "quando" -> "quand")
 
+  val swedish: Seq[(String, String)] = Seq(
+    // step 1 longest-suffix deletion in R1 (min-3 adjustment)
+    "jackorna" -> "jack",     // orna
+    "hundarna" -> "hund",     // arna
+    "hoppades" -> "hopp",     // ades
+    "byggandes" -> "bygg",    // andes (present in the published list)
+    "byggnadens" -> "byggnad", // ens
+    "möjligheterna" -> "möj", // heterna, then step 3 lig
+    "klokast" -> "klok",      // ast
+    // s-ending gate: valid consonant before s → strip; vowel → keep
+    "husets" -> "huset",
+    "precis" -> "precis",
+    // step 2: double-consonant endings lose one letter, R1-gated
+    "friskt" -> "frisk",      // kt
+    "byggt" -> "bygg",        // gt
+    "katterna" -> "katt",     // erna; tt NOT in R1 after deletion → kept
+    // step 3 residuals
+    "möjligt" -> "möj",       // gt (step 2), then lig
+    "vänliga" -> "vän",       // a, then lig
+    "välsignelse" -> "välsign", // e, then els
+    "kraftfullt" -> "kraftfull", // fullt → full
+    "meningslöst" -> "meningslös", // löst → lös
+    // min-3 region adjustment leaves short words whole
+    "öst" -> "öst")
+
   val russian: Seq[(String, String)] = Seq(
     // noun endings in RV
     "книги" -> "книг", "книга" -> "книг", "процессы" -> "процесс",

@@ -61,6 +61,21 @@ class SnowballSpec extends AnyFunSuite {
       Token("different", 5)))
   }
 
+  test("Swedish Snowball vectors (hand-derived)") {
+    StemVectors.swedish.foreach { case (w, want) =>
+      assert(SwedishStemmer.stem(w) == want,
+        s"$w: got ${SwedishStemmer.stem(w)}, want $want")
+    }
+  }
+
+  test("Swedish analyzer chain: stop words gap positions, then stem") {
+    val toks = Analyzers.tokenize(Analyzers.Swedish,
+      "alla hundarna och katterna är vänliga")
+    // alla(0) och(2) är(4) stopped; positions preserved
+    assert(toks == Vector(Token("hund", 1), Token("katt", 3),
+      Token("vän", 5)))
+  }
+
   test("Russian Snowball vectors (hand-derived)") {
     StemVectors.russian.foreach { case (w, want) =>
       assert(RussianStemmer.stem(w) == want,
