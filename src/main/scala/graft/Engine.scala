@@ -61,6 +61,22 @@ object Engine {
         graft.analysis.Payloads.positionBoost(PayloadFirstN, PayloadBoost),
         parts(spark)))
 
+  /** Segmented payload flavor: the same positionBoost payloads PERSISTED
+    * through the block store — the payload bit rides the position stream
+    * verbatim through the range shuffle, run stitching, and segment
+    * parquet, so payload queries over the committed store score exactly
+    * like the mem "pay" flavor (storage must be invisible). */
+  def indexPaySeg(spark: SparkSession, sfDir: String): InvertedIndex =
+    cache.getOrElseUpdate(key(spark, sfDir, "pys"), {
+      val root = segRoot(spark, sfDir, "pys")
+      IndexBuilder.buildSegments(spark,
+        Transcripts.fromDocuments(spark, sfDir), root,
+        numBatches = 4, numPartitions = parts(spark),
+        assigner = Some(graft.analysis.Payloads.positionBoost(
+          PayloadFirstN, PayloadBoost)))
+      SegmentStore.open(spark, root)
+    })
+
   /** Build → persist as 4 segments → open from the committed manifest.
     * A dictionary trigram index is persisted alongside (out-of-band job,
     * like a compaction) so fuzzy/suggest candidate scans are gram-bounded
@@ -149,6 +165,7 @@ object Engine {
     val flavors = Seq(
       t("mem")(index(spark, sfDir)),
       t("pay")(indexPayload(spark, sfDir)),
+      t("pys")(indexPaySeg(spark, sfDir)),
       t("seg")(indexSeg(spark, sfDir)),
       t("cmp")(indexCompacted(spark, sfDir)),
       t("app")(indexAppended(spark, sfDir)),

@@ -237,6 +237,15 @@ object SparkEntry {
       OracleSql.payloadTermTopK("merge", PayMax,
         Engine.PayloadFirstN, Engine.PayloadBoost.toDouble,
         includeSpanScore = false, 10)),
+    // the SAME payload query over the PERSISTED segment store — same
+    // oracle as ft_payload_term: storage must be invisible (the payload
+    // bit survives shuffle, stitch, and parquet round-trips)
+    "ft_payload_seg" -> Raw(
+      (s, dir) => Engine.ranked(new Searcher(Engine.indexPaySeg(s, dir))
+        .topK(PayloadTermQ("table", PayAvg), 10)),
+      OracleSql.payloadTermTopK("table", PayAvg,
+        Engine.PayloadFirstN, Engine.PayloadBoost.toDouble,
+        includeSpanScore = true, 10)),
     "ft_payload_near" -> Raw(
       (s, dir) => Engine.ranked(new Searcher(Engine.indexPayload(s, dir))
         .topK(PayloadNearQ("table", "merge", 6), 10)),

@@ -274,7 +274,8 @@ object IndexBuilder {
     * listing all segments (all-or-nothing visibility).
     */
   def buildSegments(spark: SparkSession, transcripts: DataFrame,
-      root: String, numBatches: Int = 4, numPartitions: Int = 32): Manifest = {
+      root: String, numBatches: Int = 4, numPartitions: Int = 32,
+      assigner: Option[graft.analysis.Payloads.Assigner] = None): Manifest = {
     val tAssign = System.nanoTime()
     // assign() pins its sorted base; `docs` is a cheap projection of it
     val assigned = DocIds.assign(transcripts,
@@ -291,7 +292,10 @@ object IndexBuilder {
       if (lo >= total) None
       else {
         val id = f"seg_b$b%05d"
-        val lineage = s"batch=$b/$numBatches docids=[$lo,$hi) src=ingest"
+        // payload builds carry a distinct lineage so a resumed run never
+        // reuses a payload-free segment (or vice versa)
+        val src = if (assigner.isDefined) "ingest-pay" else "ingest"
+        val lineage = s"batch=$b/$numBatches docids=[$lo,$hi) src=$src"
         SegmentStore.readLineage(root, id) match {
           case Some(m) if m.lineage == lineage => Some(m) // resume: skip
           case _ =>
@@ -311,7 +315,7 @@ object IndexBuilder {
             // the Lucene shape: segment files are written once, stats
             // are read from the segment.
             timed("blocks")(SegmentStore.writeTable(root, id, "blocks",
-              PostingBlocks.buildFromDocs(slice, numPartitions).toDF()))
+              PostingBlocks.buildFromDocs(slice, numPartitions, assigner).toDF()))
             val blocksDf = SegmentStore.readTable(spark, root, id, "blocks")
             timed("dict")(SegmentStore.writeTable(root, id, "dict",
               PostingBlocks.dictFromBlocks(blocksDf)))

@@ -97,27 +97,58 @@ object PostingBlocks {
     * run-start component of the range key; map memory is one partition's
     * compact blobs. Input partitions MUST be docid-contiguous and
     * docid-sorted (DocIds.assign output is). */
-  def buildFromDocs(docs: DataFrame, numPartitions: Int): Dataset[BlockRow] = {
+  /** Tokenize+invert+encode docs straight into compressed block runs.
+    * With `assigner` set, each occurrence's payload rides in the
+    * position blob via the codec's payload bit (NaN = none) — the blob
+    * then flows VERBATIM through the range shuffle, stitching, and
+    * segment parquet, so the persisted store keeps payloads for free
+    * (FreqProxTermsWriter.cs:70-157 threads payloads the same way). The
+    * payload-free path stays allocation-identical to before. */
+  def buildFromDocs(docs: DataFrame, numPartitions: Int,
+      assigner: Option[graft.analysis.Payloads.Assigner] = None)
+      : Dataset[BlockRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val runs: Dataset[BlockRow] = docs.select(col("docid"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         val builders = new java.util.LinkedHashMap[String, Codec.RunBuilder]
-        it.foreach { case (docid, text) =>
-          val toks = graft.analysis.Analyzer.fastTokenize(text)
-          val len = toks.size.toLong
-          val m = scala.collection.mutable.LinkedHashMap
-            .empty[String, scala.collection.mutable.ArrayBuffer[Int]]
-          toks.foreach { t =>
-            m.getOrElseUpdate(t.term,
-              new scala.collection.mutable.ArrayBuffer[Int](4)) += t.pos
+        assigner match {
+          case None => it.foreach { case (docid, text) =>
+            val toks = graft.analysis.Analyzer.fastTokenize(text)
+            val len = toks.size.toLong
+            val m = scala.collection.mutable.LinkedHashMap
+              .empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+            toks.foreach { t =>
+              m.getOrElseUpdate(t.term,
+                new scala.collection.mutable.ArrayBuffer[Int](4)) += t.pos
+            }
+            m.foreach { case (t, ps) =>
+              var b = builders.get(t)
+              if (b == null) { b = new Codec.RunBuilder(t); builders.put(t, b) }
+              b.add(docid, ps.length.toLong, len,
+                Codec.encodePositions(ps.toArray))
+            }
           }
-          m.foreach { case (t, ps) =>
-            var b = builders.get(t)
-            if (b == null) { b = new Codec.RunBuilder(t); builders.put(t, b) }
-            b.add(docid, ps.length.toLong, len,
-              Codec.encodePositions(ps.toArray))
+          case Some(a) => it.foreach { case (docid, text) =>
+            val toks = graft.analysis.Analyzer.fastTokenize(text)
+            val len = toks.size.toLong
+            val m = scala.collection.mutable.LinkedHashMap
+              .empty[String, (scala.collection.mutable.ArrayBuffer[Int],
+                scala.collection.mutable.ArrayBuffer[Float])]
+            toks.foreach { t =>
+              val e = m.getOrElseUpdate(t.term,
+                (new scala.collection.mutable.ArrayBuffer[Int](4),
+                  new scala.collection.mutable.ArrayBuffer[Float](4)))
+              e._1 += t.pos
+              e._2 += a(t.term, t.pos)
+            }
+            m.foreach { case (t, (ps, ws)) =>
+              var b = builders.get(t)
+              if (b == null) { b = new Codec.RunBuilder(t); builders.put(t, b) }
+              b.add(docid, ps.length.toLong, len,
+                Codec.encodePosPay(ps.toArray, ws.toArray))
+            }
           }
         }
         import scala.jdk.CollectionConverters._

@@ -93,6 +93,36 @@ class PayloadSpec extends AnyFunSuite {
     blocks.unpersist()
   }
 
+  test("payloads survive the persisted segment store (build → parquet → open)") {
+    val t = Transcripts.synthetic(spark, 400, seed = 11L, partitions = 4)
+    val assigner = Payloads.positionBoost(3, 2.0f)
+    val mem = IndexBuilder.buildPay(t, assigner, 4)
+    val root = java.nio.file.Files.createTempDirectory("graft_payseg_").toString
+    IndexBuilder.buildSegments(spark, t, root, numBatches = 3,
+      numPartitions = 4, assigner = Some(assigner))
+    val seg = graft.index.SegmentStore.open(spark, root)
+    for (fn <- Seq(PayAvg: PayloadFn, PayMin, PayMax)) {
+      val q = PayloadTermQ("error", fn)
+      val gotMem = new Searcher(mem).topK(q, 20).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val gotSeg = new Searcher(seg).topK(q, 20).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(gotMem == gotSeg, s"mem != persisted seg for $fn")
+      assert(gotMem.nonEmpty)
+    }
+    // non-payload queries over the payload-carrying store are unchanged:
+    // the payload bit is skipped in-stream by the plain decode
+    val root2 = java.nio.file.Files.createTempDirectory("graft_plainseg_").toString
+    IndexBuilder.buildSegments(spark, t, root2, numBatches = 3,
+      numPartitions = 4)
+    val plain = graft.index.SegmentStore.open(spark, root2)
+    val a = new Searcher(seg).topK(TermQ("error"), 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = new Searcher(plain).topK(TermQ("error"), 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b)
+  }
+
   test("payload near: span-matched docs only, payloads from both ends") {
     val t = Transcripts.synthetic(spark, 500, seed = 5L, partitions = 2)
     val idx = IndexBuilder.buildPay(t, Payloads.positionBoost(3, 2.0f), 2)
