@@ -368,6 +368,30 @@ object SparkEntry {
       "SELECT * FROM (VALUES " + StemVectors.swedish.sortBy(_._1)
         .map { case (w, st) => s"('$w', '$st')" }.mkString(", ") +
         ") AS t(word, stem) ORDER BY word"),
+    "ft_stem_da" -> Raw(
+      (s, dir) => {
+        import s.implicits._
+        StemVectors.danish.map(_._1).toDF("word")
+          .select(col("word"))
+          .map(r => (r.getString(0),
+            graft.analysis.DanishStemmer.stem(r.getString(0))))
+          .toDF("word", "stem").orderBy("word")
+      },
+      "SELECT * FROM (VALUES " + StemVectors.danish.sortBy(_._1)
+        .map { case (w, st) => s"('$w', '$st')" }.mkString(", ") +
+        ") AS t(word, stem) ORDER BY word"),
+    "ft_stem_no" -> Raw(
+      (s, dir) => {
+        import s.implicits._
+        StemVectors.norwegian.map(_._1).toDF("word")
+          .select(col("word"))
+          .map(r => (r.getString(0),
+            graft.analysis.NorwegianStemmer.stem(r.getString(0))))
+          .toDF("word", "stem").orderBy("word")
+      },
+      "SELECT * FROM (VALUES " + StemVectors.norwegian.sortBy(_._1)
+        .map { case (w, st) => s"('$w', '$st')" }.mkString(", ") +
+        ") AS t(word, stem) ORDER BY word"),
     "ft_stem_ru" -> Raw(
       (s, dir) => {
         import s.implicits._

@@ -56,6 +56,15 @@ object Analyzers {
     * Ext/SwedishStemmer.cs:11): Standard tokens → Swedish stop set
     * (the published Snowball list) → Snowball Swedish stemmer. */
   case object Swedish extends Kind
+  /** SnowballAnalyzer("Danish") analog (SnowballAnalyzer.cs:39 wraps
+    * Ext/DanishStemmer.cs:11): Standard tokens → Danish stop set
+    * (the published Snowball list) → Snowball Danish stemmer. */
+  case object Danish extends Kind
+  /** SnowballAnalyzer("Norwegian") analog (SnowballAnalyzer.cs:39 wraps
+    * Ext/NorwegianStemmer.cs:11): Standard tokens → Norwegian stop set
+    * (Bokmål core of the published Snowball list) → Snowball Norwegian
+    * stemmer. */
+  case object Norwegian extends Kind
 
   def tokenize(kind: Kind, text: String): Vector[Token] = kind match {
     case Standard => Analyzer.fastTokenize(text)
@@ -114,7 +123,49 @@ object Analyzers {
             t.length <= Analyzer.MaxTokenLength =>
           Token(SwedishStemmer.stem(t), i)
       }
+    case Danish =>
+      Analyzer.rawTokens(text).zipWithIndex.collect {
+        case (t, i) if t.nonEmpty && !DanishStopWords(t) &&
+            t.length <= Analyzer.MaxTokenLength =>
+          Token(DanishStemmer.stem(t), i)
+      }
+    case Norwegian =>
+      Analyzer.rawTokens(text).zipWithIndex.collect {
+        case (t, i) if t.nonEmpty && !NorwegianStopWords(t) &&
+            t.length <= Analyzer.MaxTokenLength =>
+          Token(NorwegianStemmer.stem(t), i)
+      }
   }
+
+  /** The published Snowball Danish stop list. */
+  val DanishStopWords: Set[String] = Set(
+    "og", "i", "jeg", "det", "at", "en", "den", "til", "er", "som",
+    "på", "de", "med", "han", "af", "for", "ikke", "der", "var", "mig",
+    "sig", "men", "et", "har", "om", "vi", "min", "havde", "ham", "hun",
+    "nu", "over", "da", "fra", "du", "ud", "sin", "dem", "os", "op",
+    "man", "hans", "hvor", "eller", "hvad", "skal", "selv", "her",
+    "alle", "vil", "blev", "kunne", "ind", "når", "være", "dog",
+    "noget", "ville", "jo", "deres", "efter", "ned", "skulle", "denne",
+    "end", "dette", "mit", "også", "under", "have", "dig", "anden",
+    "hende", "mine", "alt", "meget", "sit", "sine", "vor", "mod",
+    "disse", "hvis", "din", "nogle", "hos", "blive", "mange", "ad",
+    "bliver", "hendes", "været", "thi", "jer", "sådan")
+
+  /** Bokmål core of the published Snowball Norwegian stop list. */
+  val NorwegianStopWords: Set[String] = Set(
+    "og", "i", "jeg", "det", "at", "en", "et", "den", "til", "er",
+    "som", "på", "de", "med", "han", "av", "ikke", "der", "så", "var",
+    "meg", "seg", "men", "har", "om", "vi", "min", "mitt", "ha",
+    "hadde", "hun", "nå", "over", "da", "ved", "fra", "du", "ut", "sin",
+    "dem", "oss", "opp", "man", "kan", "hans", "hvor", "eller", "hva",
+    "skal", "selv", "her", "alle", "vil", "bli", "ble", "blitt",
+    "kunne", "inn", "når", "være", "kom", "noen", "noe", "ville",
+    "dere", "deres", "kun", "ja", "etter", "ned", "skulle", "denne",
+    "for", "deg", "si", "sine", "sitt", "mot", "å", "meget", "hvorfor",
+    "dette", "disse", "uten", "hvordan", "ingen", "din", "ditt", "blir",
+    "samme", "hvilken", "hvilke", "mellom", "vår", "hver", "hvem",
+    "hvis", "både", "bare", "enn", "fordi", "før", "mange", "også",
+    "slik", "vært", "begge", "siden")
 
   /** The published Snowball Swedish stop list. */
   val SwedishStopWords: Set[String] = Set(

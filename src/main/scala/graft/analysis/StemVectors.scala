@@ -129,6 +129,51 @@ object StemVectors {
     // min-3 region adjustment leaves short words whole
     "öst" -> "öst")
 
+  val danish: Seq[(String, String)] = Seq(
+    // step 1 longest-suffix deletion in R1
+    "accepterede" -> "accept",   // erede
+    "løbende" -> "løb",          // ende
+    "hundene" -> "hund",         // ene
+    "vandet" -> "vand",          // et
+    "husets" -> "hus",           // ets (Danish lists it; Swedish keeps huset)
+    "mulighedens" -> "mul",      // hedens, then step 3 ig
+    "mulighed" -> "mul",         // hed, then step 3 ig
+    // s-ending gate (a/å/z/k valid in Danish): consonant/valid → strip
+    "katalogs" -> "katalog",
+    "cirkus" -> "cirkus",        // u before s → keep
+    "hus" -> "hus",              // min-3 region: s not in R1
+    // step 2 consonant pairs
+    "overvægt" -> "overvæg",     // gt
+    // step 3: igst prelude, lig/els deletion, løst → løs
+    "venligst" -> "ven",         // igst → venlig, then lig
+    "venlige" -> "ven",          // e, then lig
+    "hjælpeløst" -> "hjælpeløs", // løst → løs
+    "bestemmelse" -> "bestem",   // e, then els, then undouble mm
+    // step 4 undouble (the Danish/Norwegian divergence: kat vs katt)
+    "kattene" -> "kat",          // ene, then undouble tt
+    "komme" -> "kom")            // e, then undouble mm
+
+  val norwegian: Seq[(String, String)] = Seq(
+    // step 1 longest-suffix deletion in R1
+    "bøkene" -> "bøk",           // ene
+    "guttens" -> "gutt",         // ens
+    "sikkerhet" -> "sikker",     // het
+    "muligheten" -> "mul",       // heten, then step 3 ig
+    "mulighetene" -> "mul",      // hetene, then step 3 ig
+    // erte/ert → er (aligns past forms with the infinitive's er stem)
+    "serverte" -> "server",
+    // s-ending gate with the conditional k: valid consonant → strip;
+    // k after a vowel → keep; k after a consonant → strip
+    "hunds" -> "hund",
+    "bruks" -> "bruks",
+    "verks" -> "verk",
+    // step 2 consonant pairs
+    "sendt" -> "send",           // dt
+    // step 3 derivational endings (NO undouble step — katt stays katt)
+    "hemmelig" -> "hemm",        // elig
+    "vennlige" -> "venn",        // e, then lig
+    "kattene" -> "katt")         // ene; contrast with the Danish kat
+
   val russian: Seq[(String, String)] = Seq(
     // noun endings in RV
     "книги" -> "книг", "книга" -> "книг", "процессы" -> "процесс",

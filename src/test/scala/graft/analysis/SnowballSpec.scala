@@ -76,6 +76,45 @@ class SnowballSpec extends AnyFunSuite {
       Token("vän", 5)))
   }
 
+  test("Danish Snowball vectors (hand-derived)") {
+    StemVectors.danish.foreach { case (w, want) =>
+      assert(DanishStemmer.stem(w) == want,
+        s"$w: got ${DanishStemmer.stem(w)}, want $want")
+    }
+  }
+
+  test("Norwegian Snowball vectors (hand-derived)") {
+    StemVectors.norwegian.foreach { case (w, want) =>
+      assert(NorwegianStemmer.stem(w) == want,
+        s"$w: got ${NorwegianStemmer.stem(w)}, want $want")
+    }
+  }
+
+  test("Danish vs Norwegian divergence: undouble and s-endings") {
+    // Danish undoubles the final consonant pair; Norwegian has no such
+    // step — the same surface form stems differently per language
+    assert(DanishStemmer.stem("kattene") == "kat")
+    assert(NorwegianStemmer.stem("kattene") == "katt")
+    // Danish admits a/å as valid s-endings; Swedish does not
+    assert(DanishStemmer.stem("villas") == "villa")
+    assert(SwedishStemmer.stem("villas") == "vill") // as-suffix deletion
+  }
+
+  test("Danish analyzer chain: stop words gap positions, then stem") {
+    val toks = Analyzers.tokenize(Analyzers.Danish,
+      "alle hundene og kattene er venlige")
+    // alle(0) og(2) er(4) stopped; positions preserved
+    assert(toks == Vector(Token("hund", 1), Token("kat", 3),
+      Token("ven", 5)))
+  }
+
+  test("Norwegian analyzer chain: stop words gap positions, then stem") {
+    val toks = Analyzers.tokenize(Analyzers.Norwegian,
+      "alle hundene og kattene er vennlige")
+    assert(toks == Vector(Token("hund", 1), Token("katt", 3),
+      Token("venn", 5)))
+  }
+
   test("Russian Snowball vectors (hand-derived)") {
     StemVectors.russian.foreach { case (w, want) =>
       assert(RussianStemmer.stem(w) == want,
