@@ -392,6 +392,18 @@ object SparkEntry {
       "SELECT * FROM (VALUES " + StemVectors.norwegian.sortBy(_._1)
         .map { case (w, st) => s"('$w', '$st')" }.mkString(", ") +
         ") AS t(word, stem) ORDER BY word"),
+    "ft_stem_nl" -> Raw(
+      (s, dir) => {
+        import s.implicits._
+        StemVectors.dutch.map(_._1).toDF("word")
+          .select(col("word"))
+          .map(r => (r.getString(0),
+            graft.analysis.DutchStemmer.stem(r.getString(0))))
+          .toDF("word", "stem").orderBy("word")
+      },
+      "SELECT * FROM (VALUES " + StemVectors.dutch.sortBy(_._1)
+        .map { case (w, st) => s"('$w', '$st')" }.mkString(", ") +
+        ") AS t(word, stem) ORDER BY word"),
     "ft_stem_ru" -> Raw(
       (s, dir) => {
         import s.implicits._

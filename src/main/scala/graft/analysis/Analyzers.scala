@@ -65,6 +65,10 @@ object Analyzers {
     * (Bokmål core of the published Snowball list) → Snowball Norwegian
     * stemmer. */
   case object Norwegian extends Kind
+  /** SnowballAnalyzer("Dutch") analog (SnowballAnalyzer.cs:39 wraps
+    * Ext/DutchStemmer.cs:11): Standard tokens → Dutch stop set (the
+    * published Snowball list) → Snowball Dutch stemmer. */
+  case object Dutch extends Kind
 
   def tokenize(kind: Kind, text: String): Vector[Token] = kind match {
     case Standard => Analyzer.fastTokenize(text)
@@ -135,7 +139,28 @@ object Analyzers {
             t.length <= Analyzer.MaxTokenLength =>
           Token(NorwegianStemmer.stem(t), i)
       }
+    case Dutch =>
+      Analyzer.rawTokens(text).zipWithIndex.collect {
+        case (t, i) if t.nonEmpty && !DutchStopWords(t) &&
+            t.length <= Analyzer.MaxTokenLength =>
+          Token(DutchStemmer.stem(t), i)
+      }
   }
+
+  /** The published Snowball Dutch stop list. */
+  val DutchStopWords: Set[String] = Set(
+    "de", "en", "van", "ik", "te", "dat", "die", "in", "een", "hij",
+    "het", "niet", "zijn", "is", "was", "op", "aan", "met", "als",
+    "voor", "had", "er", "maar", "om", "hem", "dan", "zou", "of",
+    "wat", "mijn", "men", "dit", "zo", "door", "over", "ze", "zich",
+    "bij", "ook", "tot", "je", "mij", "uit", "der", "daar", "haar",
+    "naar", "heb", "hoe", "heeft", "hebben", "deze", "u", "want",
+    "nog", "zal", "me", "zij", "nu", "ge", "geen", "omdat", "iets",
+    "worden", "toch", "al", "waren", "veel", "meer", "doen", "toen",
+    "moet", "ben", "zonder", "kan", "hun", "dus", "alles", "onder",
+    "ja", "eens", "hier", "wie", "werd", "altijd", "doch", "wordt",
+    "wezen", "kunnen", "ons", "zelf", "tegen", "na", "reeds", "wil",
+    "kon", "niets", "uw", "iemand", "geweest", "andere")
 
   /** The published Snowball Danish stop list. */
   val DanishStopWords: Set[String] = Set(

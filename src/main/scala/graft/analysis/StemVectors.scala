@@ -174,6 +174,34 @@ object StemVectors {
     "vennlige" -> "venn",        // e, then lig
     "kattene" -> "katt")         // ene; contrast with the Danish kat
 
+  val dutch: Seq[(String, String)] = Seq(
+    // step 1: en/ene after a valid en-ending, then kk/dd/tt undouble
+    "bomen" -> "bom",
+    "bakken" -> "bak",
+    "fietsen" -> "fiets",
+    // gem-exception blocks ene; step 2 then strips the bare e
+    "gemene" -> "gemen",
+    // s after a non-vowel other than j
+    "jongens" -> "jongen",
+    // heden → heid (step 1), then heid deletion in R2 (step 3a)
+    "mogelijkheden" -> "mogelijk",
+    "gelijkheid" -> "gelijk",
+    // step 2 e-deletion feeding 3b lijk, which repeats step 2
+    "lichamelijk" -> "licham",
+    "lichamelijke" -> "licham",
+    // 3b end/ing with the ig-after chain
+    "opleiding" -> "opleid",
+    "verdediging" -> "verded",
+    "eenvoudig" -> "eenvoud",
+    // step 4 vowel undouble (aa/ee/oo/uu before a final consonant)
+    "boom" -> "bom",
+    "kostbaar" -> "kostbar",
+    // region floors: short words survive
+    "zee" -> "zee",
+    // prelude folds acutes; i between vowels is consonant-marked
+    "één" -> "een",
+    "koeien" -> "koei")
+
   val russian: Seq[(String, String)] = Seq(
     // noun endings in RV
     "книги" -> "книг", "книга" -> "книг", "процессы" -> "процесс",

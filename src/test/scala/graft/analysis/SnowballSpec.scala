@@ -115,6 +115,21 @@ class SnowballSpec extends AnyFunSuite {
       Token("venn", 5)))
   }
 
+  test("Dutch Snowball vectors (hand-derived)") {
+    StemVectors.dutch.foreach { case (w, want) =>
+      assert(DutchStemmer.stem(w) == want,
+        s"$w: got ${DutchStemmer.stem(w)}, want $want")
+    }
+  }
+
+  test("Dutch analyzer chain: stop words gap positions, then stem") {
+    val toks = Analyzers.tokenize(Analyzers.Dutch,
+      "de boeken en de bomen zijn mooi")
+    // de(0) en(2) de(3) zijn(5) stopped; positions preserved
+    assert(toks == Vector(Token("boek", 1), Token("bom", 4),
+      Token("mooi", 6)))
+  }
+
   test("Russian Snowball vectors (hand-derived)") {
     StemVectors.russian.foreach { case (w, want) =>
       assert(RussianStemmer.stem(w) == want,
