@@ -69,6 +69,11 @@ object Analyzers {
     * Ext/DutchStemmer.cs:11): Standard tokens → Dutch stop set (the
     * published Snowball list) → Snowball Dutch stemmer. */
   case object Dutch extends Kind
+  /** SnowballAnalyzer("Portuguese") analog (SnowballAnalyzer.cs:39
+    * wraps Ext/PortugueseStemmer.cs:11): Standard tokens → Portuguese
+    * stop set (core of the published Snowball list) → Snowball
+    * Portuguese stemmer. */
+  case object Portuguese extends Kind
 
   def tokenize(kind: Kind, text: String): Vector[Token] = kind match {
     case Standard => Analyzer.fastTokenize(text)
@@ -145,7 +150,32 @@ object Analyzers {
             t.length <= Analyzer.MaxTokenLength =>
           Token(DutchStemmer.stem(t), i)
       }
+    case Portuguese =>
+      Analyzer.rawTokens(text).zipWithIndex.collect {
+        case (t, i) if t.nonEmpty && !PortugueseStopWords(t) &&
+            t.length <= Analyzer.MaxTokenLength =>
+          Token(PortugueseStemmer.stem(t), i)
+      }
   }
+
+  /** Core of the published Snowball Portuguese stop list (articles,
+    * pronouns, prepositions + ser/estar/ter/haver high-frequency
+    * forms). */
+  val PortugueseStopWords: Set[String] = Set(
+    "de", "a", "o", "que", "e", "do", "da", "em", "um", "para", "com",
+    "não", "uma", "os", "no", "se", "na", "por", "mais", "as", "dos",
+    "como", "mas", "ao", "ele", "das", "à", "seu", "sua", "ou",
+    "quando", "muito", "nos", "já", "eu", "também", "só", "pelo",
+    "pela", "até", "isso", "ela", "entre", "depois", "sem", "mesmo",
+    "aos", "seus", "quem", "nas", "me", "esse", "eles", "você", "essa",
+    "num", "nem", "suas", "meu", "às", "minha", "numa", "pelos",
+    "elas", "qual", "nós", "lhe", "deles", "essas", "esses", "pelas",
+    "este", "dele", "tu", "te", "vocês", "vos", "lhes", "meus",
+    "minhas", "teu", "tua", "teus", "tuas", "nosso", "nossa", "nossos",
+    "nossas", "dela", "delas", "esta", "estes", "estas", "aquele",
+    "aquela", "aqueles", "aquelas", "isto", "aquilo", "é", "são",
+    "era", "foi", "ser", "está", "estão", "tem", "têm", "tinha",
+    "foram", "há", "estou", "estava")
 
   /** The published Snowball Dutch stop list. */
   val DutchStopWords: Set[String] = Set(

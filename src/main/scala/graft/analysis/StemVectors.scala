@@ -202,6 +202,32 @@ object StemVectors {
     "één" -> "een",
     "koeien" -> "koei")
 
+  val portuguese: Seq[(String, String)] = Seq(
+    // step 2 verb suffixes in RV
+    "cantando" -> "cant", "falaram" -> "fal", "falámos" -> "fal",
+    "comeu" -> "com", "partiu" -> "part", "quisesse" -> "quis",
+    // step 1 longest match (ira after t) fails its e-condition → the
+    // whole step ends and step 2's ira catches it instead
+    "partira" -> "part",
+    // step 1 families with R1/R2 gating (nasal marking: ã=a~, õ=o~)
+    "organizações" -> "organiz",    // aço~es in R2
+    "execução" -> "execu",          // uça~o → u
+    "referências" -> "referent",    // ências → ente, residual e
+    "rapidamente" -> "rapid",       // amente in R1
+    "confortavelmente" -> "confort", // mente, then avel in R2
+    "felicidade" -> "felic",        // idade; ic NOT in R2 → kept
+    "significativa" -> "signific",  // iva in R2, then at in R2
+    "bandeira" -> "bandeir",        // eira → eir in RV
+    "departamentos" -> "depart",    // amentos
+    "perigoso" -> "perig",          // oso
+    "mineralogia" -> "mineralog",   // logia → log
+    "confortável" -> "confort",     // ável
+    // steps 4/5 residuals: gu-squeeze, ç→c, nasal restore
+    "chegue" -> "cheg",
+    "almoço" -> "almoc",
+    "irmão" -> "irmã",
+    "gatos" -> "gat")
+
   val russian: Seq[(String, String)] = Seq(
     // noun endings in RV
     "книги" -> "книг", "книга" -> "книг", "процессы" -> "процесс",

@@ -130,6 +130,21 @@ class SnowballSpec extends AnyFunSuite {
       Token("mooi", 6)))
   }
 
+  test("Portuguese Snowball vectors (hand-derived)") {
+    StemVectors.portuguese.foreach { case (w, want) =>
+      assert(PortugueseStemmer.stem(w) == want,
+        s"$w: got ${PortugueseStemmer.stem(w)}, want $want")
+    }
+  }
+
+  test("Portuguese analyzer chain: stop words gap positions, then stem") {
+    val toks = Analyzers.tokenize(Analyzers.Portuguese,
+      "os livros bonitos da biblioteca")
+    // os(0) da(3) stopped; positions preserved
+    assert(toks == Vector(Token("livr", 1), Token("bonit", 2),
+      Token("bibliotec", 4)))
+  }
+
   test("Russian Snowball vectors (hand-derived)") {
     StemVectors.russian.foreach { case (w, want) =>
       assert(RussianStemmer.stem(w) == want,
