@@ -404,6 +404,45 @@ object SparkEntry {
       "SELECT * FROM (VALUES " + StemVectors.dutch.sortBy(_._1)
         .map { case (w, st) => s"('$w', '$st')" }.mkString(", ") +
         ") AS t(word, stem) ORDER BY word"),
+    // non-Latin contrib analyzer family (CJK bigrams, Chinese unigrams,
+    // Czech/Greek/Persian stop chains, Thai dictionary segmentation,
+    // Arabic normalize+light-stem) over fixed inputs; expected
+    // (lang, pos, term) rows hand-derived and frozen as VALUES
+    "ft_intl" -> Raw(
+      (s, dir) => {
+        import s.implicits._
+        import graft.analysis.Analyzers
+        val inputs: Seq[(String, Analyzers.Kind, String)] = Seq(
+          ("ar", Analyzers.Arabic, "قرأ الطالب الكتاب في المكتبة"),
+          ("cjk", Analyzers.Cjk, "java 一二三四 the 五"),
+          ("cs", Analyzers.Czech, "tento dokument je na serveru"),
+          ("el", Analyzers.Greek, "Η θάλασσα είναι γαλάζια"),
+          ("fa", Analyzers.Persian, "این کتاب از کتابخانه"),
+          ("th", Analyzers.Thai, "สวัสดีครับผมชอบอ่านหนังสือ"),
+          ("zh", Analyzers.Chinese, "一二三 abc a the"))
+        inputs.map { case (lang, _, input) => (lang, input) }.toDF("lang", "input")
+          .flatMap { r =>
+            val kind = inputs.find(_._1 == r.getString(0)).get._2
+            Analyzers.tokenize(kind, r.getString(1))
+              .map(t => (r.getString(0), t.pos, t.term))
+          }
+          .toDF("lang", "pos", "term").orderBy("lang", "pos")
+      }, {
+        val expected = Seq(
+          ("ar", Seq((0, "قرا"), (1, "طالب"), (2, "كتاب"), (4, "مكتب"))),
+          ("cjk", Seq((0, "java"), (1, "一二"), (2, "二三"), (3, "三四"),
+            (5, "五"))),
+          ("cs", Seq((1, "dokument"), (4, "serveru"))),
+          ("el", Seq((1, "θαλασσα"), (3, "γαλαζια"))),
+          ("fa", Seq((1, "کتاب"), (3, "کتابخانه"))),
+          ("th", Seq((0, "สวัสดี"), (1, "ครับ"), (2, "ผม"), (3, "ชอบ"),
+            (4, "อ่าน"), (5, "หนังสือ"))),
+          ("zh", Seq((0, "一"), (1, "二"), (2, "三"), (3, "abc"))))
+        "SELECT * FROM (VALUES " + expected.flatMap { case (lang, toks) =>
+          toks.map { case (p, t) => s"('$lang', $p, '$t')" }
+        }.mkString(", ") +
+          ") AS t(lang, pos, term) ORDER BY lang, pos"
+      }),
     "ft_stem_pt" -> Raw(
       (s, dir) => {
         import s.implicits._

@@ -74,6 +74,27 @@ object Analyzers {
     * stop set (core of the published Snowball list) → Snowball
     * Portuguese stemmer. */
   case object Portuguese extends Kind
+  /** CJKAnalyzer.cs analog: overlapping CJK bigrams + lowercased Latin
+    * runs, then the English stop set. */
+  case object Cjk extends Kind
+  /** Cn/ChineseAnalyzer.cs analog: CJK unigrams + ChineseFilter (drop
+    * stop words and single Latin letters). */
+  case object Chinese extends Kind
+  /** Cz/CzechAnalyzer.cs analog: Standard tokens → Czech stop set (the
+    * reference's CzechAnalyzer has no stemmer). */
+  case object Czech extends Kind
+  /** El/GreekAnalyzer.cs analog: Standard tokens → GreekLowerCaseFilter
+    * fold (un-accent, ς→σ) → Greek stop set (folded forms). */
+  case object Greek extends Kind
+  /** Fa/PersianAnalyzer.cs analog: Standard tokens → Arabic + Persian
+    * normalization → Persian stop set (normalized forms). */
+  case object Persian extends Kind
+  /** Th/ThaiAnalyzer.cs analog: dictionary BreakIterator segmentation
+    * of Thai runs + the English stop set. */
+  case object Thai extends Kind
+  /** AR/ArabicAnalyzer.cs analog: Standard tokens → Arabic stop set →
+    * ArabicNormalizationFilter → light ArabicStemFilter. */
+  case object Arabic extends Kind
 
   def tokenize(kind: Kind, text: String): Vector[Token] = kind match {
     case Standard => Analyzer.fastTokenize(text)
@@ -156,7 +177,89 @@ object Analyzers {
             t.length <= Analyzer.MaxTokenLength =>
           Token(PortugueseStemmer.stem(t), i)
       }
+    case Cjk =>
+      IntlAnalyzers.cjkBigrams(text).filter(t => !Analyzer.StopWords(t.term))
+    case Chinese => IntlAnalyzers.chineseTokens(text)
+    case Czech =>
+      Analyzer.rawTokens(text).zipWithIndex.collect {
+        case (t, i) if t.nonEmpty && !CzechStopWords(t) &&
+            t.length <= Analyzer.MaxTokenLength => Token(t, i)
+      }
+    case Greek =>
+      Analyzer.rawTokens(text).iterator.map(IntlAnalyzers.greekFold)
+        .zipWithIndex.collect {
+          case (t, i) if t.nonEmpty && !GreekStopWords(t) &&
+              t.length <= Analyzer.MaxTokenLength => Token(t, i)
+        }.toVector
+    case Persian =>
+      Analyzer.rawTokens(text).iterator
+        .map(t => IntlAnalyzers.persianNormalize(
+          IntlAnalyzers.arabicNormalize(t)))
+        .zipWithIndex.collect {
+          case (t, i) if t.nonEmpty && !PersianStopWords(t) &&
+              t.length <= Analyzer.MaxTokenLength => Token(t, i)
+        }.toVector
+    case Thai => IntlAnalyzers.thaiTokens(text)
+    case Arabic =>
+      Analyzer.rawTokens(text).zipWithIndex.collect {
+        case (t, i) if t.nonEmpty && !ArabicStopWords(t) &&
+            t.length <= Analyzer.MaxTokenLength =>
+          Token(IntlAnalyzers.arabicStem(
+            IntlAnalyzers.arabicNormalize(t)), i)
+      }
   }
+
+  /** Core of the reference's CZECH_STOP_WORDS (CzechAnalyzer.cs:49). */
+  val CzechStopWords: Set[String] = Set(
+    "a", "s", "k", "o", "i", "u", "v", "z", "dnes", "tímto", "budeš",
+    "byli", "jseš", "můj", "ta", "tomto", "tohle", "tuto", "tyto",
+    "jej", "zda", "proč", "máte", "tato", "kam", "tohoto", "kdo",
+    "kteří", "mi", "nám", "tom", "tomuto", "mít", "nic", "proto",
+    "kterou", "byla", "toho", "protože", "asi", "ho", "naši", "tím",
+    "takže", "její", "jste", "tu", "tedy", "bylo", "kde", "ke", "ji",
+    "nad", "nejsou", "či", "pod", "mezi", "přes", "ty", "pak", "vám",
+    "ani", "když", "však", "jsem", "tento", "aby", "jsme", "před",
+    "jejich", "byl", "ještě", "až", "bez", "také", "pouze", "první",
+    "vaše", "která", "nás", "nový", "pokud", "může", "jeho", "své",
+    "jiné", "není", "vás", "jen", "podle", "zde", "už", "být", "více",
+    "bude", "již", "než", "který", "by", "které", "co", "nebo", "ten",
+    "tak", "má", "při", "od", "po", "jsou", "jak", "další", "ale",
+    "si", "se", "ve", "to", "jako", "za", "zpět", "ze", "do", "pro",
+    "je", "na", "já", "on", "ona", "ono", "oni", "my", "vy")
+
+  /** Greek stop set in GreekLowerCaseFilter-folded form (articles,
+    * pronouns, particles — the GreekAnalyzer list's core). */
+  val GreekStopWords: Set[String] = Set(
+    "ο", "η", "το", "οι", "τα", "του", "της", "των", "τον", "την",
+    "και", "κι", "κ", "ειμαι", "εισαι", "ειναι", "ειμαστε", "ειστε",
+    "στο", "στον", "στη", "στην", "μα", "αλλα", "απο", "για", "προς",
+    "με", "σε", "ως", "παρα", "αντι", "κατα", "μετα", "θα", "να",
+    "δε", "δεν", "μη", "μην", "επι", "ενω", "εαν", "αν", "τοτε",
+    "που", "πως", "ποιος", "ποια", "ποιο", "ποιοι", "ποιες", "ποιων",
+    "ποιους", "αυτος", "αυτη", "αυτο", "αυτοι", "αυτων", "αυτους",
+    "αυτες", "αυτα", "εκεινος", "εκεινη", "εκεινο", "εκεινοι",
+    "εκεινες", "εκεινα", "εκεινων", "εκεινους", "οπως", "ομως",
+    "ισως", "οσο", "οτι")
+
+  /** Core Persian stop set in normalized form (PersianAnalyzer's
+    * default list core). */
+  val PersianStopWords: Set[String] = Set(
+    "و", "در", "به", "از", "که", "این", "را", "با", "های", "برای",
+    "آن", "یک", "خود", "تا", "کرد", "بر", "هم", "نیز", "گفت", "شد",
+    "دارد", "ما", "کند", "بود", "شده", "اما", "یا", "هر", "من", "او",
+    "دو", "است", "هایی", "باید", "بین", "می", "اگر", "همه", "پس",
+    "آنها")
+
+  /** Core Arabic stop set (raw forms — the chain checks stops before
+    * normalization, ArabicAnalyzer.cs order). */
+  val ArabicStopWords: Set[String] = Set(
+    "من", "إلى", "الى", "عن", "على", "في", "حتى", "إذا", "اذا",
+    "أن", "ان", "إن", "كان", "كانت", "قد", "لم", "لن", "لو", "ما",
+    "لا", "هذا", "هذه", "ذلك", "تلك", "هو", "هي", "هم", "كل", "بعض",
+    "غير", "بين", "عند", "أو", "او", "ثم", "بعد", "قبل", "التي",
+    "الذي", "الذين", "فيه", "فيها", "منه", "منها", "به", "بها", "له",
+    "لها", "مع", "عليه", "عليها", "إلا", "الا", "أيضا", "ايضا",
+    "كما", "لكن", "و")
 
   /** Core of the published Snowball Portuguese stop list (articles,
     * pronouns, prepositions + ser/estar/ter/haver high-frequency
