@@ -125,6 +125,10 @@ object SparkEntry {
 
     // --- scoring composition (§2.5 DisMax, boosts, constant score) ---
     "ft_dismax" -> TopK(DisMaxQ(Seq(TermQ("spark"), TermQ("hash")), 0.3)),
+    // WordNet SynExpand analog: "table" expanded with boosted synonyms
+    // (flat SHOULD rewrite — the oracle is the expanded boolean itself)
+    "ft_synonym" -> TopK(Synonyms.expand("table",
+      Map("table" -> Seq("spark", "column")), 0.9)),
     "ft_boost" -> TopK(BoolQ(should = Seq(BoostQ(TermQ("spark"), 2.0),
       TermQ("column")))),
     "ft_constant_score" -> TopK(BoolQ(
