@@ -500,6 +500,58 @@ object OracleSql {
        |LIMIT $k""".stripMargin
   }
 
+  /** N-term ordered payload span-near oracle (PayloadSpanNearQ): the
+    * min-chain is built by one grouped join per clause (per prefix
+    * chain, the MIN qualifying next occurrence), sloppy freq
+    * 1/(1 + width − (N−1)), payloads summed over every chain member. */
+  def payloadSpanNearTopK(terms: Seq[String], slop: Int,
+      fn: graft.search.PayloadFn, firstN: Int, boost: Double,
+      includeSpanScore: Boolean, k: Int): String = {
+    val n = terms.size
+    def pay(e: String): String =
+      s"CASE WHEN $e < $firstN THEN CAST($boost AS DOUBLE) ELSE 1.0 END"
+    // m0: first-clause occurrences; m_k adds p_k = min qualifying next
+    val base =
+      s"""(SELECT a.docid, a.pos AS p0 FROM tok a
+         |              WHERE a.term = ${sq(terms.head)})""".stripMargin
+    val chain = (1 until n).foldLeft(base) { (prev, i) =>
+      val keep = (0 until i).map(j => s"m.p$j").mkString(", ")
+      s"""(SELECT m.docid, $keep, min(x.pos) AS p$i
+         |              FROM $prev m JOIN tok x ON x.docid = m.docid
+         |                   AND x.term = ${sq(terms(i))} AND x.pos > m.p${i - 1}
+         |                   AND x.pos - m.p${i - 1} - 1 <= $slop
+         |              GROUP BY m.docid, $keep)""".stripMargin
+    }
+    val payAgg = {
+      val sums = (0 until n).map(j => s"sum(${pay(s"m.p$j")})").mkString(" + ")
+      val mins = (0 until n).map(j => s"min(${pay(s"m.p$j")})").mkString(", ")
+      val maxs = (0 until n).map(j => s"max(${pay(s"m.p$j")})").mkString(", ")
+      fn match {
+        case graft.search.PayAvg => s"($sums) / ($n.0 * count(*))"
+        case graft.search.PayMin => s"least($mins)"
+        case graft.search.PayMax => s"greatest($maxs)"
+      }
+    }
+    val spanScore =
+      s"""${sumIdfSql(terms)} * (g.tfp * 2.2)
+         |     / (g.tfp + 1.2 * (1.0 - 0.75 + 0.75 * l.len / st.avgdl))""".stripMargin
+    val score =
+      if (includeSpanScore) s"$spanScore * g.pay" else "g.pay"
+    s"""$prelude
+       |SELECT CAST(row_number() OVER (ORDER BY s2.score DESC, s2.docid) AS BIGINT) AS rank,
+       |       s2.docid, round(s2.score, 4) AS score
+       |FROM (
+       |  SELECT g.docid, $score AS score
+       |  FROM (SELECT m.docid,
+       |               sum(1.0 / (1.0 + m.p${n - 1} - m.p0 - ${n - 1}.0)) AS tfp,
+       |               $payAgg AS pay
+       |        FROM $chain m
+       |        GROUP BY m.docid) g
+       |  JOIN doclens l ON l.docid = g.docid CROSS JOIN stats st) s2
+       |ORDER BY s2.score DESC, s2.docid
+       |LIMIT $k""".stripMargin
+  }
+
   /** Count-only oracle (TotalHitCountCollector analog). */
   def countQ(q: Query): String =
     s"""$prelude

@@ -241,6 +241,14 @@ object SparkEntry {
       OracleSql.payloadTermTopK("merge", PayMax,
         Engine.PayloadFirstN, Engine.PayloadBoost.toDouble,
         includeSpanScore = false, 10)),
+    // N-term ordered payload near (PayloadNearQuery over 3 clauses):
+    // min-chain per first occurrence, payloads from every chain member
+    "ft_payload_near3" -> Raw(
+      (s, dir) => Engine.ranked(new Searcher(Engine.indexPayload(s, dir))
+        .topK(PayloadSpanNearQ(Seq("row", "column", "sort"), 6), 10)),
+      OracleSql.payloadSpanNearTopK(Seq("row", "column", "sort"), 6,
+        PayAvg, Engine.PayloadFirstN, Engine.PayloadBoost.toDouble,
+        includeSpanScore = true, 10)),
     // the SAME payload query over the PERSISTED segment store — same
     // oracle as ft_payload_term: storage must be invisible (the payload
     // bit survives shuffle, stitch, and parquet round-trips)

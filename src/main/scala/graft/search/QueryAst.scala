@@ -214,6 +214,17 @@ final case class PayloadTermQ(term: String, fn: PayloadFn = PayAvg,
 final case class PayloadNearQ(a: String, b: String, slop: Int,
     fn: PayloadFn = PayAvg, includeSpanScore: Boolean = true) extends Query
 
+/** PayloadNearQuery.cs:52 over N ordered term clauses (the reference
+  * accepts arbitrary SpanNearQuery clause lists). Chain semantics
+  * generalize [[PayloadNearQ]]'s min-gap rule: per first-term
+  * occurrence, each next clause matches its NEAREST qualifying
+  * occurrence (strictly after the previous, per-gap ≤ slop); a chain
+  * that completes contributes sloppy freq 1/(1 + width − (N−1)) and the
+  * payloads of ALL its members. For N = 2 this is exactly
+  * [[PayloadNearQ]]. */
+final case class PayloadSpanNearQ(terms: Seq[String], slop: Int,
+    fn: PayloadFn = PayAvg, includeSpanScore: Boolean = true) extends Query
+
 /** Sort key for field-sorted top-k (SortField.cs:43-101): a forward doc
   * column, or the special name "score" (SortField.FIELD_SCORE). */
 final case class SortField(field: String, desc: Boolean = false)
@@ -230,6 +241,7 @@ object QueryAst {
     case DisMaxQ(ds, _) => ds.flatMap(terms).toSet
     case PayloadTermQ(t, _, _) => Set(t)
     case PayloadNearQ(a, b, _, _, _) => Set(a, b)
+    case PayloadSpanNearQ(ts, _, _, _) => ts.toSet
     case _ => Set.empty
   }
 }

@@ -305,6 +305,68 @@ final class Searcher(idx: InvertedIndex) {
         .filter(col("tfp") > 0)
         .select(col("docid"), (base * payScore).as("score"))
 
+    case PayloadSpanNearQ(ts, slop, fn, includeSpan) =>
+      require(ts.size >= 2, "payload span-near needs >= 2 clauses")
+      val n = ts.size
+      val dfs = dfOf(ts.toSet)
+      if (!ts.forall(dfs.contains))
+        return idx.docs.select(col("docid"), lit(1.0).as("score"))
+          .filter(lit(false))
+      val sumIdf = ts.map(t => Bm25.idf(idx.numDocs, dfs(t))).sum
+      // one payload-postings frame per clause (duplicate terms get their
+      // own aliased columns); the first carries len
+      val joined = ts.zipWithIndex.map { case (t, i) =>
+        val base = idx.postingsForPay(Seq(t))
+          .select(col("docid"), col("positions").as(s"pos$i"),
+            col("payloads").as(s"pay$i"), col("len"))
+        if (i == 0) base else base.drop("len")
+      }.reduce((a, b) => a.join(b, Seq("docid")))
+      // min-chain per first-clause occurrence: struct(ok, last, ms)
+      val chained = (1 until n).foldLeft(
+        transform(col("pos0"), p =>
+          struct(lit(true).as("ok"), p.as("last"), array(p).as("ms")))) {
+        (acc, k) =>
+          transform(acc, c => {
+            val q = array_min(filter(col(s"pos$k"), x =>
+              x > c.getField("last") &&
+                (x - c.getField("last") - 1) <= slop))
+            struct((c.getField("ok") && q.isNotNull).as("ok"),
+              coalesce(q, lit(Int.MaxValue)).as("last"),
+              when(q.isNotNull,
+                concat(c.getField("ms"), array(q)))
+                .otherwise(c.getField("ms")).as("ms"))
+          })
+      }
+      val chains = filter(chained, c => c.getField("ok"))
+      // sloppy freq per chain over total width (for N=2: 1/(q-p), the
+      // PayloadNearQ formula)
+      val tfp = aggregate(chains, lit(0.0), (acc, c) =>
+        acc + lit(1.0) / (lit(1.0) +
+          (c.getField("last") - element_at(c.getField("ms"), 1) -
+            lit(n - 1)).cast("double")))
+      // payloads of every chain member, via per-clause pos→pay maps
+      val pays = flatten(transform(chains, c =>
+        array((0 until n).map { k =>
+          element_at(map_from_arrays(col(s"pos$k"), col(s"pay$k")),
+            element_at(c.getField("ms"), k + 1)).cast("double")
+        }: _*)))
+      val payScore = fn match {
+        case PayAvg =>
+          aggregate(col("pays"), lit(0.0), (acc, x) => acc + x) /
+            size(col("pays")).cast("double")
+        case PayMin => array_min(col("pays"))
+        case PayMax => array_max(col("pays"))
+      }
+      val base =
+        if (includeSpan)
+          lit(sumIdf) * Bm25.tfNorm(col("tfp"), col("len"), idx.avgdl)
+        else lit(1.0)
+      joined
+        .withColumn("tfp", tfp)
+        .withColumn("pays", pays)
+        .filter(col("tfp") > 0)
+        .select(col("docid"), (base * payScore).as("score"))
+
     case WildcardQ(pat, rw) =>
       // constant-prefix pushdown (WildcardTermEnum.cs:32: the enum seeks
       // to the literal prefix before matching): `spark*`-style patterns

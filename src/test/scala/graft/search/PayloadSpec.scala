@@ -123,6 +123,64 @@ class PayloadSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("payload span-near: N=2 equals PayloadNearQ; N=3 matches brute force") {
+    val t = Transcripts.synthetic(spark, 500, seed = 9L, partitions = 2)
+    val idx = IndexBuilder.buildPay(t, Payloads.positionBoost(3, 2.0f), 2)
+    val sr = new Searcher(idx)
+    val docsTerms = idx.docs.select("docid", "text").collect()
+      .map(r => r.getLong(0) ->
+        graft.analysis.Analyzer.fastTokenize(r.getString(1)))
+    // a frequent ordered pair for the N=2 equivalence
+    val (a, b) = docsTerms.flatMap { case (_, ts) =>
+      ts.map(_.term).zip(ts.map(_.term).drop(1)).filter(p => p._1 != p._2)
+    }.groupBy(identity).maxBy(_._2.size)._1
+    for (fn <- Seq(PayAvg: PayloadFn, PayMin, PayMax)) {
+      val two = sr.score(PayloadNearQ(a, b, 8, fn)).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val gen = sr.score(PayloadSpanNearQ(Seq(a, b), 8, fn)).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(two.keySet == gen.keySet && two.nonEmpty, s"fn=$fn")
+      two.foreach { case (d, s) =>
+        assert(math.abs(s - gen(d)) < 1e-9, s"doc $d fn=$fn") }
+    }
+    // N=3: brute-force min-chains from raw analyzed text
+    val (x, y, z) = docsTerms.flatMap { case (_, ts) =>
+      val terms = ts.map(_.term)
+      terms.lazyZip(terms.drop(1)).lazyZip(terms.drop(2)).toVector
+        .filter { case (p, q, r) => p != q && q != r && p != r }
+    }.groupBy(identity).maxBy(_._2.size)._1
+    val slop = 6
+    val dfs = Seq(x, y, z).map(tm => tm ->
+      docsTerms.count(_._2.exists(_.term == tm)).toLong).toMap
+    val sumIdf = Seq(x, y, z).map(tm => Bm25.idf(idx.numDocs, dfs(tm))).sum
+    def payOf(p: Int): Double = if (p < 3) 2.0 else 1.0
+    val brute = docsTerms.flatMap { case (docid, ts) =>
+      def occ(tm: String) = ts.filter(_.term == tm).map(_.pos)
+      val chains = occ(x).flatMap { p1 =>
+        occ(y).filter(q => q > p1 && q - p1 - 1 <= slop).minOption.flatMap {
+          q2 => occ(z).filter(r => r > q2 && r - q2 - 1 <= slop).minOption
+            .map(q3 => (p1, q2, q3))
+        }
+      }
+      if (chains.isEmpty) None
+      else {
+        val tfp = chains.map { case (p1, _, q3) =>
+          1.0 / (1.0 + q3 - p1 - 2.0) }.sum
+        val pays = chains.flatMap { case (p1, q2, q3) =>
+          Seq(payOf(p1), payOf(q2), payOf(q3)) }
+        val len = ts.size.toDouble
+        val bm = sumIdf * (tfp * 2.2) /
+          (tfp + 1.2 * (1 - 0.75 + 0.75 * len / idx.avgdl))
+        Some(docid -> bm * (pays.sum / pays.size))
+      }
+    }.toMap
+    val got = sr.score(PayloadSpanNearQ(Seq(x, y, z), slop)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == brute.keySet && got.nonEmpty)
+    brute.foreach { case (d, s) =>
+      assert(math.abs(s - got(d)) < 1e-9, s"doc $d") }
+  }
+
   test("payload near: span-matched docs only, payloads from both ends") {
     val t = Transcripts.synthetic(spark, 500, seed = 5L, partitions = 2)
     val idx = IndexBuilder.buildPay(t, Payloads.positionBoost(3, 2.0f), 2)
