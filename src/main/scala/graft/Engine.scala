@@ -77,6 +77,15 @@ object Engine {
       SegmentStore.open(spark, root)
     })
 
+  /** Mem-flavor index built with a NON-default analyzer chain (the
+    * IndexWriter-takes-Analyzer contract): one cached flavor per kind.
+    * Every query runs unchanged over it — only the term space differs. */
+  def indexAnalyzed(spark: SparkSession, sfDir: String,
+      kind: graft.analysis.Analyzers.Kind): InvertedIndex =
+    cache.getOrElseUpdate(key(spark, sfDir, s"ana:$kind"),
+      IndexBuilder.build(Transcripts.fromDocuments(spark, sfDir),
+        parts(spark), kind))
+
   /** Build → persist as 4 segments → open from the committed manifest.
     * A dictionary trigram index is persisted alongside (out-of-band job,
     * like a compaction) so fuzzy/suggest candidate scans are gram-bounded
@@ -166,6 +175,8 @@ object Engine {
       t("mem")(index(spark, sfDir)),
       t("pay")(indexPayload(spark, sfDir)),
       t("pys")(indexPaySeg(spark, sfDir)),
+      t("shg")(indexAnalyzed(spark, sfDir,
+        graft.analysis.Analyzers.Shingles(2))),
       t("seg")(indexSeg(spark, sfDir)),
       t("cmp")(indexCompacted(spark, sfDir)),
       t("app")(indexAppended(spark, sfDir)),

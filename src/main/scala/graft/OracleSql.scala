@@ -552,6 +552,49 @@ object OracleSql {
        |LIMIT $k""".stripMargin
   }
 
+  /** TermQ top-k over a Shingles(2, keepUnigrams) index: the analysis
+    * chain is extended with order-indexed kept tokens and their
+    * bigrams, and postings/lens/stats are recomputed over the combined
+    * stream (the engine's len = analyzed token count, so a shingled doc
+    * counts unigrams + bigrams). */
+  def shingleTermTopK(term: String, k: Int): String =
+    s"""$prelude,
+       |kept AS (
+       |  SELECT docid, pos, term,
+       |         row_number() OVER (PARTITION BY docid ORDER BY pos) AS rn
+       |  FROM tok),
+       |shing AS (
+       |  SELECT a.docid, a.pos, a.term || '_' || b.term AS term
+       |  FROM kept a JOIN kept b ON b.docid = a.docid AND b.rn = a.rn + 1),
+       |tok2 AS (
+       |  SELECT docid, pos, term FROM tok
+       |  UNION ALL SELECT docid, pos, term FROM shing),
+       |postings2 AS (
+       |  SELECT term, docid, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tok2 GROUP BY term, docid),
+       |doclens2 AS (
+       |  SELECT d.docid, CAST(coalesce(t.len, 0) AS BIGINT) AS len
+       |  FROM docs d LEFT JOIN (SELECT docid, count(*) AS len
+       |                         FROM tok2 GROUP BY docid) t USING (docid)),
+       |stats2 AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(len) AS DOUBLE) / count(*) AS avgdl
+       |  FROM doclens2),
+       |dict2 AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df
+       |  FROM postings2 GROUP BY term)
+       |SELECT CAST(row_number() OVER (ORDER BY s2.score DESC, s2.docid) AS BIGINT) AS rank,
+       |       s2.docid, round(s2.score, 4) AS score
+       |FROM (
+       |  SELECT p.docid,
+       |         ln(1.0 + (CAST(st.n AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+       |           * (p.tf * 2.2) / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.len / st.avgdl)) AS score
+       |  FROM postings2 p JOIN dict2 d USING (term)
+       |       JOIN doclens2 l USING (docid) CROSS JOIN stats2 st
+       |  WHERE p.term = ${sq(term)}) s2
+       |ORDER BY s2.score DESC, s2.docid
+       |LIMIT $k""".stripMargin
+
   /** Count-only oracle (TotalHitCountCollector analog). */
   def countQ(q: Query): String =
     s"""$prelude

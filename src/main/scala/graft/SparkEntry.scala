@@ -125,6 +125,14 @@ object SparkEntry {
 
     // --- scoring composition (§2.5 DisMax, boosts, constant score) ---
     "ft_dismax" -> TopK(DisMaxQ(Seq(TermQ("spark"), TermQ("hash")), 0.3)),
+    // analyzer-pluggable BUILD (IndexWriter-takes-Analyzer): a whole
+    // index built with the Shingle chain, queried by a bigram term;
+    // the oracle re-derives the shingled postings and stats in SQL
+    "ft_shingle_index" -> Raw(
+      (s, dir) => Engine.ranked(new Searcher(Engine.indexAnalyzed(s, dir,
+        graft.analysis.Analyzers.Shingles(2)))
+        .topK(TermQ("row_column"), 10)),
+      OracleSql.shingleTermTopK("row_column", 10)),
     // WordNet SynExpand analog: "table" expanded with boosted synonyms
     // (flat SHOULD rewrite — the oracle is the expanded boolean itself)
     "ft_synonym" -> TopK(Synonyms.expand("table",

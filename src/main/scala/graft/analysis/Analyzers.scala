@@ -95,6 +95,11 @@ object Analyzers {
   /** AR/ArabicAnalyzer.cs analog: Standard tokens → Arabic stop set →
     * ArabicNormalizationFilter → light ArabicStemFilter. */
   case object Arabic extends Kind
+  /** ShingleAnalyzerWrapper analog (contrib Shingle): the Standard
+    * chain's kept tokens plus their n-grams — as a Kind so shingled
+    * INDEXES can be built (IndexWriter-takes-Analyzer pluggability). */
+  final case class Shingles(n: Int = 2, keepUnigrams: Boolean = true)
+    extends Kind
 
   def tokenize(kind: Kind, text: String): Vector[Token] = kind match {
     case Standard => Analyzer.fastTokenize(text)
@@ -207,6 +212,7 @@ object Analyzers {
           Token(IntlAnalyzers.arabicStem(
             IntlAnalyzers.arabicNormalize(t)), i)
       }
+    case Shingles(n, keepUnigrams) => shingles(text, n, keepUnigrams)
   }
 
   /** Core of the reference's CZECH_STOP_WORDS (CzechAnalyzer.cs:49). */

@@ -127,14 +127,16 @@ object IndexBuilder {
     * dominate every query). Positions are emitted in token order
     * (ascending). docLens is derived lazily for dumps; collection stats
     * come from cheap aggregates (sumLen = Σ tf). */
-  def invertRaw(docs: DataFrame): org.apache.spark.sql.Dataset[Codec.RawPosting] = {
+  def invertRaw(docs: DataFrame,
+      kind: graft.analysis.Analyzers.Kind = graft.analysis.Analyzers.Standard)
+      : org.apache.spark.sql.Dataset[Codec.RawPosting] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("docid"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (docid, text) =>
-          val toks = Analyzer.fastTokenize(text)
+          val toks = graft.analysis.Analyzers.tokenize(kind, text)
           val len = toks.size.toLong
           val m = scala.collection.mutable.LinkedHashMap
             .empty[String, scala.collection.mutable.ArrayBuffer[Int]]
@@ -198,11 +200,14 @@ object IndexBuilder {
   }
 
   /** Logical-view inversion (in-memory indexes / tests): decodes the raw
-    * position blobs back to arrays. */
-  def invert(docs: DataFrame): (DataFrame, DataFrame) = {
+    * position blobs back to arrays. The analyzer kind is pluggable —
+    * the IndexWriter-takes-Analyzer contract (IndexWriter.cs:334). */
+  def invert(docs: DataFrame,
+      kind: graft.analysis.Analyzers.Kind = graft.analysis.Analyzers.Standard)
+      : (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val postings = invertRaw(docs).map { r =>
+    val postings = invertRaw(docs, kind).map { r =>
       PostingRow(r.term, r.docid, r.tf, r.len,
         Codec.decodePositions(r.pos_blob, r.tf).toSeq)
     }.toDF()
@@ -219,12 +224,15 @@ object IndexBuilder {
     postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
 
-  /** In-memory build (tests / small interactive sessions). */
-  def build(transcripts: DataFrame, numPartitions: Int = 32): InvertedIndex = {
+  /** In-memory build (tests / small interactive sessions); `kind`
+    * selects the analyzer chain for the whole index. */
+  def build(transcripts: DataFrame, numPartitions: Int = 32,
+      kind: graft.analysis.Analyzers.Kind = graft.analysis.Analyzers.Standard)
+      : InvertedIndex = {
     val assigned = DocIds.assign(transcripts,
       Seq(col("conv_id"), col("turn_idx")), numPartitions)
     val docs = assigned.docs
-    val (postings, docLens) = invert(docs)
+    val (postings, docLens) = invert(docs, kind)
     val termDict = dictOf(postings)
 
     docs.cache(); postings.cache(); docLens.cache(); termDict.cache()
@@ -275,7 +283,9 @@ object IndexBuilder {
     */
   def buildSegments(spark: SparkSession, transcripts: DataFrame,
       root: String, numBatches: Int = 4, numPartitions: Int = 32,
-      assigner: Option[graft.analysis.Payloads.Assigner] = None): Manifest = {
+      assigner: Option[graft.analysis.Payloads.Assigner] = None,
+      kind: graft.analysis.Analyzers.Kind = graft.analysis.Analyzers.Standard)
+      : Manifest = {
     val tAssign = System.nanoTime()
     // assign() pins its sorted base; `docs` is a cheap projection of it
     val assigned = DocIds.assign(transcripts,
@@ -292,9 +302,11 @@ object IndexBuilder {
       if (lo >= total) None
       else {
         val id = f"seg_b$b%05d"
-        // payload builds carry a distinct lineage so a resumed run never
-        // reuses a payload-free segment (or vice versa)
-        val src = if (assigner.isDefined) "ingest-pay" else "ingest"
+        // payload/analyzer builds carry a distinct lineage so a resumed
+        // run never reuses a segment analyzed differently
+        val src = (if (assigner.isDefined) "ingest-pay" else "ingest") +
+          (if (kind != graft.analysis.Analyzers.Standard) s" analyzer=$kind"
+           else "")
         val lineage = s"batch=$b/$numBatches docids=[$lo,$hi) src=$src"
         SegmentStore.readLineage(root, id) match {
           case Some(m) if m.lineage == lineage => Some(m) // resume: skip
@@ -315,7 +327,8 @@ object IndexBuilder {
             // the Lucene shape: segment files are written once, stats
             // are read from the segment.
             timed("blocks")(SegmentStore.writeTable(root, id, "blocks",
-              PostingBlocks.buildFromDocs(slice, numPartitions, assigner).toDF()))
+              PostingBlocks.buildFromDocs(slice, numPartitions, assigner,
+                kind).toDF()))
             val blocksDf = SegmentStore.readTable(spark, root, id, "blocks")
             timed("dict")(SegmentStore.writeTable(root, id, "dict",
               PostingBlocks.dictFromBlocks(blocksDf)))

@@ -105,7 +105,8 @@ object PostingBlocks {
     * (FreqProxTermsWriter.cs:70-157 threads payloads the same way). The
     * payload-free path stays allocation-identical to before. */
   def buildFromDocs(docs: DataFrame, numPartitions: Int,
-      assigner: Option[graft.analysis.Payloads.Assigner] = None)
+      assigner: Option[graft.analysis.Payloads.Assigner] = None,
+      kind: graft.analysis.Analyzers.Kind = graft.analysis.Analyzers.Standard)
       : Dataset[BlockRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -115,7 +116,7 @@ object PostingBlocks {
         val builders = new java.util.LinkedHashMap[String, Codec.RunBuilder]
         assigner match {
           case None => it.foreach { case (docid, text) =>
-            val toks = graft.analysis.Analyzer.fastTokenize(text)
+            val toks = graft.analysis.Analyzers.tokenize(kind, text)
             val len = toks.size.toLong
             val m = scala.collection.mutable.LinkedHashMap
               .empty[String, scala.collection.mutable.ArrayBuffer[Int]]
