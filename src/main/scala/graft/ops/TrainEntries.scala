@@ -268,6 +268,48 @@ object TrainEntries {
          |  ${h60(s"array_to_string($tokSql, ' ')")} AS fp
          |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // ---- PII redaction over deterministically injected PII ----
+    ("tx_redact",
+      (s, d) => TrainOps.redactGate(s, d),
+      {
+        val inj = "text || ' contact doc' || CAST(doc_id AS VARCHAR) || " +
+          "'@example.com or 555-123-4567 ssn 123-45-6789 at 10.0.0.' || " +
+          "CAST(doc_id % 256 AS VARCHAR)"
+        val counts = TrainOps.PiiPatterns.map { case (name, re, _) =>
+          s"CAST(len(regexp_extract_all(t, '${re.replace("'", "''")}')) AS BIGINT) AS n_$name"
+        }.mkString(",\n         |  ")
+        val redacted = TrainOps.PiiPatterns.foldLeft("t") {
+          case (c, (_, re, tag)) =>
+            s"regexp_replace($c, '${re.replace("'", "''")}', '$tag', 'g')"
+        }
+        s"""WITH inj AS (SELECT doc_id, $inj AS t FROM documents)
+           |SELECT doc_id,
+           |  $counts,
+           |  ${h60(redacted)} AS rfp
+           |FROM inj ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- benchmark 8-gram decontamination ----
+    ("dd_decontam",
+      (s, d) => TrainOps.decontaminate(s, d),
+      {
+        val n = TrainOps.DecontamN
+        val m = TrainOps.DecontamMod
+        s"""WITH toksd AS (
+           |  SELECT doc_id, $tokSql AS t FROM documents),
+           |grams AS (
+           |  SELECT doc_id,
+           |         ${h60(s"array_to_string(list_slice(t, i, i + ${n - 1}), ' ')")} AS g
+           |  FROM (SELECT doc_id, t,
+           |               unnest(generate_series(1, len(t) - ${n - 1})) AS i
+           |        FROM toksd WHERE len(t) >= $n)),
+           |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % $m = 0),
+           |scan AS (SELECT doc_id, g FROM grams WHERE doc_id % $m <> 0)
+           |SELECT s.doc_id, CAST(count(DISTINCT s.g) AS BIGINT) AS n_hits
+           |FROM scan s JOIN bench b USING (g)
+           |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+      }),
+
     // ---- multimodal plumbing (decode step stubbed — see Multimodal) ----
     ("mm_features",
       (s, d) => Multimodal.features(s, d),

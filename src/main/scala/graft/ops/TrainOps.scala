@@ -504,4 +504,80 @@ object TrainOps {
     docs(spark, sfDir).select(col("doc_id"),
       h60(concat_ws(" ", toks(col("text")))).as("fp"))
       .orderBy("doc_id")
+
+  // -------------------------------------------------------------------
+  // PII redaction + benchmark decontamination
+  // -------------------------------------------------------------------
+
+  /** PII classes as (name, pattern, tag). The patterns use only
+    * RE2/Java-common syntax so the DuckDB oracle replays them verbatim
+    * (DuckDB needs the 'g' flag to match Spark's replace-all). */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    ("phone", "[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("ip", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"))
+
+  /** Map-only PII scrub: per-class match counts + the redacted text
+    * (patterns applied in [[PiiPatterns]] order). The pre-tokenization
+    * scrub a training pipeline runs first; at 100 TB it is pure
+    * map-side codegen'd regexp work — no shuffle, no state. */
+  def redactPii(input: DataFrame, textCol: String = "text"): DataFrame = {
+    val counted = PiiPatterns.foldLeft(input) { case (df, (name, re, _)) =>
+      df.withColumn(s"n_$name",
+        size(regexp_extract_all(col(textCol), lit(re), lit(0))).cast("long"))
+    }
+    val redacted = PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, re, tag)) => regexp_replace(c, re, tag)
+    }
+    counted.withColumn("redacted", redacted)
+  }
+
+  /** Gate wrapper: the synthetic corpus carries no PII, so each doc gets
+    * a deterministic injected clause containing one of every class; the
+    * oracle injects the identical clause and replays the patterns. */
+  def redactGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val injected = docs(spark, sfDir).select(col("doc_id"),
+      concat(col("text"), lit(" contact doc"),
+        col("doc_id").cast("string"), lit("@example.com or 555-123-4567"),
+        lit(" ssn 123-45-6789 at 10.0.0."),
+        pmod(col("doc_id"), lit(256)).cast("string")).as("text"))
+    redactPii(injected)
+      .select(col("doc_id"), col("n_email"), col("n_ssn"),
+        col("n_phone"), col("n_ip"), h60(col("redacted")).as("rfp"))
+      .orderBy("doc_id")
+  }
+
+  /** Decontamination gram width and the benchmark-slice modulus (7 —
+    * wide enough that the synthetic corpus's real near-dups span the
+    * split, so the gate checks non-empty overlap arithmetic). */
+  val DecontamN = 8
+  val DecontamMod = 7
+
+  /** Benchmark-overlap decontamination (the GPT-3/Pile eval-overlap
+    * sweep): flag every corpus document sharing any word 8-gram with
+    * the benchmark slice (doc_id % DecontamMod == 0 stands in for an
+    * eval set),
+    * with the count of distinct overlapping grams. Scale shape: the
+    * benchmark gram-hash table is eval-set-sized → broadcast hash join;
+    * the corpus side is a map-only gram explode filtered by the join
+    * BEFORE the per-doc count aggregates, so the shuffle carries only
+    * contaminated (doc, gram) pairs. */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select(col("doc_id"), toks(col("text")).as("t"))
+    def grams(df: DataFrame): DataFrame = df
+      .withColumn("g", explode(
+        when(size(col("t")) >= DecontamN,
+          transform(sequence(lit(1), size(col("t")) - (DecontamN - 1)),
+            i => h60(concat_ws(" ", slice(col("t"), i, lit(DecontamN))))))
+          .otherwise(array().cast("array<long>"))))
+      .select(col("doc_id"), col("g"))
+    val bench = grams(d.filter(pmod(col("doc_id"), lit(DecontamMod)) === 0))
+      .select("g").distinct()
+    grams(d.filter(pmod(col("doc_id"), lit(DecontamMod)) =!= 0))
+      .join(broadcast(bench), Seq("g"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_hits"))
+      .orderBy("doc_id")
+  }
 }
