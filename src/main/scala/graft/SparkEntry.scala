@@ -463,6 +463,20 @@ object SparkEntry {
         }.mkString(", ") +
           ") AS t(lang, pos, term) ORDER BY lang, pos"
       }),
+    // dictionary decompounder (contrib Compound) over fixed inputs
+    "ft_decompound" -> Raw(
+      (s, dir) => {
+        import s.implicits._
+        val dict = Set("rind", "fleisch", "schiff", "fahrt", "dampf")
+        Seq("the rindfleisch and dampfschiffahrt").toDF("input")
+          .flatMap(r => graft.analysis.Analyzers.tokenize(
+            graft.analysis.Analyzers.Decompound(dict), r.getString(0))
+            .map(t => (t.pos, t.term)))
+          .toDF("pos", "term").orderBy("pos", "term")
+      },
+      "SELECT * FROM (VALUES (1, 'fleisch'), (1, 'rind'), " +
+        "(1, 'rindfleisch'), (3, 'dampf'), (3, 'dampfschiffahrt'), " +
+        "(3, 'fahrt'), (3, 'schiff')) AS t(pos, term) ORDER BY pos, term"),
     "ft_stem_pt" -> Raw(
       (s, dir) => {
         import s.implicits._

@@ -100,6 +100,16 @@ object Analyzers {
     * INDEXES can be built (IndexWriter-takes-Analyzer pluggability). */
   final case class Shingles(n: Int = 2, keepUnigrams: Boolean = true)
     extends Kind
+  /** DictionaryCompoundWordTokenFilter analog (contrib Compound,
+    * DictionaryCompoundWordTokenFilter.cs:93-140 over
+    * CompoundWordTokenFilterBase.cs Decompose): Standard chain, then
+    * dictionary subwords of long tokens emitted at the compound's
+    * position. Subword length bounds are inclusive [min, max] (the
+    * generated port's loop has an off-by-one that scans
+    * [min−1, max−1] — we implement the documented intent). */
+  final case class Decompound(dict: Set[String],
+      minWordSize: Int = 5, minSubword: Int = 2, maxSubword: Int = 15,
+      onlyLongestMatch: Boolean = false) extends Kind
 
   def tokenize(kind: Kind, text: String): Vector[Token] = kind match {
     case Standard => Analyzer.fastTokenize(text)
@@ -213,7 +223,41 @@ object Analyzers {
             IntlAnalyzers.arabicNormalize(t)), i)
       }
     case Shingles(n, keepUnigrams) => shingles(text, n, keepUnigrams)
+    case Decompound(dict, minWord, minSub, maxSub, longest) =>
+      decompound(Analyzer.fastTokenize(text), dict, minWord, minSub,
+        maxSub, longest)
   }
+
+  /** Emit each token plus its dictionary subwords (all at the
+    * compound's position — the reference keeps the original token
+    * first, then matches by ascending start and length;
+    * onlyLongestMatch keeps one longest subword per start). */
+  def decompound(toks: Vector[Token], dict: Set[String],
+      minWordSize: Int = 5, minSubword: Int = 2, maxSubword: Int = 15,
+      onlyLongestMatch: Boolean = false): Vector[Token] =
+    toks.flatMap { t =>
+      val out = Vector.newBuilder[Token]
+      out += t
+      val w = t.term
+      if (w.length >= minWordSize) {
+        var i = 0
+        while (i <= w.length - minSubword) {
+          var best = -1
+          var j = minSubword
+          while (j <= maxSubword && i + j <= w.length) {
+            if (dict(w.substring(i, i + j))) {
+              if (onlyLongestMatch) best = j
+              else out += Token(w.substring(i, i + j), t.pos)
+            }
+            j += 1
+          }
+          if (onlyLongestMatch && best > 0)
+            out += Token(w.substring(i, i + best), t.pos)
+          i += 1
+        }
+      }
+      out.result()
+    }
 
   /** Core of the reference's CZECH_STOP_WORDS (CzechAnalyzer.cs:49). */
   val CzechStopWords: Set[String] = Set(

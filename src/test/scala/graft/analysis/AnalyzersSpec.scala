@@ -139,6 +139,27 @@ class AnalyzersSpec extends AnyFunSuite {
       Vector("usa", "mailed", "o'brien", "file", "bob@x.org"))
   }
 
+  test("dictionary decompounder: subwords at the compound's position") {
+    import graft.analysis.Analyzer.Token
+    val dict = Set("rind", "fleisch", "schiff", "fahrt", "dampf")
+    val toks = Analyzers.tokenize(
+      Analyzers.Decompound(dict),
+      "the rindfleisch and dampfschiffahrt")
+    assert(toks == Vector(
+      Token("rindfleisch", 1), Token("rind", 1), Token("fleisch", 1),
+      Token("dampfschiffahrt", 3), Token("dampf", 3),
+      Token("schiff", 3), Token("fahrt", 3)))
+    // below minWordSize: the token passes through undecomposed
+    assert(Analyzers.tokenize(Analyzers.Decompound(dict), "rind") ==
+      Vector(Token("rind", 0)))
+    // onlyLongestMatch keeps one longest subword per start
+    val d2 = dict + "schiffahrt"
+    val longest = Analyzers.tokenize(
+      Analyzers.Decompound(d2, onlyLongestMatch = true), "dampfschiffahrt")
+    assert(longest == Vector(Token("dampfschiffahrt", 0),
+      Token("dampf", 0), Token("schiffahrt", 0), Token("fahrt", 0)))
+  }
+
   test("length filter min and max") {
     import graft.analysis.Analyzer.Token
     val toks = Vector(Token("a", 0), Token("spark", 1), Token("hi", 2),
