@@ -35,6 +35,12 @@ object Explain {
     // in-memory flavor for comparison
     dump("mem phrase", Engine.searcher(spark, sfDir)
       .topK(PhraseQ(Seq("key" -> 0, "agg" -> 1)), 10))
+    // decontamination: the bench gram table must BROADCAST (never a
+    // sort-merge join), and the semi filter must precede the count agg
+    dump("decontaminate", graft.ops.TrainOps.decontaminate(spark, sfDir))
+    // N-term payload near: one postings scan per clause, no extra agg
+    dump("payload span-near", new Searcher(Engine.indexPayload(spark, sfDir))
+      .topK(PayloadSpanNearQ(Seq("row", "column", "sort"), 6), 10))
     spark.stop()
   }
 }
