@@ -268,6 +268,41 @@ object TrainEntries {
          |  ${h60(s"array_to_string($tokSql, ' ')")} AS fp
          |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // ---- Gopher repetition metrics ----
+    ("tx_repetition",
+      (s, d) => TrainOps.repetition(s, d),
+      s"""WITH t AS (
+         |  SELECT doc_id, $tokSql AS tk FROM documents),
+         |base AS (
+         |  SELECT doc_id,
+         |         CAST(coalesce(list_sum(list_transform(tk, x -> length(x))), 0) AS DOUBLE) AS total
+         |  FROM t),
+         |g2 AS (
+         |  SELECT doc_id, array_to_string(list_slice(tk, i, i + 1), ' ') AS g
+         |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+         |        FROM t WHERE len(tk) >= 2)),
+         |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+         |t2 AS (
+         |  SELECT doc_id,
+         |         CAST(c AS DOUBLE) * length(replace(g, ' ', '')) AS cov,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+         |  FROM c2),
+         |top2 AS (SELECT doc_id, cov FROM t2 WHERE rn = 1),
+         |g5 AS (
+         |  SELECT doc_id, array_to_string(list_slice(tk, i, i + 4), ' ') AS g
+         |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 4)) AS i
+         |        FROM t WHERE len(tk) >= 5)),
+         |c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g),
+         |d5 AS (
+         |  SELECT doc_id,
+         |         CAST(sum((c - 1) * length(replace(g, ' ', ''))) AS DOUBLE) AS cov
+         |  FROM c5 WHERE c > 1 GROUP BY doc_id)
+         |SELECT b.doc_id,
+         |  round(coalesce(tp.cov, 0) / (CASE WHEN b.total > 0 THEN b.total ELSE 1 END), 4) AS top2_char_frac,
+         |  round(coalesce(d.cov, 0) / (CASE WHEN b.total > 0 THEN b.total ELSE 1 END), 4) AS dup5_char_frac
+         |FROM base b LEFT JOIN top2 tp USING (doc_id) LEFT JOIN d5 d USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin),
+
     // ---- PII redaction over deterministically injected PII ----
     ("tx_redact",
       (s, d) => TrainOps.redactGate(s, d),

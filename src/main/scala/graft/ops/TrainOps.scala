@@ -505,6 +505,54 @@ object TrainOps {
       h60(concat_ws(" ", toks(col("text")))).as("fp"))
       .orderBy("doc_id")
 
+  /** Gopher-style repetition-quality metrics (Rae et al. 2021, public
+    * description): per document, the fraction of token characters
+    * covered by the single most frequent word 2-gram (ties broken by
+    * lexicographically smallest gram) and by duplicated word 5-grams
+    * ((count−1)-weighted). Numerators are integers and the division is
+    * the final step, so the SQL replay is bit-identical. Map-only
+    * partition-local (per-doc state — the SimHash precedent: no
+    * shuffle, no column-expression re-evaluation blowup). */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, sfDir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val tk = toksJvm(text)
+          val total = tk.iterator.map(_.length).sum
+          def gramCov(n: Int): Map[String, (Int, Int)] =
+            if (tk.size < n) Map.empty
+            else tk.sliding(n).map(_.toVector).toVector
+              .groupBy(identity).map { case (g, occ) =>
+                g.mkString(" ") -> (occ.size, g.iterator.map(_.length).sum)
+              }
+          val top2 =
+            if (total == 0) 0.0
+            else {
+              val m = gramCov(2)
+              if (m.isEmpty) 0.0
+              else {
+                val maxC = m.valuesIterator.map(_._1).max
+                val (g, (c, chars)) =
+                  m.filter(_._2._1 == maxC).minBy(_._1)
+                c.toDouble * chars / total
+              }
+            }
+          val dup5 =
+            if (total == 0) 0.0
+            else gramCov(5).valuesIterator.collect {
+              case (c, chars) if c > 1 => (c - 1).toLong * chars
+            }.sum.toDouble / total
+          (id, top2, dup5)
+        }
+      }
+      .toDF("doc_id", "top2_char_frac", "dup5_char_frac")
+      .select(col("doc_id"), round(col("top2_char_frac"), 4).as("top2_char_frac"),
+        round(col("dup5_char_frac"), 4).as("dup5_char_frac"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------------------
   // PII redaction + benchmark decontamination
   // -------------------------------------------------------------------
