@@ -262,6 +262,43 @@ object TrainEntries {
          |SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS pred_lang
          |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin),
 
+    // ---- language-routed token accounting ----
+    ("tx_tokens_lang",
+      (s, d) => TrainOps.tokensByLang(s, d),
+      {
+        def inList(set: Set[String]): String =
+          set.toSeq.sorted.map(w => s"'${w.replace("'", "''")}'").mkString(",")
+        val en = inList(graft.analysis.Analyzer.StopWords)
+        val de = inList(graft.analysis.Analyzers.GermanStopWords)
+        val es = inList(graft.analysis.Analyzers.SpanishStopWords)
+        val fr = inList(graft.analysis.Analyzers.FrenchStopWords)
+        s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+           |lh AS (
+           |  SELECT doc_id, 'en' AS lang, 4 AS prio,
+           |    len(list_filter(tk, x -> x IN ('the','and','of','to','is','that','for','with'))) AS hits FROM t
+           |  UNION ALL SELECT doc_id, 'de', 3,
+           |    len(list_filter(tk, x -> x IN ('der','die','das','und','ist','nicht','mit','ein'))) FROM t
+           |  UNION ALL SELECT doc_id, 'es', 2,
+           |    len(list_filter(tk, x -> x IN ('el','los','las','una','es','que','por','como'))) FROM t
+           |  UNION ALL SELECT doc_id, 'fr', 1,
+           |    len(list_filter(tk, x -> x IN ('le','les','des','et','est','que','pour','dans'))) FROM t),
+           |best AS (SELECT doc_id, lang, hits,
+           |           row_number() OVER (PARTITION BY doc_id
+           |             ORDER BY hits DESC, prio DESC) AS rn FROM lh),
+           |pred AS (SELECT doc_id,
+           |           CASE WHEN hits > 0 THEN lang ELSE 'und' END AS pred_lang
+           |         FROM best WHERE rn = 1)
+           |SELECT t.doc_id, p.pred_lang,
+           |  CAST(CASE p.pred_lang
+           |    WHEN 'en' THEN len(list_filter(tk, x -> NOT x IN ($en)))
+           |    WHEN 'de' THEN len(list_filter(tk, x -> NOT x IN ($de)))
+           |    WHEN 'es' THEN len(list_filter(tk, x -> NOT x IN ($es)))
+           |    WHEN 'fr' THEN len(list_filter(tk, x -> NOT x IN ($fr)))
+           |    ELSE len(tk) END AS BIGINT) AS n_kept
+           |FROM t JOIN pred p USING (doc_id)
+           |ORDER BY t.doc_id""".stripMargin
+      }),
+
     ("tx_fingerprint",
       (s, d) => TrainOps.fingerprint(s, d),
       s"""SELECT doc_id,

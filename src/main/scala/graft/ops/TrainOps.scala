@@ -483,19 +483,43 @@ object TrainOps {
     "es" -> Seq("el", "los", "las", "una", "es", "que", "por", "como"),
     "fr" -> Seq("le", "les", "des", "et", "est", "que", "pour", "dans"))
 
-  /** Marker-word language ID: argmax marker hit-rate, deterministic
-    * tie-break by language order; 'und' when nothing matches. */
-  def langId(spark: SparkSession, sfDir: String): DataFrame = {
-    val tk = toks(col("text"))
+  /** Predicted-language column (argmax marker hit-rate, deterministic
+    * tie-break by language order; 'und' when nothing matches). */
+  private def predLangCol(tk: Column): Column = {
     val scored = LangMarkers.map { case (lang, ms) =>
       struct(size(filter(tk, t => t.isin(ms: _*))).as("hits"),
         lit(LangMarkers.size - LangMarkers.indexWhere(_._1 == lang)).as("prio"),
         lit(lang).as("lang"))
     }
     val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
+  }
+
+  /** Marker-word language ID. */
+  def langId(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir).select(col("doc_id"),
-      when(best.getField("hits") > 0, best.getField("lang"))
-        .otherwise("und").as("pred_lang"))
+      predLangCol(toks(col("text"))).as("pred_lang"))
+      .orderBy("doc_id")
+
+  /** Language-routed token accounting: [[langId]] picks the chain and
+    * the doc's tokens are counted under THAT language's stop set (en →
+    * the Standard 33-word set, de/es/fr → the Snowball analyzer sets;
+    * 'und' counts unfiltered). The routing a multilingual pipeline uses
+    * to budget per-language tokens before analysis — one map-only pass,
+    * the per-language branches fused in a single CASE. */
+  def tokensByLang(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.analysis.{Analyzer, Analyzers}
+    val tk = toks(col("text"))
+    def kept(stops: Set[String]): Column =
+      size(filter(tk, t => !t.isin(stops.toSeq.sorted: _*)))
+    val pred = predLangCol(tk)
+    val n = when(pred === "en", kept(Analyzer.StopWords))
+      .when(pred === "de", kept(Analyzers.GermanStopWords))
+      .when(pred === "es", kept(Analyzers.SpanishStopWords))
+      .when(pred === "fr", kept(Analyzers.FrenchStopWords))
+      .otherwise(size(tk))
+    docs(spark, sfDir).select(col("doc_id"), pred.as("pred_lang"),
+      n.cast("long").as("n_kept"))
       .orderBy("doc_id")
   }
 
