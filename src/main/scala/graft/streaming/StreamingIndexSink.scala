@@ -38,6 +38,36 @@ object StreamingIndexSink {
       }
       .start()
 
+  /** Deduplicating ingest: exact dedup BEFORE indexing — turns whose
+    * normalized-token fingerprint already arrived within the watermark
+    * horizon are dropped via Structured Streaming's
+    * `dropDuplicatesWithinWatermark`, so the dedup state is BOUNDED by
+    * the watermark (the at-scale requirement: an unbounded seen-set
+    * would grow with the corpus; a horizon-bounded one grows with the
+    * ingest window). The streaming twin of the batch
+    * `TrainOps.dedupExact`; duplicates farther apart than the horizon
+    * are left to the out-of-band batch dedup, exactly like merges are
+    * left to the out-of-band compactor. */
+  def startDedup(turns: DataFrame, root: String, numPartitions: Int,
+      checkpointDir: String, watermarkDelay: String = "10 minutes",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    val fp = graft.ops.TrainOps.h60(concat_ws(" ",
+      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))))
+    turns.withColumn("fp", fp)
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+      .drop("fp")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        appendBatch(batch.toDF(), root, numPartitions, batchId)
+      }
+      .start()
+  }
+
   /** Idempotent micro-batch append: skip if this batchId already owns a
     * committed segment (replay after crash). The batchId is stamped into
     * the segment's lineage record in the SAME manifest commit, so there

@@ -66,4 +66,47 @@ class StreamingSinkSpec extends AnyFunSuite {
     assert(dump(merged.postings, "term", "docid", "tf") ==
       dump(direct.postings, "term", "docid", "tf"))
   }
+
+  test("deduplicating ingest drops repeated texts across micro-batches") {
+    import spark.implicits._
+    val base = Transcripts.synthetic(spark, 200, seed = 21L, partitions = 2)
+      .as[graft.model.TranscriptTurn].collect().toSeq
+      .sortBy(t => (t.conv_id, t.turn_idx))
+    val half = base.length / 2
+    val first = base.take(half)
+    // second batch: fresh rows PLUS exact text copies of first-batch
+    // rows under new conv ids (the duplicate shape dedup-at-ingest
+    // exists for)
+    val dupes = first.take(20).zipWithIndex.map { case (t, i) =>
+      t.copy(conv_id = s"zdup$i", turn_idx = 0)
+    }
+    val second = base.drop(half) ++ dupes
+
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sdedup_").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_sdedup_ckpt_").toString
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[graft.model.TranscriptTurn]
+    val q = StreamingIndexSink.startDedup(mem.toDF(), root,
+      numPartitions = 2, checkpointDir = ckpt,
+      watermarkDelay = "3650 days",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      mem.addData(first); q.processAllAvailable()
+      mem.addData(second); q.processAllAvailable()
+    } finally q.stop()
+
+    val opened = SegmentStore.open(spark, root)
+    // distinct text fingerprints of the union = indexed doc count
+    // (same normalization as the sink's fp column: plain token regex)
+    val tokRe = "[a-z0-9]+".r
+    val distinctTexts = (first ++ second)
+      .map(t => tokRe.findAllIn(t.text.toLowerCase).mkString(" "))
+      .distinct.size
+    assert(opened.numDocs == distinctTexts)
+    // none of the duplicate conv ids made it in
+    assert(opened.docs.filter(org.apache.spark.sql.functions
+      .col("conv_id").startsWith("zdup")).count() == 0)
+  }
 }
