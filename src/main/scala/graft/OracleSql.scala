@@ -552,6 +552,56 @@ object OracleSql {
        |LIMIT $k""".stripMargin
   }
 
+  /** Unordered N-term payload span-near oracle: every combination of
+    * one occurrence per clause whose envelope width − (N−1) ≤ slop — a
+    * plain N-way position join; sloppy freq over the envelope width,
+    * payloads from every member. */
+  def payloadSpanNearUnordTopK(terms: Seq[String], slop: Int,
+      fn: graft.search.PayloadFn, firstN: Int, boost: Double,
+      includeSpanScore: Boolean, k: Int): String = {
+    val n = terms.size
+    def pay(e: String): String =
+      s"CASE WHEN $e < $firstN THEN CAST($boost AS DOUBLE) ELSE 1.0 END"
+    val joins = terms.zipWithIndex.map { case (t, i) =>
+      if (i == 0) s"tok t0"
+      else s"JOIN tok t$i ON t$i.docid = t0.docid AND t$i.term = ${sq(t)}"
+    }.mkString("\n              ")
+    val ps = (0 until n).map(i => s"t$i.pos").mkString(", ")
+    val width = s"greatest($ps) - least($ps)"
+    val payAgg = {
+      val sums = (0 until n).map(j => s"sum(${pay(s"m.p$j")})").mkString(" + ")
+      val mins = (0 until n).map(j => s"min(${pay(s"m.p$j")})").mkString(", ")
+      val maxs = (0 until n).map(j => s"max(${pay(s"m.p$j")})").mkString(", ")
+      fn match {
+        case graft.search.PayAvg => s"($sums) / ($n.0 * count(*))"
+        case graft.search.PayMin => s"least($mins)"
+        case graft.search.PayMax => s"greatest($maxs)"
+      }
+    }
+    val spanScore =
+      s"""${sumIdfSql(terms)} * (g.tfp * 2.2)
+         |     / (g.tfp + 1.2 * (1.0 - 0.75 + 0.75 * l.len / st.avgdl))""".stripMargin
+    val score =
+      if (includeSpanScore) s"$spanScore * g.pay" else "g.pay"
+    val sel = (0 until n).map(i => s"t$i.pos AS p$i").mkString(", ")
+    s"""$prelude
+       |SELECT CAST(row_number() OVER (ORDER BY s2.score DESC, s2.docid) AS BIGINT) AS rank,
+       |       s2.docid, round(s2.score, 4) AS score
+       |FROM (
+       |  SELECT g.docid, $score AS score
+       |  FROM (SELECT m.docid,
+       |               sum(1.0 / (1.0 + m.w - ${n - 1}.0)) AS tfp,
+       |               $payAgg AS pay
+       |        FROM (SELECT t0.docid, $sel, $width AS w
+       |              FROM $joins
+       |              WHERE t0.term = ${sq(terms.head)}
+       |                AND $width + 1 - $n <= $slop) m
+       |        GROUP BY m.docid) g
+       |  JOIN doclens l ON l.docid = g.docid CROSS JOIN stats st) s2
+       |ORDER BY s2.score DESC, s2.docid
+       |LIMIT $k""".stripMargin
+  }
+
   /** TermQ top-k over a Shingles(2, keepUnigrams) index: the analysis
     * chain is extended with order-indexed kept tokens and their
     * bigrams, and postings/lens/stats are recomputed over the combined

@@ -257,6 +257,14 @@ object SparkEntry {
       OracleSql.payloadSpanNearTopK(Seq("row", "column", "sort"), 6,
         PayAvg, Engine.PayloadFirstN, Engine.PayloadBoost.toDouble,
         includeSpanScore = true, 10)),
+    // unordered variant: any-order envelopes over the same clauses
+    "ft_payload_unord3" -> Raw(
+      (s, dir) => Engine.ranked(new Searcher(Engine.indexPayload(s, dir))
+        .topK(PayloadSpanNearQ(Seq("column", "row", "sort"), 6,
+          inOrder = false), 10)),
+      OracleSql.payloadSpanNearUnordTopK(Seq("column", "row", "sort"), 6,
+        PayAvg, Engine.PayloadFirstN, Engine.PayloadBoost.toDouble,
+        includeSpanScore = true, 10)),
     // the SAME payload query over the PERSISTED segment store — same
     // oracle as ft_payload_term: storage must be invisible (the payload
     // bit survives shuffle, stitch, and parquet round-trips)

@@ -214,16 +214,24 @@ final case class PayloadTermQ(term: String, fn: PayloadFn = PayAvg,
 final case class PayloadNearQ(a: String, b: String, slop: Int,
     fn: PayloadFn = PayAvg, includeSpanScore: Boolean = true) extends Query
 
-/** PayloadNearQuery.cs:52 over N ordered term clauses (the reference
-  * accepts arbitrary SpanNearQuery clause lists). Chain semantics
-  * generalize [[PayloadNearQ]]'s min-gap rule: per first-term
-  * occurrence, each next clause matches its NEAREST qualifying
-  * occurrence (strictly after the previous, per-gap ≤ slop); a chain
-  * that completes contributes sloppy freq 1/(1 + width − (N−1)) and the
-  * payloads of ALL its members. For N = 2 this is exactly
-  * [[PayloadNearQ]]. */
+/** PayloadNearQuery.cs:52 over N term clauses (the reference accepts
+  * arbitrary SpanNearQuery clause lists, ordered or not).
+  *
+  * Ordered (`inOrder = true`): chain semantics generalize
+  * [[PayloadNearQ]]'s min-gap rule — per first-term occurrence, each
+  * next clause matches its NEAREST qualifying occurrence (strictly
+  * after the previous, per-gap ≤ slop); a completed chain contributes
+  * sloppy freq 1/(1 + width − (N−1)) and the payloads of ALL its
+  * members. For N = 2 this is exactly [[PayloadNearQ]].
+  *
+  * Unordered: every combination of one occurrence per clause whose
+  * envelope width − (N−1) ≤ slop counts (combination counting, a
+  * documented deviation from NearSpansUnordered's sliding-heap span
+  * enumeration — the reference's own unordered overlap behavior is a
+  * documented quirk, NearSpansUnordered.cs:32). */
 final case class PayloadSpanNearQ(terms: Seq[String], slop: Int,
-    fn: PayloadFn = PayAvg, includeSpanScore: Boolean = true) extends Query
+    fn: PayloadFn = PayAvg, includeSpanScore: Boolean = true,
+    inOrder: Boolean = true) extends Query
 
 /** Sort key for field-sorted top-k (SortField.cs:43-101): a forward doc
   * column, or the special name "score" (SortField.FIELD_SCORE). */
@@ -241,7 +249,7 @@ object QueryAst {
     case DisMaxQ(ds, _) => ds.flatMap(terms).toSet
     case PayloadTermQ(t, _, _) => Set(t)
     case PayloadNearQ(a, b, _, _, _) => Set(a, b)
-    case PayloadSpanNearQ(ts, _, _, _) => ts.toSet
+    case PayloadSpanNearQ(ts, _, _, _, _) => ts.toSet
     case _ => Set.empty
   }
 }

@@ -305,7 +305,7 @@ final class Searcher(idx: InvertedIndex) {
         .filter(col("tfp") > 0)
         .select(col("docid"), (base * payScore).as("score"))
 
-    case PayloadSpanNearQ(ts, slop, fn, includeSpan) =>
+    case PayloadSpanNearQ(ts, slop, fn, includeSpan, inOrder) =>
       require(ts.size >= 2, "payload span-near needs >= 2 clauses")
       val n = ts.size
       val dfs = dfOf(ts.toSet)
@@ -321,28 +321,51 @@ final class Searcher(idx: InvertedIndex) {
             col("payloads").as(s"pay$i"), col("len"))
         if (i == 0) base else base.drop("len")
       }.reduce((a, b) => a.join(b, Seq("docid")))
-      // min-chain per first-clause occurrence: struct(ok, last, ms)
-      val chained = (1 until n).foldLeft(
-        transform(col("pos0"), p =>
-          struct(lit(true).as("ok"), p.as("last"), array(p).as("ms")))) {
-        (acc, k) =>
-          transform(acc, c => {
-            val q = array_min(filter(col(s"pos$k"), x =>
-              x > c.getField("last") &&
-                (x - c.getField("last") - 1) <= slop))
-            struct((c.getField("ok") && q.isNotNull).as("ok"),
-              coalesce(q, lit(Int.MaxValue)).as("last"),
-              when(q.isNotNull,
-                concat(c.getField("ms"), array(q)))
-                .otherwise(c.getField("ms")).as("ms"))
-          })
-      }
-      val chains = filter(chained, c => c.getField("ok"))
-      // sloppy freq per chain over total width (for N=2: 1/(q-p), the
-      // PayloadNearQ formula)
+      // ordered: min-chain per first-clause occurrence, struct(ok, last,
+      // ms); unordered: every qualifying combination's envelope,
+      // struct(lo, hi, ms) — in both, `ms` holds one member position per
+      // clause in clause order and (hi|last) − (lo|ms[1]) is the width
+      val chains =
+        if (inOrder) {
+          val chained = (1 until n).foldLeft(
+            transform(col("pos0"), p =>
+              struct(lit(true).as("ok"), p.as("lo"), p.as("hi"),
+                array(p).as("ms")))) {
+            (acc, k) =>
+              transform(acc, c => {
+                val q = array_min(filter(col(s"pos$k"), x =>
+                  x > c.getField("hi") &&
+                    (x - c.getField("hi") - 1) <= slop))
+                struct((c.getField("ok") && q.isNotNull).as("ok"),
+                  c.getField("lo").as("lo"),
+                  coalesce(q, lit(Int.MaxValue)).as("hi"),
+                  when(q.isNotNull,
+                    concat(c.getField("ms"), array(q)))
+                    .otherwise(c.getField("ms")).as("ms"))
+              })
+          }
+          filter(chained, c => c.getField("ok"))
+        } else {
+          val combined = (1 until n).foldLeft(
+            transform(col("pos0"), p =>
+              struct(lit(true).as("ok"), p.as("lo"), p.as("hi"),
+                array(p).as("ms")))) {
+            (acc, k) =>
+              flatten(transform(acc, c =>
+                transform(col(s"pos$k"), x => struct(
+                  lit(true).as("ok"),
+                  least(c.getField("lo"), x).as("lo"),
+                  greatest(c.getField("hi"), x).as("hi"),
+                  concat(c.getField("ms"), array(x)).as("ms")))))
+          }
+          filter(combined, c =>
+            c.getField("hi") - c.getField("lo") + lit(1) - lit(n) <= slop)
+        }
+      // sloppy freq per chain/combination over total width (for ordered
+      // N=2: 1/(q-p), the PayloadNearQ formula)
       val tfp = aggregate(chains, lit(0.0), (acc, c) =>
         acc + lit(1.0) / (lit(1.0) +
-          (c.getField("last") - element_at(c.getField("ms"), 1) -
+          (c.getField("hi") - c.getField("lo") -
             lit(n - 1)).cast("double")))
       // payloads of every chain member, via per-clause pos→pay maps
       val pays = flatten(transform(chains, c =>

@@ -179,6 +179,36 @@ class PayloadSpec extends AnyFunSuite {
     assert(got.keySet == brute.keySet && got.nonEmpty)
     brute.foreach { case (d, s) =>
       assert(math.abs(s - got(d)) < 1e-9, s"doc $d") }
+
+    // unordered: combination-envelope brute force; clause order must
+    // not matter
+    val bruteU = docsTerms.flatMap { case (docid, ts) =>
+      def occ(tm: String) = ts.filter(_.term == tm).map(_.pos)
+      val combos = for {
+        p1 <- occ(x); q2 <- occ(y); q3 <- occ(z)
+        w = Seq(p1, q2, q3).max - Seq(p1, q2, q3).min
+        if w + 1 - 3 <= slop
+      } yield (p1, q2, q3, w)
+      if (combos.isEmpty) None
+      else {
+        val tfp = combos.map { case (_, _, _, w) => 1.0 / (1.0 + w - 2.0) }.sum
+        val pays = combos.flatMap { case (p1, q2, q3, _) =>
+          Seq(payOf(p1), payOf(q2), payOf(q3)) }
+        val len = ts.size.toDouble
+        val bm = sumIdf * (tfp * 2.2) /
+          (tfp + 1.2 * (1 - 0.75 + 0.75 * len / idx.avgdl))
+        Some(docid -> bm * (pays.sum / pays.size))
+      }
+    }.toMap
+    for (ts3 <- Seq(Seq(x, y, z), Seq(z, x, y))) {
+      val gotU = sr.score(PayloadSpanNearQ(ts3, slop, inOrder = false))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(gotU.keySet == bruteU.keySet && gotU.nonEmpty, s"order $ts3")
+      bruteU.foreach { case (d, s) =>
+        assert(math.abs(s - gotU(d)) < 1e-9, s"doc $d order $ts3") }
+    }
+    // the ordered chains are a subset of the unordered matches
+    assert(got.keySet.subsetOf(bruteU.keySet))
   }
 
   test("payload near: span-matched docs only, payloads from both ends") {
