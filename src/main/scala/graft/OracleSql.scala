@@ -645,6 +645,12 @@ object OracleSql {
        |ORDER BY s2.score DESC, s2.docid
        |LIMIT $k""".stripMargin
 
+  /** Matched-docid oracle (percolation membership: the doc set a query
+    * matches, scores ignored). */
+  def matchedDocids(q: Query): String =
+    s"""$prelude
+       |SELECT sq.docid FROM ${scoreSql(q)} sq ORDER BY sq.docid""".stripMargin
+
   /** Count-only oracle (TotalHitCountCollector analog). */
   def countQ(q: Query): String =
     s"""$prelude

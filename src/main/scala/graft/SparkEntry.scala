@@ -133,6 +133,27 @@ object SparkEntry {
         graft.analysis.Analyzers.Shingles(2)))
         .topK(TermQ("row_column"), 10)),
       OracleSql.shingleTermTopK("row_column", 10)),
+    // percolation (contrib Memory / MemoryIndex analog): every doc is
+    // matched against ONE registered query by the single-doc evaluator,
+    // distributed as a map-only sweep; the oracle is the same query's
+    // membership set through the full SQL scoring pipeline — two
+    // independent evaluators, one contract
+    "ft_percolate" -> Raw(
+      (s, dir) => {
+        import s.implicits._
+        val q: Query = BoolQ(must = Seq(TermQ("table")),
+          should = Seq(TermQ("merge"), PrefixQ("so")),
+          mustNot = Seq(TermQ("slow")), minShouldMatch = 1)
+        Engine.index(s, dir).docs.select(col("docid"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.collect {
+            case (d, text) if MemoryIndex.of(text).matches(q) => d
+          })
+          .toDF("docid").orderBy("docid")
+      },
+      OracleSql.matchedDocids(BoolQ(must = Seq(TermQ("table")),
+        should = Seq(TermQ("merge"), PrefixQ("so")),
+        mustNot = Seq(TermQ("slow")), minShouldMatch = 1))),
     // WordNet SynExpand analog: "table" expanded with boosted synonyms
     // (flat SHOULD rewrite — the oracle is the expanded boolean itself)
     "ft_synonym" -> TopK(Synonyms.expand("table",

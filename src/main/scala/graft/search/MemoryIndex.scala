@@ -1,0 +1,97 @@
+package graft.search
+
+import graft.analysis.Analyzers
+
+/** MemoryIndex analog (contrib Memory, MemoryIndex.cs:97): index ONE
+  * document in RAM and evaluate queries against it — the percolation /
+  * alerting primitive (match registered queries against each incoming
+  * document instead of documents against a stored index).
+  *
+  * Pure Scala, no Spark plan: the doc's inverted view is a
+  * term → sorted-positions map plus optional keyword fields. `matches`
+  * implements exactly the engine's MEMBERSHIP semantics for the
+  * supported operators — MemoryIndexSpec asserts agreement with the
+  * distributed Searcher query-by-query, and the ft_percolate gate
+  * replays a percolation sweep against the SQL oracle. Scoring-only
+  * constructs (payloads, function queries, WAND) are out of scope for
+  * match/no-match percolation and throw.
+  */
+final case class MemoryIndex(terms: Map[String, Vector[Int]],
+    fields: Map[String, String] = Map.empty) {
+
+  private def editDistance(a: String, b: String): Int = {
+    val prev = new Array[Int](b.length + 1)
+    val cur = new Array[Int](b.length + 1)
+    var j = 0
+    while (j <= b.length) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= a.length) {
+      cur(0) = i
+      j = 1
+      while (j <= b.length) {
+        val cost = if (a(i - 1) == b(j - 1)) 0 else 1
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+          prev(j - 1) + cost)
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, b.length + 1)
+      i += 1
+    }
+    prev(b.length)
+  }
+
+  def matches(q: Query): Boolean = q match {
+    case TermQ(t) => terms.contains(t)
+    case MatchAllQ => true
+    case MatchNoneQ => false
+    case BoolQ(m, s, n, msm) =>
+      // same minimum-should floor as the distributed evaluator
+      // (Searcher: max(1, msm) when there are no MUST clauses)
+      val floor = if (m.isEmpty) math.max(1, msm) else msm
+      m.forall(matches) && s.count(matches) >= floor && !n.exists(matches)
+    case PhraseQ(ts, 0) =>
+      val off0 = ts.head._2
+      terms.getOrElse(ts.head._1, Vector.empty).exists(p =>
+        ts.tail.forall { case (t, off) =>
+          terms.getOrElse(t, Vector.empty).contains(p + off - off0)
+        })
+    case ConstantScoreQ(s, _) => matches(s)
+    case BoostQ(s, _) => matches(s)
+    case DisMaxQ(ds, _) => ds.exists(matches)
+    case PrefixQ(p, _) => terms.keysIterator.exists(_.startsWith(p))
+    case WildcardQ(pat, _) =>
+      val re = Searcher.globToRegex(pat).r
+      terms.keysIterator.exists(t => re.findFirstIn(t).isDefined)
+    case RegexQ(pat, _) =>
+      // anchored whole-term match, like RegexTermEnum
+      terms.keysIterator.exists(_.matches(pat))
+    case TermRangeQ(lo, hi, incLo, incHi, _) =>
+      terms.keysIterator.exists { t =>
+        lo.forall(l => if (incLo) t >= l else t > l) &&
+          hi.forall(h => if (incHi) t <= h else t < h)
+      }
+    case FuzzyQ(t, maxEdits) =>
+      terms.keysIterator.exists(c => editDistance(t, c) <= maxEdits)
+    case KeywordQ(f, v) => fields.get(f).contains(v)
+    case SpanNearQ(a, b, slop, inOrder) =>
+      val pa = terms.getOrElse(a, Vector.empty)
+      val pb = terms.getOrElse(b, Vector.empty)
+      def ord(x: Vector[Int], y: Vector[Int]) =
+        x.exists(p => y.exists(q => q > p && q - p - 1 <= slop))
+      if (inOrder) ord(pa, pb) else ord(pa, pb) || ord(pb, pa)
+    case other => throw new UnsupportedOperationException(
+      s"percolation does not support ${other.getClass.getSimpleName}")
+  }
+}
+
+object MemoryIndex {
+  /** Analyze one document (any analyzer kind) into a MemoryIndex. */
+  def of(text: String,
+      kind: Analyzers.Kind = Analyzers.Standard,
+      fields: Map[String, String] = Map.empty): MemoryIndex = {
+    val toks = Analyzers.tokenize(kind, text)
+    MemoryIndex(
+      toks.groupBy(_.term).map { case (t, occ) => t -> occ.map(_.pos) },
+      fields)
+  }
+}
