@@ -340,6 +340,12 @@ object TrainEntries {
          |FROM base b LEFT JOIN top2 tp USING (doc_id) LEFT JOIN d5 d USING (doc_id)
          |ORDER BY b.doc_id""".stripMargin),
 
+    // ---- spatial k-NN (contrib Spatial analog) ----
+    ("geo_knn",
+      (s, d) => Geo.knnGate(s, d, lat0 = 10.0, lon0 = 20.0,
+        radiusKm = 2500.0, k = 10),
+      Geo.knnOracle(lat0 = 10.0, lon0 = 20.0, radiusKm = 2500.0, k = 10)),
+
     // ---- PII redaction over deterministically injected PII ----
     ("tx_redact",
       (s, d) => TrainOps.redactGate(s, d),
