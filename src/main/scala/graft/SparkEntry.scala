@@ -518,6 +518,18 @@ object SparkEntry {
       "SELECT * FROM (VALUES " + StemVectors.portuguese.sortBy(_._1)
         .map { case (w, st) => s"('$w', '$st')" }.mkString(", ") +
         ") AS t(word, stem) ORDER BY word"),
+    "ft_stem_fi" -> Raw(
+      (s, dir) => {
+        import s.implicits._
+        StemVectors.finnish.map(_._1).toDF("word")
+          .select(col("word"))
+          .map(r => (r.getString(0),
+            graft.analysis.FinnishStemmer.stem(r.getString(0))))
+          .toDF("word", "stem").orderBy("word")
+      },
+      "SELECT * FROM (VALUES " + StemVectors.finnish.sortBy(_._1)
+        .map { case (w, st) => s"('$w', '$st')" }.mkString(", ") +
+        ") AS t(word, stem) ORDER BY word"),
     "ft_stem_ru" -> Raw(
       (s, dir) => {
         import s.implicits._

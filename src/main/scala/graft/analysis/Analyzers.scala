@@ -74,6 +74,11 @@ object Analyzers {
     * stop set (core of the published Snowball list) → Snowball
     * Portuguese stemmer. */
   case object Portuguese extends Kind
+  /** SnowballAnalyzer("Finnish") analog (SnowballAnalyzer.cs:39 wraps
+    * Ext/FinnishStemmer.cs:11): Standard tokens → Finnish stop set
+    * (core of the published Snowball list) → Snowball Finnish
+    * stemmer. */
+  case object Finnish extends Kind
   /** CJKAnalyzer.cs analog: overlapping CJK bigrams + lowercased Latin
     * runs, then the English stop set. */
   case object Cjk extends Kind
@@ -191,6 +196,12 @@ object Analyzers {
         case (t, i) if t.nonEmpty && !PortugueseStopWords(t) &&
             t.length <= Analyzer.MaxTokenLength =>
           Token(PortugueseStemmer.stem(t), i)
+      }
+    case Finnish =>
+      Analyzer.rawTokens(text).zipWithIndex.collect {
+        case (t, i) if t.nonEmpty && !FinnishStopWords(t) &&
+            t.length <= Analyzer.MaxTokenLength =>
+          Token(FinnishStemmer.stem(t), i)
       }
     case Cjk =>
       IntlAnalyzers.cjkBigrams(text).filter(t => !Analyzer.StopWords(t.term))
@@ -329,6 +340,24 @@ object Analyzers {
     "aquela", "aqueles", "aquelas", "isto", "aquilo", "é", "são",
     "era", "foi", "ser", "está", "estão", "tem", "têm", "tinha",
     "foram", "há", "estou", "estava")
+
+  /** Core of the published Snowball Finnish stop list (pronouns,
+    * olla/ei forms, conjunctions). */
+  val FinnishStopWords: Set[String] = Set(
+    "olla", "olen", "olet", "on", "olemme", "olette", "ovat", "ole",
+    "oli", "olisi", "olisit", "olisin", "olisimme", "olisitte",
+    "olisivat", "olit", "olin", "olimme", "olitte", "olivat", "ollut",
+    "olleet", "en", "et", "ei", "emme", "ette", "eivät", "minä",
+    "minun", "minut", "minua", "sinä", "sinun", "sinut", "sinua",
+    "hän", "hänen", "hänet", "häntä", "me", "te", "he", "meidän",
+    "teidän", "heidän", "tämä", "tuo", "se", "nämä", "nuo", "ne",
+    "tässä", "tästä", "tähän", "tällä", "tämän", "siinä", "siitä",
+    "siihen", "sillä", "sen", "joka", "jonka", "jota", "jossa",
+    "josta", "johon", "jolla", "mikä", "minkä", "mitä", "missä",
+    "mistä", "mihin", "millä", "kuka", "kenen", "ketä", "ja", "tai",
+    "vai", "että", "mutta", "vaan", "kun", "niin", "kuin", "jos",
+    "koska", "vaikka", "kanssa", "mukaan", "myös", "vielä", "jo",
+    "nyt", "sitten", "kyllä", "juuri", "eli")
 
   /** The published Snowball Dutch stop list. */
   val DutchStopWords: Set[String] = Set(

@@ -228,6 +228,33 @@ object StemVectors {
     "irmão" -> "irmã",
     "gatos" -> "gat")
 
+  val finnish: Seq[(String, String)] = Seq(
+    // particle (kin after a vowel), then case ssa, then plural i
+    "koirissakin" -> "koir",
+    // possessive gate fails (an not after a case ending) → case n
+    "koiran" -> "koir",
+    "taloissa" -> "talo",
+    "talon" -> "talo",
+    // case n after a LONG vowel also takes the vowel
+    "taloon" -> "talo",
+    "kotiin" -> "kot",
+    "koti" -> "kot",          // tidy: i after a consonant in R1
+    // plural t after a vowel, then tidy a-after-consonant
+    "kirjat" -> "kirj",
+    "kirjansa" -> "kirj",     // possessive nsa; the a fails its cv gate
+    "kirjasi" -> "kirj",      // si not after k
+    // ni possessive with the kse → ksi restore, then the ksi case
+    "vastaukseni" -> "vastau",
+    // sti needs R2: tyypillisesti qualifies, nopeasti does not
+    "tyypillisesti" -> "tyypillis",
+    "nopeasti" -> "nopeast",
+    "puiden" -> "puid",       // den misses R1 → n, then tidy e
+    "iloisempi" -> "ilois",   // comparative mpi in R2
+    // tidy: a-after-consonant then the final double consonant
+    "kukka" -> "kuk",
+    // R1 floor: everything out of region survives
+    "maan" -> "maan")
+
   val russian: Seq[(String, String)] = Seq(
     // noun endings in RV
     "книги" -> "книг", "книга" -> "книг", "процессы" -> "процесс",

@@ -145,6 +145,21 @@ class SnowballSpec extends AnyFunSuite {
       Token("bibliotec", 4)))
   }
 
+  test("Finnish Snowball vectors (hand-derived)") {
+    StemVectors.finnish.foreach { case (w, want) =>
+      assert(FinnishStemmer.stem(w) == want,
+        s"$w: got ${FinnishStemmer.stem(w)}, want $want")
+    }
+  }
+
+  test("Finnish analyzer chain: stop words gap positions, then stem") {
+    val toks = Analyzers.tokenize(Analyzers.Finnish,
+      "koirat ja kissat ovat talossa")
+    // ja(1) ovat(3) stopped; positions preserved
+    assert(toks == Vector(Token("koir", 0), Token("kis", 2),
+      Token("talo", 4)))
+  }
+
   test("Russian Snowball vectors (hand-derived)") {
     StemVectors.russian.foreach { case (w, want) =>
       assert(RussianStemmer.stem(w) == want,
