@@ -149,6 +149,60 @@ object TrainEntries {
          |WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5
          |ORDER BY a, b""".stripMargin),
 
+    ("dd_ngram",
+      (s, d) => TrainOps.dedupNgramJaccard(s, d),
+      s"""WITH $shingleCte,
+         |kept AS (SELECT sh.* FROM sh
+         |         JOIN (SELECT s FROM sh GROUP BY s
+         |               HAVING count(*) <= ${TrainOps.ShingleDfCap}) ok
+         |           USING (s)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM kept x JOIN kept y ON x.s = y.s
+         |              AND x.doc_id < y.doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |inter AS (SELECT cand.a, cand.b, count(*) AS i
+         |          FROM cand JOIN sh sa ON sa.doc_id = cand.a
+         |               JOIN sh sb ON sb.doc_id = cand.b AND sa.s = sb.s
+         |          GROUP BY cand.a, cand.b)
+         |SELECT a, b, round(CAST(i AS DOUBLE) / (ca.c + cb.c - i), 4) AS jac
+         |FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+         |WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5
+         |ORDER BY a, b""".stripMargin),
+
+    ("dd_embed",
+      (s, d) => TrainOps.dedupEmbedCosine(s, d),
+      s"""WITH $shingleCte,
+         |th AS (SELECT doc_id, ${h60("s")} AS h FROM sh),
+         |emb AS (SELECT doc_id, CAST(h % ${TrainOps.EmbedDim} AS INTEGER) AS dim,
+         |          CAST(sum(CASE WHEN (h >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
+         |        FROM th GROUP BY doc_id, h % ${TrainOps.EmbedDim}),
+         |nrm AS (SELECT doc_id, sum(v*v) AS n2 FROM emb GROUP BY doc_id
+         |        HAVING sum(v*v) > 0),
+         |planes AS (SELECT p, dim,
+         |             CASE WHEN ${h60("'w:'||CAST(p AS VARCHAR)||':'||CAST(dim AS VARCHAR)")} & 1 = 1
+         |                  THEN 1 ELSE -1 END AS w
+         |           FROM (SELECT unnest(generate_series(0,${TrainOps.SrpPlanes - 1})) AS p) ps
+         |                CROSS JOIN (SELECT unnest(generate_series(0,${TrainOps.EmbedDim - 1})) AS dim) ds),
+         |bits AS (SELECT e.doc_id, pl.p,
+         |           CASE WHEN sum(e.v * pl.w) > 0 THEN 1 ELSE 0 END AS b
+         |         FROM emb e JOIN planes pl USING (dim)
+         |         GROUP BY e.doc_id, pl.p),
+         |bands AS (SELECT doc_id, p // ${TrainOps.SrpBandBits} AS band,
+         |            sum(b * (CAST(1 AS BIGINT) << CAST(p % ${TrainOps.SrpBandBits} AS INTEGER))) AS bkey
+         |          FROM bits GROUP BY doc_id, p // ${TrainOps.SrpBandBits}),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM bands x JOIN bands y ON x.band = y.band
+         |              AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |dots AS (SELECT a, b, sum(ea.v * eb.v) AS dot
+         |         FROM cand JOIN emb ea ON ea.doc_id = a
+         |              JOIN emb eb ON eb.doc_id = b AND ea.dim = eb.dim
+         |         GROUP BY a, b)
+         |SELECT a, b,
+         |  round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cos
+         |FROM dots JOIN nrm na ON na.doc_id = a JOIN nrm nb ON nb.doc_id = b
+         |WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= ${TrainOps.EmbedCosThreshold}
+         |ORDER BY a, b""".stripMargin),
+
     ("dd_simhash",
       (s, d) => TrainOps.simhash(s, d),
       s"""WITH $simhashCte

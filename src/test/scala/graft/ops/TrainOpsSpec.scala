@@ -32,6 +32,63 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(fromCol.toSeq == samples.map(TrainOps.toksJvm))
   }
 
+  /** Temp dir holding a documents.parquet with planted near-dups:
+    * 1↔2 identical, 3 a heavy-overlap edit of 1, the rest distinct. */
+  private lazy val plantedDir: String = {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    val base = "the query planner merges sorted runs into a single " +
+      "segment before the final compaction pass emits blocks"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),
+      (3L, base + " with an extra trailing clause appended here"),
+      (4L, "completely unrelated words about stream checkpoint offsets " +
+        "and watermark state eviction policies during replay"),
+      (5L, "another disjoint doc concerning broadcast dictionaries and " +
+        "prefix seeks over the persisted term table layout")
+    ) ++ (6L to 20L).map(i =>
+      (i, s"filler doc number $i with unique token u$i v$i w$i x$i y$i " +
+        s"z$i padding terms alpha$i beta$i gamma$i delta$i"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-dd").toString
+    docs.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("dedupNgramJaccard finds planted near-dups and nothing else") {
+    val spark = SparkFixture.spark
+    val rows = TrainOps.dedupNgramJaccard(spark, plantedDir).collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // identical pair at jac 1.0; the edited doc pairs with both copies
+    assert(pairs.exists { case (a, b, j) => a == 1 && b == 2 && j == 1.0 })
+    assert(pairs.exists { case (a, b, j) => a == 1 && b == 3 && j >= 0.5 })
+    assert(pairs.exists { case (a, b, j) => a == 2 && b == 3 && j >= 0.5 })
+    // no cross-pairs with the disjoint docs
+    assert(pairs.forall { case (a, b, _) => a <= 3 && b <= 3 })
+  }
+
+  test("docEmbed is integer-valued and bounded to EmbedDim") {
+    val spark = SparkFixture.spark
+    val emb = TrainOps.docEmbed(spark, plantedDir).collect()
+    assert(emb.nonEmpty)
+    assert(emb.forall(r => r.getInt(1) >= 0 && r.getInt(1) < TrainOps.EmbedDim))
+    // identical docs 1 and 2 embed identically
+    val v1 = emb.filter(_.getLong(0) == 1L).map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq
+    val v2 = emb.filter(_.getLong(0) == 2L).map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(v1 == v2 && v1.nonEmpty)
+  }
+
+  test("dedupEmbedCosine finds the planted pair via SRP buckets") {
+    val spark = SparkFixture.spark
+    val rows = TrainOps.dedupEmbedCosine(spark, plantedDir).collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // identical docs share every SRP band -> always a candidate; cos 1.0
+    assert(pairs.exists { case (a, b, c) => a == 1 && b == 2 && c == 1.0 })
+    // disjoint docs never reach the threshold even if bucketed together
+    assert(pairs.forall { case (a, b, _) => a <= 3 && b <= 3 })
+  }
+
   test("simhash signatures are stable and 60-bit") {
     val spark = SparkFixture.spark
     // deterministic check against an independently-computed signature
