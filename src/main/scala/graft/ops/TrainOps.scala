@@ -59,18 +59,33 @@ object TrainOps {
       .orderBy("canonical_id")
   }
 
-  /** Distinct 3-token shingles per doc — the dedup unit. */
-  def shingles(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = docs(spark, sfDir).select(col("doc_id"), toks(col("text")).as("tk"))
-      .filter(size(col("tk")) >= 3)
-    t.select(col("doc_id"),
-        explode(sequence(lit(0), size(col("tk")) - 3)).as("i"), col("tk"))
-      .select(col("doc_id"),
-        concat_ws(" ", element_at(col("tk"), col("i") + 1),
-          element_at(col("tk"), col("i") + 2),
-          element_at(col("tk"), col("i") + 3)).as("s"))
-      .distinct()
-  }
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Distinct 3-token shingles per doc — the dedup unit, shared by the
+    * whole dedup family (MinHash, n-gram Jaccard, embedding-cosine).
+    * Materialized ONCE per corpus and reused: every consumer reads it
+    * 2-5 times (df stats + candidate join + intersection counts), and at
+    * 100 TB you persist the shingle table rather than re-tokenize the
+    * corpus per pass — same prewarm discipline as [[graft.Engine]]'s
+    * store cache. MEMORY_AND_DISK: spills, never recomputes. */
+  def shingles(spark: SparkSession, sfDir: String): DataFrame =
+    shingleCache.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}:$sfDir", {
+        val t = docs(spark, sfDir)
+          .select(col("doc_id"), toks(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 3)
+        val sh = t.select(col("doc_id"),
+            explode(sequence(lit(0), size(col("tk")) - 3)).as("i"), col("tk"))
+          .select(col("doc_id"),
+            concat_ws(" ", element_at(col("tk"), col("i") + 1),
+              element_at(col("tk"), col("i") + 2),
+              element_at(col("tk"), col("i") + 3)).as("s"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sh.count() // materialize so every consumer reuses, never rebuilds
+        sh
+      })
 
   /** 16 functions in 8 bands of 2 rows: a J=0.5 pair collides in at
     * least one band w.p. 1-(1-0.5²)⁸ ≈ 0.90 (was 8/4/0.68 in round 2 —
@@ -313,13 +328,44 @@ object TrainOps {
       .agg(sum(when(shiftright(col("h"), 7).bitwiseAND(lit(1L)) === 1L,
         lit(1L)).otherwise(lit(-1L))).as("v"))
 
-  /** SRP plane weights (p, dim, w∈{−1,+1}) derived from h60Jvm — tiny
-    * (SrpPlanes × EmbedDim rows), broadcast to every executor. */
-  private def srpPlanes(spark: SparkSession): DataFrame = {
+  /** SRP plane weights w(p,dim) ∈ {−1,+1} derived from h60Jvm — an
+    * 8 KB fixed matrix that rides the task closure. */
+  private lazy val srpWeights: Array[Array[Int]] =
+    Array.tabulate(SrpPlanes, EmbedDim)((p, i) =>
+      if ((h60Jvm(s"w:$p:$i") & 1L) == 1L) 1 else -1)
+
+  /** SRP band keys per doc, computed PARTITION-LOCALLY after one
+    * groupBy(doc): all 64 plane dots fold in-task over the doc's sparse
+    * dims against the in-closure weight matrix. The declarative
+    * formulation (emb ⋈ planes → groupBy(doc,p)) materializes
+    * |emb| × SrpPlanes intermediate rows — ~410 M at sf0.1, the measured
+    * dominant cost — for an aggregation a tight loop does in one pass;
+    * same precedent as [[simhash]]. Arithmetic is bit-identical to the
+    * oracle: integer v·w sums, bit = (sum > 0). */
+  private def srpBands(spark: SparkSession, emb: DataFrame): DataFrame = {
     import spark.implicits._
-    (for (p <- 0 until SrpPlanes; i <- 0 until EmbedDim)
-      yield (p, i, if ((h60Jvm(s"w:$p:$i") & 1L) == 1L) 1L else -1L))
-      .toDF("p", "dim", "w")
+    emb.groupBy("doc_id")
+      .agg(collect_list(struct(col("dim").as("_1"), col("v").as("_2")))
+        .as("dims"))
+      .as[(Long, Seq[(Int, Long)])]
+      .flatMap { case (doc, dims) =>
+        val w = srpWeights
+        val dots = new Array[Long](SrpPlanes)
+        dims.foreach { case (d, v) =>
+          var p = 0
+          while (p < SrpPlanes) { dots(p) += v * w(p)(d); p += 1 }
+        }
+        (0 until SrpPlanes / SrpBandBits).map { band =>
+          var key = 0L
+          var b = 0
+          while (b < SrpBandBits) {
+            if (dots(band * SrpBandBits + b) > 0) key |= 1L << b
+            b += 1
+          }
+          (doc, band, key)
+        }
+      }
+      .toDF("doc_id", "band", "bkey")
   }
 
   /** Embedding-cosine near-dup: SRP-LSH candidate buckets + exact cosine
@@ -328,20 +374,13 @@ object TrainOps {
     * dot/norms → cos ≥ [[EmbedCosThreshold]]. Banding recall < 1 by
     * design (like MinHash banding); the verify step removes every false
     * positive. At 100 TB every stage is a uniform hash shuffle; the
-    * plane join is a broadcast; the only quadratic step is within SRP
-    * buckets, which random-direction planes keep balanced. */
+    * signature fold is partition-local ([[srpBands]]); the only
+    * quadratic step is within SRP buckets, which random-direction
+    * planes keep balanced. */
   def dedupEmbedCosine(spark: SparkSession, sfDir: String,
       threshold: Double = EmbedCosThreshold): DataFrame = {
     val emb = docEmbed(spark, sfDir)
-    val bits = emb.join(broadcast(srpPlanes(spark)), "dim")
-      .groupBy("doc_id", "p")
-      .agg(when(sum(col("v") * col("w")) > 0, lit(1L)).otherwise(lit(0L))
-        .as("b"))
-    val bands = bits
-      .groupBy(col("doc_id"), (col("p") / SrpBandBits).cast("int").as("band"))
-      .agg(sum(col("b") *
-        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p % $SrpBandBits AS INT))"))
-        .as("bkey"))
+    val bands = srpBands(spark, emb)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
