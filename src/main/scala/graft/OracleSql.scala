@@ -651,6 +651,20 @@ object OracleSql {
     s"""$prelude
        |SELECT sq.docid FROM ${scoreSql(q)} sq ORDER BY sq.docid""".stripMargin
 
+  /** Multi-query percolation oracle: one membership sweep per registered
+    * query through the full SQL scoring pipeline, unioned with the
+    * query id — the turn-addressed twin of [[matchedDocids]] (the
+    * percolator emits (conv_id, turn_idx), not docids). */
+  def percolateMulti(registry: Seq[(String, Query)]): String = {
+    val parts = registry.map { case (qid, q) =>
+      s"""SELECT d.conv_id, d.turn_idx, ${sq(qid)} AS query_id
+         |FROM ${scoreSql(q)} sq JOIN docs d ON d.docid = sq.docid""".stripMargin
+    }
+    s"""$prelude
+       |${parts.mkString("\nUNION ALL\n")}
+       |ORDER BY conv_id, turn_idx, query_id""".stripMargin
+  }
+
   /** Count-only oracle (TotalHitCountCollector analog). */
   def countQ(q: Query): String =
     s"""$prelude

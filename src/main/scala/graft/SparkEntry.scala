@@ -28,6 +28,18 @@ object SparkEntry {
 
   /** The nested-boolean tree the ft_explain_bool gate decomposes (same
     * shape as ft_nested_bool plus a boosted should clause). */
+  /** Standing-query registry for the multi-query percolation gate —
+    * shapes chosen to exercise term, phrase, keyword-field and msm
+    * membership through BOTH evaluators (MemoryIndex and the SQL
+    * pipeline). */
+  private val PercolateRegistry: Seq[(String, Query)] = Seq(
+    "q_phrase" -> PhraseQ(Seq("key" -> 0, "agg" -> 1)),
+    "q_role" -> BoolQ(must = Seq(TermQ("merge"),
+      KeywordQ("role", "assistant"))),
+    "q_msm" -> BoolQ(should = Seq(TermQ("sort"), TermQ("column"),
+      TermQ("row")), minShouldMatch = 2),
+    "q_term" -> TermQ("dup"))
+
   private val ExplainTreeQ: Query = BoolQ(
     must = Seq(BoolQ(should = Seq(TermQ("scan"), TermQ("filter"))),
       TermQ("row")),
@@ -154,6 +166,15 @@ object SparkEntry {
       OracleSql.matchedDocids(BoolQ(must = Seq(TermQ("table")),
         should = Seq(TermQ("merge"), PrefixQ("so")),
         mustNot = Seq(TermQ("slow")), minShouldMatch = 1))),
+    // multi-query percolation (the percolator's production shape: a
+    // REGISTRY of standing queries swept over the corpus in one map-only
+    // pass, one analysis per turn) — oracle = per-query SQL membership
+    // sweeps unioned with the query id
+    "ft_percolate_multi" -> Raw(
+      (s, dir) => graft.streaming.StreamingPercolator.percolate(
+          graft.model.Transcripts.fromDocuments(s, dir), PercolateRegistry)
+        .orderBy("conv_id", "turn_idx", "query_id"),
+      OracleSql.percolateMulti(PercolateRegistry)),
     // WordNet SynExpand analog: "table" expanded with boosted synonyms
     // (flat SHOULD rewrite — the oracle is the expanded boolean itself)
     "ft_synonym" -> TopK(Synonyms.expand("table",
