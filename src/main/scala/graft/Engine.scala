@@ -186,7 +186,12 @@ object Engine {
     // here so the tvec-highlighter query times only the query
     val t0 = System.nanoTime()
     termVectorsOf(spark, sfDir, Seq(0L)).count()
-    flavors :+ ("tvec" -> (System.nanoTime() - t0) / 1e9)
+    // the dedup family's shared shingle table likewise materializes once
+    // per corpus; charge it here, not to whichever dd_* query runs first
+    val t1 = System.nanoTime()
+    graft.ops.TrainOps.shingles(spark, sfDir)
+    flavors :+ ("tvec" -> (t1 - t0) / 1e9) :+
+      ("dds" -> (System.nanoTime() - t1) / 1e9)
   }
 
   /** Conversation updated in the "upd" flavor + the text suffix appended
