@@ -275,24 +275,52 @@ object TrainOps {
     * candidates = pairs sharing ≥1 shingle with df ≤ [[ShingleDfCap]],
     * then exact-Jaccard verify. Unlike [[dedupMinhashLsh]] the recall is
     * exact (no banding loss) at the cost of more candidates — the
-    * classic recall/candidate trade; both ops share the verify stage.
-    * At 100 TB: explode + self-join on the shingle key are uniform hash
-    * shuffles; the df cap bounds the within-key quadratic pair-gen. */
+    * classic recall/candidate trade. Here the candidate join doubles as
+    * the verify: it already counts shared kept shingles, and the capped
+    * remainder (i = i_kept + i_capped, a disjoint partition of the
+    * shingle set) joins only the boilerplate rows — two shuffles fewer
+    * than candidates-then-re-intersect, same exact Jaccard. At 100 TB:
+    * explode + self-join on the shingle key are uniform hash shuffles;
+    * the df cap bounds the within-key quadratic pair-gen. */
   def dedupNgramJaccard(spark: SparkSession, sfDir: String,
       threshold: Double = 0.5): DataFrame = {
     val sh = shingles(spark, sfDir)
-    // df-cap via a count window over the SAME key the pair join shuffles
-    // on (the lshBuckets pattern): one pass, exchange reused by both
+    // df via a count window over the SAME key the pair join shuffles on
+    // (the lshBuckets pattern): one pass, exchange reused by both
     // self-join branches
-    val kept = sh
+    val withDf = sh
       .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
-      .filter(col("df") <= ShingleDfCap)
-      .drop("df")
-    val cand = kept.as("x").join(kept.as("y"),
+    val kept = withDf.filter(col("df") <= ShingleDfCap).drop("df")
+    // the pair-gen join IS the intersection count over kept shingles
+    // (distinct (doc, s) rows → one row per shared kept shingle), so the
+    // same shuffle yields candidates AND i_kept — no separate distinct +
+    // re-join against the full shingle table
+    val interKept = kept.as("x").join(kept.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
-    exactJaccard(spark, sfDir, cand, threshold)
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("ik"))
+    // shared shingles ABOVE the cap still count toward Jaccard (kept and
+    // capped partition sh, so i = i_kept + i_capped); the capped side is
+    // joined separately — tiny in distinct shingles by construction
+    val capped = withDf.filter(col("df") > ShingleDfCap).drop("df")
+    val interCapped = interKept.select(col("a"), col("b"))
+      .join(capped.as("ca"), col("ca.doc_id") === col("a"))
+      .join(capped.as("cb"),
+        col("cb.doc_id") === col("b") && col("ca.s") === col("cb.s"))
+      .groupBy("a", "b").agg(count(lit(1)).as("ic"))
+    val inter = interKept.join(interCapped, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        (col("ik") + coalesce(col("ic"), lit(0L))).as("i"))
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    inter
+      .join(cnt.as("ca2"), col("a") === col("ca2.doc_id"))
+      .join(cnt.as("cb2"), col("b") === col("cb2.doc_id"))
+      .select(col("a"), col("b"),
+        (col("i").cast("double") /
+          (col("ca2.c") + col("cb2.c") - col("i"))).as("jac"))
+      .filter(col("jac") >= threshold)
+      .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
+      .orderBy("a", "b")
   }
 
   // -------------------------------------------------------------------
@@ -334,38 +362,65 @@ object TrainOps {
     Array.tabulate(SrpPlanes, EmbedDim)((p, i) =>
       if ((h60Jvm(s"w:$p:$i") & 1L) == 1L) 1 else -1)
 
-  /** SRP band keys per doc, computed PARTITION-LOCALLY after one
-    * groupBy(doc): all 64 plane dots fold in-task over the doc's sparse
-    * dims against the in-closure weight matrix. The declarative
-    * formulation (emb ⋈ planes → groupBy(doc,p)) materializes
-    * |emb| × SrpPlanes intermediate rows — ~410 M at sf0.1, the measured
-    * dominant cost — for an aggregation a tight loop does in one pass;
-    * same precedent as [[simhash]]. Arithmetic is bit-identical to the
-    * oracle: integer v·w sums, bit = (sum > 0). */
-  private def srpBands(spark: SparkSession, emb: DataFrame): DataFrame = {
+  /** Dense per-doc view of [[docEmbed]] in ONE grouped pass, computed
+    * PARTITION-LOCALLY: the dense vector, its squared norm, and all SRP
+    * band keys (64 plane dots folded in-task against the in-closure
+    * weight matrix). The declarative formulation (emb ⋈ planes →
+    * groupBy(doc,p)) materializes |emb| × SrpPlanes intermediate rows —
+    * ~410 M at sf0.1, the measured dominant cost — for work a tight loop
+    * does in one pass; same precedent as [[simhash]]. Arithmetic is
+    * bit-identical to the oracle: integer v·w sums, bit = (sum > 0).
+    * Zero-norm docs are dropped (no cosine exists for them). */
+  private val embVecsCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Cached-per-corpus wrapper: the dense embedding table is consumed by
+    * four subplans (two band self-join branches + both verify sides) and
+    * the typed-map stage defeats exchange reuse — measured 2× regression
+    * without pinning. At 100 TB you persist the embedding table, same as
+    * the shingle table. */
+  private[graft] def embVecsOf(spark: SparkSession, sfDir: String): DataFrame =
+    embVecsCache.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}:$sfDir", {
+        val v = embVecs(spark, docEmbed(spark, sfDir))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        v.count()
+        v
+      })
+
+  private def embVecs(spark: SparkSession, emb: DataFrame): DataFrame = {
     import spark.implicits._
+    val dim = EmbedDim
+    val planes = SrpPlanes
+    val bandBits = SrpBandBits
     emb.groupBy("doc_id")
       .agg(collect_list(struct(col("dim").as("_1"), col("v").as("_2")))
         .as("dims"))
       .as[(Long, Seq[(Int, Long)])]
-      .flatMap { case (doc, dims) =>
+      .map { case (doc, dims) =>
         val w = srpWeights
-        val dots = new Array[Long](SrpPlanes)
+        val vec = new Array[Long](dim)
+        dims.foreach { case (d, v) => vec(d) = v }
+        var n2 = 0L
+        val dots = new Array[Long](planes)
         dims.foreach { case (d, v) =>
+          n2 += v * v
           var p = 0
-          while (p < SrpPlanes) { dots(p) += v * w(p)(d); p += 1 }
+          while (p < planes) { dots(p) += v * w(p)(d); p += 1 }
         }
-        (0 until SrpPlanes / SrpBandBits).map { band =>
+        val bands = Array.tabulate(planes / bandBits) { band =>
           var key = 0L
           var b = 0
-          while (b < SrpBandBits) {
-            if (dots(band * SrpBandBits + b) > 0) key |= 1L << b
+          while (b < bandBits) {
+            if (dots(band * bandBits + b) > 0) key |= 1L << b
             b += 1
           }
-          (doc, band, key)
+          key
         }
+        (doc, vec.toSeq, n2, bands.toSeq)
       }
-      .toDF("doc_id", "band", "bkey")
+      .toDF("doc_id", "vec", "n2", "bands")
+      .filter(col("n2") > 0)
   }
 
   /** Embedding-cosine near-dup: SRP-LSH candidate buckets + exact cosine
@@ -374,32 +429,33 @@ object TrainOps {
     * dot/norms → cos ≥ [[EmbedCosThreshold]]. Banding recall < 1 by
     * design (like MinHash banding); the verify step removes every false
     * positive. At 100 TB every stage is a uniform hash shuffle; the
-    * signature fold is partition-local ([[srpBands]]); the only
+    * signature fold is partition-local ([[embVecs]]); the only
     * quadratic step is within SRP buckets, which random-direction
     * planes keep balanced. */
   def dedupEmbedCosine(spark: SparkSession, sfDir: String,
       threshold: Double = EmbedCosThreshold): DataFrame = {
-    val emb = docEmbed(spark, sfDir)
-    val bands = srpBands(spark, emb)
+    import spark.implicits._
+    val vecs = embVecsOf(spark, sfDir)
+    val bands = vecs.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band", "bkey")))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    val nrm = emb.groupBy("doc_id").agg(sum(col("v") * col("v")).as("n2"))
-      .filter(col("n2") > 0)
-    val dots = cand
-      .join(emb.as("ea"), col("ea.doc_id") === col("a"))
-      .join(emb.as("eb"),
-        col("eb.doc_id") === col("b") && col("ea.dim") === col("eb.dim"))
-      .groupBy("a", "b").agg(sum(col("ea.v") * col("eb.v")).as("dot"))
-    dots
-      .join(nrm.as("na"), col("a") === col("na.doc_id"))
-      .join(nrm.as("nb"), col("b") === col("nb.doc_id"))
+    // verify: candidates carry both DENSE vectors through the joins and
+    // the exact integer dot folds as a zip_with/aggregate column — one
+    // row per candidate instead of EmbedDim join rows per candidate, and
+    // no encoder round-trip (a typed-map variant deserializing two
+    // 128-long Seqs per row measured ~2× slower end to end)
+    cand
+      .join(vecs.as("va"), col("a") === col("va.doc_id"))
+      .join(vecs.as("vb"), col("b") === col("vb.doc_id"))
       .select(col("a"), col("b"),
-        (col("dot").cast("double") /
-          (sqrt(col("na.n2").cast("double")) *
-            sqrt(col("nb.n2").cast("double")))).as("cos"))
+        (aggregate(zip_with(col("va.vec"), col("vb.vec"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x).cast("double") /
+          (sqrt(col("va.n2").cast("double")) *
+            sqrt(col("vb.n2").cast("double")))).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
       .orderBy("a", "b")

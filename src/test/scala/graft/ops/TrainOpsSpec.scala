@@ -89,6 +89,39 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b, _) => a <= 3 && b <= 3 })
   }
 
+  test("dedupNgramJaccard counts capped boilerplate shingles exactly") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    // 70 docs share a boilerplate opening (df > ShingleDfCap = 64), so
+    // its shingles are dropped from candidate generation — but a true
+    // near-dup pair that ALSO shares them must still get the full
+    // Jaccard (i = i_kept + i_capped)
+    val boiler = "standard header boilerplate applies to this record"
+    val near = boiler + " alpha beta gamma delta epsilon zeta eta theta"
+    val docs = (100L to 169L).map(i =>
+      (i, s"$boiler filler$i unique$i only$i")) ++ Seq(
+      (200L, near),
+      (201L, near + " iota"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-cap").toString
+    docs.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def shingleSet(t: String): Set[String] =
+      TrainOps.toksJvm(t).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    val (sa, sb) = (shingleSet(near), shingleSet(near + " iota"))
+    val expJac = BigDecimal(sa.intersect(sb).size.toDouble /
+      sa.union(sb).size).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+
+    val rows = TrainOps.dedupNgramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.exists { case (a, b, j) =>
+      a == 200L && b == 201L && BigDecimal(j) == expJac })
+    // boilerplate-only overlap (any 100-series pair) must NOT pair up:
+    // their only shared shingles are capped, so no candidate exists
+    assert(rows.forall { case (a, b, _) => a >= 200L && b >= 200L })
+  }
+
   test("simhash signatures are stable and 60-bit") {
     val spark = SparkFixture.spark
     // deterministic check against an independently-computed signature
