@@ -41,6 +41,16 @@ object Explain {
     // N-term payload near: one postings scan per clause, no extra agg
     dump("payload span-near", new Searcher(Engine.indexPayload(spark, sfDir))
       .topK(PayloadSpanNearQ(Seq("row", "column", "sort"), 6), 10))
+    // n-gram Jaccard: every shingle read must come from the cached
+    // (InMemoryRelation) table, and the pair-gen join must feed the
+    // intersection count directly — no second shingle self-join
+    dump("dedup ngram jaccard",
+      graft.ops.TrainOps.dedupNgramJaccard(spark, sfDir))
+    // embedding-cosine: band self-join on the cached dense-vector table;
+    // the cosine is a single projection (zip_with/aggregate), never a
+    // per-dim join explosion
+    dump("dedup embed cosine",
+      graft.ops.TrainOps.dedupEmbedCosine(spark, sfDir))
     spark.stop()
   }
 }
