@@ -187,9 +187,13 @@ object TrainEntries {
          |           CASE WHEN sum(e.v * pl.w) > 0 THEN 1 ELSE 0 END AS b
          |         FROM emb e JOIN planes pl USING (dim)
          |         GROUP BY e.doc_id, pl.p),
-         |bands AS (SELECT doc_id, p // ${TrainOps.SrpBandBits} AS band,
+         |bands0 AS (SELECT doc_id, p // ${TrainOps.SrpBandBits} AS band,
          |            sum(b * (CAST(1 AS BIGINT) << CAST(p % ${TrainOps.SrpBandBits} AS INTEGER))) AS bkey
          |          FROM bits GROUP BY doc_id, p // ${TrainOps.SrpBandBits}),
+         |bands AS (SELECT bands0.* FROM bands0
+         |          JOIN (SELECT band, bkey FROM bands0 GROUP BY band, bkey
+         |                HAVING count(*) <= ${TrainOps.SrpBucketCap}) ok
+         |            USING (band, bkey)),
          |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |         FROM bands x JOIN bands y ON x.band = y.band
          |              AND x.bkey = y.bkey AND x.doc_id < y.doc_id),

@@ -342,6 +342,17 @@ object TrainOps {
   val SrpBandBits = 8
   val EmbedCosThreshold = 0.8
 
+  /** SRP bucket-size cap — the [[LshBucketCap]] analog for the cosine
+    * path: a band bucket larger than this means degenerate
+    * mass-duplication (thousands of near-identical vectors share every
+    * sign), whose within-bucket quadratic pair-gen would dominate the
+    * job at scale; such mass-dupes belong to [[dedupExact]] first. Set
+    * well above any healthy bucket (measured max 62 at sf0.1 vs 256) so
+    * it fires only on degenerate corpora; NOT silent —
+    * [[srpBucketStats]] reports (total, dropped), and the cap is
+    * replayed identically in the DuckDB oracle. */
+  val SrpBucketCap = 256
+
   /** Deterministic doc embedding in long format (doc_id, dim, v): each
     * distinct 3-shingle hashes to a dimension (h60 mod [[EmbedDim]]) and
     * votes ±1 by an independent hash bit — the standard feature-hashing
@@ -432,12 +443,24 @@ object TrainOps {
     * signature fold is partition-local ([[embVecs]]); the only
     * quadratic step is within SRP buckets, which random-direction
     * planes keep balanced. */
+  /** Diagnostic for the SRP bucket cap: (total buckets, dropped). */
+  def srpBucketStats(spark: SparkSession, sfDir: String): (Long, Long) = {
+    val sizes = embVecsOf(spark, sfDir)
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bkey")))
+      .groupBy("band", "bkey").agg(count(lit(1)).as("bsz"))
+    (sizes.count(), sizes.filter(col("bsz") > SrpBucketCap).count())
+  }
+
   def dedupEmbedCosine(spark: SparkSession, sfDir: String,
       threshold: Double = EmbedCosThreshold): DataFrame = {
     import spark.implicits._
     val vecs = embVecsOf(spark, sfDir)
     val bands = vecs.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band", "bkey")))
+      .withColumn("bsz", count(lit(1)).over(
+        Window.partitionBy("band", "bkey")))
+      .filter(col("bsz") <= SrpBucketCap)
+      .drop("bsz")
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -122,6 +122,23 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(rows.forall { case (a, b, _) => a >= 200L && b >= 200L })
   }
 
+  test("dedupEmbedCosine drops degenerate mass-dup buckets, loudly") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    // 300 identical docs -> identical vectors -> every SRP band bucket
+    // holds 300 > SrpBucketCap: candidate gen declines the quadratic
+    // (mass-dupes are dedupExact's job) and the diagnostic reports it
+    val text = "identical mass duplicated record body with enough " +
+      "distinct tokens to shingle and embed deterministically"
+    val docs = (1L to 300L).map(i => (i, text))
+    val dir = java.nio.file.Files.createTempDirectory("graft-srp").toString
+    docs.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(TrainOps.dedupEmbedCosine(spark, dir).collect().isEmpty)
+    val (total, dropped) = TrainOps.srpBucketStats(spark, dir)
+    assert(dropped > 0 && dropped <= total)
+  }
+
   test("simhash signatures are stable and 60-bit") {
     val spark = SparkFixture.spark
     // deterministic check against an independently-computed signature
