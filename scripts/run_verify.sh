@@ -5,7 +5,12 @@ set -e
 cd /root/repo
 SF=${1:-/root/testdata/sf0.01}
 OUT=${2:-/tmp/verify_out}
-sbt -batch package 2>&1 | grep -E "error|success" || true
+PKG_LOG=$(sbt -batch package 2>&1) || {
+  echo "$PKG_LOG" | tail -20 >&2
+  echo "[verify] sbt package FAILED — refusing to run a stale jar" >&2
+  exit 1
+}
+echo "$PKG_LOG" | grep -E "error|success" || true
 JAR=target/scala-2.13/lucenenetspark_2.13-0.1.0.jar
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \

@@ -26,8 +26,6 @@ object SparkEntry {
   final case class Raw(spark: (SparkSession, String) => DataFrame,
       sql: String) extends Spec
 
-  /** The nested-boolean tree the ft_explain_bool gate decomposes (same
-    * shape as ft_nested_bool plus a boosted should clause). */
   /** Standing-query registry for the multi-query percolation gate —
     * shapes chosen to exercise term, phrase, keyword-field and msm
     * membership through BOTH evaluators (MemoryIndex and the SQL
@@ -40,6 +38,8 @@ object SparkEntry {
       TermQ("row")), minShouldMatch = 2),
     "q_term" -> TermQ("dup"))
 
+  /** The nested-boolean tree the ft_explain_bool gate decomposes (same
+    * shape as ft_nested_bool plus a boosted should clause). */
   private val ExplainTreeQ: Query = BoolQ(
     must = Seq(BoolQ(should = Seq(TermQ("scan"), TermQ("filter"))),
       TermQ("row")),

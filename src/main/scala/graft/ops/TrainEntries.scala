@@ -185,7 +185,8 @@ object TrainEntries {
          |                CROSS JOIN (SELECT unnest(generate_series(0,${TrainOps.EmbedDim - 1})) AS dim) ds),
          |bits AS (SELECT e.doc_id, pl.p,
          |           CASE WHEN sum(e.v * pl.w) > 0 THEN 1 ELSE 0 END AS b
-         |         FROM emb e JOIN planes pl USING (dim)
+         |         FROM emb e JOIN nrm USING (doc_id)
+         |              JOIN planes pl USING (dim)
          |         GROUP BY e.doc_id, pl.p),
          |bands0 AS (SELECT doc_id, p // ${TrainOps.SrpBandBits} AS band,
          |            sum(b * (CAST(1 AS BIGINT) << CAST(p % ${TrainOps.SrpBandBits} AS INTEGER))) AS bkey

@@ -160,12 +160,22 @@ object TrainOps {
   private def exactJaccard(spark: SparkSession, sfDir: String,
       cand: DataFrame, threshold: Double): DataFrame = {
     val sh = shingles(spark, sfDir)
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val inter = sh.as("sa")
       .join(cand, col("sa.doc_id") === col("a"))
       .join(sh.as("sb"),
         col("sb.doc_id") === col("b") && col("sa.s") === col("sb.s"))
       .groupBy("a", "b").agg(count(lit(1)).as("i"))
+    jaccardFromInter(spark, sfDir, inter, threshold)
+  }
+
+  /** Shared verify tail: (a, b, i) intersection counts → the gate's
+    * output contract (threshold, 4-decimal round, (a, b) order) — ONE
+    * place, so dd_minhash and dd_ngram cannot silently diverge on the
+    * arithmetic the oracle compare depends on. */
+  private def jaccardFromInter(spark: SparkSession, sfDir: String,
+      inter: DataFrame, threshold: Double): DataFrame = {
+    val cnt = shingles(spark, sfDir)
+      .groupBy("doc_id").agg(count(lit(1)).as("c"))
     inter
       .join(cnt.as("ca"), col("a") === col("ca.doc_id"))
       .join(cnt.as("cb"), col("b") === col("cb.doc_id"))
@@ -311,16 +321,7 @@ object TrainOps {
     val inter = interKept.join(interCapped, Seq("a", "b"), "left")
       .select(col("a"), col("b"),
         (col("ik") + coalesce(col("ic"), lit(0L))).as("i"))
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    inter
-      .join(cnt.as("ca2"), col("a") === col("ca2.doc_id"))
-      .join(cnt.as("cb2"), col("b") === col("cb2.doc_id"))
-      .select(col("a"), col("b"),
-        (col("i").cast("double") /
-          (col("ca2.c") + col("cb2.c") - col("i"))).as("jac"))
-      .filter(col("jac") >= threshold)
-      .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
-      .orderBy("a", "b")
+    jaccardFromInter(spark, sfDir, inter, threshold)
   }
 
   // -------------------------------------------------------------------
