@@ -236,6 +236,46 @@ object TrainEntries {
          |       vec_id, round(cos, 4) AS cos
          |FROM hits ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin),
 
+    ("ann_srp",
+      (s, d) => TrainOps.annSrp(s, d),
+      {
+        // per-plane dot as a LITERAL-SIGN unrolled sum — left-to-right
+        // double adds in index order, bit-identical to annSrpBands' loop
+        def planeDot(p: Int, c: String): String =
+          (0 until TrainOps.AnnDim).map { i =>
+            s"${TrainOps.annSrpWeight(p, i)} * CAST($c[${i + 1}] AS DOUBLE)"
+          }.mkString(" + ")
+        def bitCols(c: String): String =
+          (0 until TrainOps.AnnSrpPlanes).map(p =>
+            s"CASE WHEN (${planeDot(p, c)}) > 0 THEN 1 ELSE 0 END AS b$p")
+            .mkString(",\n         |  ")
+        val bandKeys = (0 until
+          TrainOps.AnnSrpPlanes / TrainOps.AnnSrpBandBits).map { band =>
+          val terms = (0 until TrainOps.AnnSrpBandBits).map { b =>
+            s"(CAST(b${band * TrainOps.AnnSrpBandBits + b} AS BIGINT) << $b)"
+          }.mkString(" + ")
+          s"$terms AS k$band"
+        }.mkString(",\n         |  ")
+        val nBands = TrainOps.AnnSrpPlanes / TrainOps.AnnSrpBandBits
+        val anyBand = (0 until nBands)
+          .map(b => s"v.k$b = qb.k$b").mkString(" OR ")
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |vbits AS (SELECT vec_id,
+           |  ${bitCols("embedding")}
+           |  FROM embeddings),
+           |vbands AS (SELECT vec_id,
+           |  $bandKeys
+           |  FROM vbits),
+           |qb AS (SELECT * FROM vbands WHERE vec_id = 0),
+           |cand AS (SELECT v.vec_id FROM vbands v, qb
+           |         WHERE v.vec_id != 0 AND ($anyBand)),
+           |hits AS (SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cos
+           |         FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q)
+           |SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank,
+           |       vec_id, round(cos, 4) AS cos
+           |FROM hits ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+      }),
+
     ("ann_ivf",
       (s, d) => TrainOps.annIvf(s, d),
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -518,6 +518,80 @@ object TrainOps {
       .select(col("rank"), col("vec_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** SRP-LSH ANN parameters: 16 planes in 4 bands of 4 bits over the
+    * 64-dim float embeddings. Random-pair band collision = 1/16 per
+    * band; a vector joins the candidate set iff it shares ≥1 band key
+    * with the query. Recall against the brute-force top-k is partial by
+    * design (the banding trade — same as [[dedupMinhashLsh]]); the
+    * rescore over candidates is exact. */
+  val AnnSrpPlanes = 16
+  val AnnSrpBandBits = 4
+
+  /** Embedding-table dimensionality (driver testdata contract). */
+  val AnnDim = 64
+
+  /** ±1 plane weights for [[annSrp]] — salt "aw:" keeps them independent
+    * of the dedup planes ([[srpWeights]]). */
+  private lazy val annSrpWeights: Array[Array[Int]] =
+    Array.tabulate(AnnSrpPlanes, AnnDim)((p, i) =>
+      if ((h60Jvm(s"aw:$p:$i") & 1L) == 1L) 1 else -1)
+
+  /** SRP band keys of one float vector. Per-plane accumulation runs in
+    * INDEX ORDER (dots(p) += w·x_i for i = 0,1,…) so the double sum is
+    * bit-identical to the oracle's left-to-right unrolled expression
+    * ([[TrainEntries]] generates ±1 literals per term). */
+  private[ops] def annSrpBands(v: Seq[Float]): Array[Long] = {
+    val dots = new Array[Double](AnnSrpPlanes)
+    var i = 0
+    while (i < v.length) {
+      val x = v(i).toDouble
+      var p = 0
+      while (p < AnnSrpPlanes) { dots(p) += annSrpWeights(p)(i) * x; p += 1 }
+      i += 1
+    }
+    Array.tabulate(AnnSrpPlanes / AnnSrpBandBits) { band =>
+      var key = 0L
+      var b = 0
+      while (b < AnnSrpBandBits) {
+        if (dots(band * AnnSrpBandBits + b) > 0) key |= 1L << b
+        b += 1
+      }
+      key
+    }
+  }
+
+  /** LSH-bucketed ANN (the SRP alternative to [[annIvf]]'s cell probe):
+    * candidates = vectors sharing ≥1 SRP band key with the query,
+    * signatures computed MAP-ONLY in one scan (weights ride the closure;
+    * no shuffle before the top-k), then exact cosine rescore. At 100 TB
+    * the signature pass is embarrassingly parallel and the band keys
+    * could be precomputed once per corpus like the dedup tables. */
+  def annSrp(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+      k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val e = embeddings(spark, sfDir)
+    val qv = e.filter(col("vec_id") === queryId)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    val qb = annSrpBands(qv)
+    val cand = e.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        it.collect { case (id, emb)
+          if annSrpBands(emb).zip(qb).exists { case (x, y) => x == y } => id }
+      }
+      .toDF("vec_id")
+    e.join(cand, "vec_id")
+      .select(col("vec_id"), cosToQuery(col("embedding"), qv).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
+      .select(col("rank"), col("vec_id"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** DuckDB twin of [[annSrpWeights]] for oracle generation. */
+  private[ops] def annSrpWeight(p: Int, i: Int): Int = annSrpWeights(p)(i)
+
   val IvfCells = 16
   val IvfProbes = 4
 

@@ -139,6 +139,29 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(dropped > 0 && dropped <= total)
   }
 
+  test("annSrp: duplicate of the query is found at rank 1, cos 1.0") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    def vec(id: Long): Seq[Float] =
+      (0 until TrainOps.AnnDim).map(i =>
+        ((TrainOps.h60Jvm(s"e:$id:$i") % 1000) / 500.0 - 1.0).toFloat)
+    // vec 1 duplicates the query (vec 0): identical SRP bands in every
+    // band -> always a candidate; exact rescore puts it first at 1.0
+    val rows = (0L to 40L).map(id => (id, if (id == 1L) vec(0L) else vec(id)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-asrp").toString
+    rows.toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = TrainOps.annSrp(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty && out.head == ((1L, 1L, 1.0)))
+    // every hit must actually share >= 1 band key with the query
+    val qb = TrainOps.annSrpBands(vec(0L))
+    out.foreach { case (_, id, _) =>
+      val vb = TrainOps.annSrpBands(if (id == 1L) vec(0L) else vec(id))
+      assert(vb.zip(qb).exists { case (x, y) => x == y })
+    }
+  }
+
   test("simhash signatures are stable and 60-bit") {
     val spark = SparkFixture.spark
     // deterministic check against an independently-computed signature
