@@ -384,8 +384,25 @@ object Bench {
       System.err.println(s"[bench] wand diagnostic failed: $e")
       s"""{"err":"${e.getClass.getSimpleName}"}"""
     }
+    // ANN recall diagnostic: each approximate variant's overlap with the
+    // brute-force top-10 — the banding/probe trade made visible (no
+    // silent accuracy loss; the gate only checks determinism)
+    val annJson = try {
+      import graft.ops.TrainOps
+      def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        df.select("vec_id").collect().map(_.getLong(0)).toSet
+      val brute = ids(TrainOps.annBruteForce(spark, sfDir))
+      def recall(df: org.apache.spark.sql.DataFrame): Double =
+        ids(df).intersect(brute).size.toDouble / brute.size
+      f"""{"ivf_recall":${recall(TrainOps.annIvf(spark, sfDir))}%.2f,""" +
+        f""""ivf_kmeans_recall":${recall(TrainOps.annIvfKmeans(spark, sfDir))}%.2f,""" +
+        f""""srp_recall":${recall(TrainOps.annSrp(spark, sfDir))}%.2f}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ann diagnostic failed: $e")
+      s"""{"err":"${e.getClass.getSimpleName}"}"""
+    }
     println(
-      f"""{"metric":"total_query_sec","value":$total%.2f,"unit":"sec","queries":$qs,"flavor_build_sec":$fl,"wand":$wandJson,"sf":"$sfDir","build":$scalingJson}""")
+      f"""{"metric":"total_query_sec","value":$total%.2f,"unit":"sec","queries":$qs,"flavor_build_sec":$fl,"wand":$wandJson,"ann":$annJson,"sf":"$sfDir","build":$scalingJson}""")
     spark.stop()
   }
 }
