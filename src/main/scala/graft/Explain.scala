@@ -51,6 +51,14 @@ object Explain {
     // per-dim join explosion
     dump("dedup embed cosine",
       graft.ops.TrainOps.dedupEmbedCosine(spark, sfDir))
+    // SRP ANN: one map-only signature scan feeding the rescore — no
+    // shuffle before the partial top-k
+    dump("ann srp", graft.ops.TrainOps.annSrp(spark, sfDir))
+    // percolation sweep: a single map-only pass, no shuffle at all
+    // before the final ordering
+    dump("percolate multi", graft.streaming.StreamingPercolator.percolate(
+      graft.model.Transcripts.fromDocuments(spark, sfDir),
+      Seq("q" -> TermQ("table"))))
     spark.stop()
   }
 }
