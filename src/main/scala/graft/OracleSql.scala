@@ -254,6 +254,15 @@ object OracleSql {
     case BoostQ(sub, b) =>
       s"(SELECT docid, score * $b AS score FROM ${scoreSql(sub)} ${al()})"
 
+    case BoostingQ(pos, ctx, d) =>
+      val pa = al(); val ca = al()
+      s"""(SELECT $pa.docid,
+         |   CASE WHEN $ca.docid IS NOT NULL THEN $pa.score * $d
+         |        ELSE $pa.score END AS score
+         | FROM ${scoreSql(pos)} $pa
+         | LEFT JOIN (SELECT DISTINCT docid FROM ${scoreSql(ctx)} ${al()}) $ca
+         |   ON $ca.docid = $pa.docid)""".stripMargin
+
     case DisMaxQ(ds, tie) =>
       val u = ds.map(c => s"SELECT docid, score FROM ${scoreSql(c)} ${al()}")
         .mkString(" UNION ALL ")

@@ -181,6 +181,9 @@ object SparkEntry {
       Map("table" -> Seq("spark", "column")), 0.9)),
     "ft_boost" -> TopK(BoolQ(should = Seq(BoostQ(TermQ("spark"), 2.0),
       TermQ("column")))),
+    // BoostingQuery (contrib Queries): "table" hits demoted when the doc
+    // also mentions "merge" — soft NOT, never an exclusion
+    "ft_boosting" -> TopK(BoostingQ(TermQ("table"), TermQ("merge"), 0.5)),
     "ft_constant_score" -> TopK(BoolQ(
       must = Seq(ConstantScoreQ(PrefixQ("qu"), 0.5), TermQ("line")))),
 

@@ -57,6 +57,7 @@ final case class MemoryIndex(terms: Map[String, Vector[Int]],
         })
     case ConstantScoreQ(s, _) => matches(s)
     case BoostQ(s, _) => matches(s)
+    case BoostingQ(p, _, _) => matches(p) // context only modulates score
     case DisMaxQ(ds, _) => ds.exists(matches)
     case PrefixQ(p, _) => terms.keysIterator.exists(_.startsWith(p))
     case WildcardQ(pat, _) =>

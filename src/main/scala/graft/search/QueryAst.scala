@@ -65,6 +65,13 @@ final case class ConstantScoreQ(q: Query, score: Double = 1.0) extends Query
 /** Query boost (Query.cs SetBoost) — multiplies the sub-score. */
 final case class BoostQ(q: Query, boost: Double) extends Query
 
+/** BoostingQuery.cs:45 analog (contrib Queries): the match set and
+  * scores come from `positive` alone; docs that ALSO match `context`
+  * have their score multiplied by `demote` (< 1 pushes them down the
+  * ranking without excluding them — the "soft NOT"). */
+final case class BoostingQ(positive: Query, context: Query,
+    demote: Double) extends Query
+
 /** DisjunctionMaxQuery.cs:40 — max + tieBreaker*(sum-max). */
 final case class DisMaxQ(disjuncts: Seq[Query], tieBreaker: Double = 0.0)
   extends Query
@@ -246,6 +253,7 @@ object QueryAst {
     case PhraseQ(ts, _) => ts.map(_._1).toSet
     case ConstantScoreQ(s, _) => terms(s)
     case BoostQ(s, _) => terms(s)
+    case BoostingQ(p, c, _) => terms(p) ++ terms(c)
     case DisMaxQ(ds, _) => ds.flatMap(terms).toSet
     case PayloadTermQ(t, _, _) => Set(t)
     case PayloadNearQ(a, b, _, _, _) => Set(a, b)

@@ -470,6 +470,17 @@ final class Searcher(idx: InvertedIndex) {
     case BoostQ(sub, b) =>
       score(sub).select(col("docid"), (col("score") * b).as("score"))
 
+    case BoostingQ(pos, ctx, demote) =>
+      // match set = positive's; context only demotes (soft NOT) — a
+      // left join against the context docid set, never an anti join
+      score(pos).join(
+          score(ctx).select(col("docid")).distinct()
+            .withColumn("__ctx", lit(true)),
+          Seq("docid"), "left")
+        .select(col("docid"),
+          when(col("__ctx").isNotNull, col("score") * demote)
+            .otherwise(col("score")).as("score"))
+
     case SpanFirstQ(t, end) =>
       val idf = Bm25.idf(idx.numDocs, dfOf(Set(t)).getOrElse(t, 0L))
       idx.postingsFor(Seq(t))
