@@ -184,6 +184,10 @@ object SparkEntry {
     // BoostingQuery (contrib Queries): "table" hits demoted when the doc
     // also mentions "merge" — soft NOT, never an exclusion
     "ft_boosting" -> TopK(BoostingQ(TermQ("table"), TermQ("merge"), 0.5)),
+    // SimilarityQueries.FormSimilarQuery analog: free text → analyzed,
+    // deduped SHOULD bag ("the" stopped by the analyzer)
+    "ft_similar_text" -> TopK(QueryAst.similarQuery(
+      "sort the row by column key sort")),
     "ft_constant_score" -> TopK(BoolQ(
       must = Seq(ConstantScoreQ(PrefixQ("qu"), 0.5), TermQ("line")))),
 

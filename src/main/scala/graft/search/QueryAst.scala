@@ -245,6 +245,19 @@ final case class PayloadSpanNearQ(terms: Seq[String], slop: Int,
 final case class SortField(field: String, desc: Boolean = false)
 
 object QueryAst {
+
+  /** SimilarityQueries.FormSimilarQuery analog (contrib
+    * Similarity/Similar/SimilarityQueries.cs:92): analyze the body,
+    * dedup terms in first-occurrence order, OR them — capped at
+    * maxClauseCount with the reference's keep-what-we-have fail-safe
+    * (it breaks on TooManyClauses instead of throwing). */
+  def similarQuery(text: String,
+      kind: graft.analysis.Analyzers.Kind =
+        graft.analysis.Analyzers.Standard): Query = {
+    val toks = graft.analysis.Analyzers.tokenize(kind, text)
+      .map(_.term).distinct.take(Searcher.MaxClauseCount)
+    if (toks.isEmpty) MatchNoneQ else BoolQ(should = toks.map(TermQ(_)))
+  }
   /** Collect every analyzed text term mentioned by leaf queries (for the
     * broadcast dictionary lookup at plan time). */
   def terms(q: Query): Set[String] = q match {

@@ -93,4 +93,19 @@ class QueryParserSpec extends AnyFunSuite {
   test("unbalanced parens rejected") {
     intercept[IllegalArgumentException](QueryParser.parse("(spark table"))
   }
+
+  test("similarQuery dedups in first-occurrence order, stops, caps") {
+    assert(QueryAst.similarQuery("sort the Row by column SORT row") ==
+      BoolQ(should = Seq(TermQ("sort"), TermQ("row"), TermQ("column"))))
+    assert(QueryAst.similarQuery("the a to of") == MatchNoneQ)
+    // fail-safe cap: keep the first maxClauseCount distinct terms
+    val big = (0 until Searcher.MaxClauseCount + 50)
+      .map(i => s"w$i").mkString(" ")
+    QueryAst.similarQuery(big) match {
+      case BoolQ(Nil, should, Nil, 0) =>
+        assert(should.size == Searcher.MaxClauseCount &&
+          should.head == TermQ("w0"))
+      case other => fail(s"unexpected: $other")
+    }
+  }
 }
