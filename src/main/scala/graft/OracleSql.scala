@@ -440,6 +440,51 @@ object OracleSql {
        |ORDER BY sq.score DESC, sq.docid
        |LIMIT $k""".stripMargin
 
+  /** Docid-set subquery for a [[graft.search.DocFilter]] (contrib
+    * Queries filter family) — parenthesized, usable as a derived table.
+    * Mirrors Searcher.filterBits exactly, including BooleanFilter.cs's
+    * evaluation order (shoulds → base; only-NOTs → all-docs base;
+    * NOTs subtract; remaining MUSTs intersect). */
+  def filterSetSql(f: DocFilter): String = f match {
+    case TermsF(ts) =>
+      val pred = ts.map { case (fld, v) => s"$fld = ${sq(v)}" }
+        .mkString(" OR ")
+      s"(SELECT docid FROM docs WHERE $pred)"
+    case QueryF(q) =>
+      s"(SELECT docid FROM ${scoreSql(q)} ${al()})"
+    case DuplicateF(field, keepFirst) =>
+      val agg = if (keepFirst) "min" else "max"
+      s"""(SELECT $agg(docid) AS docid FROM docs
+         | WHERE $field IS NOT NULL GROUP BY $field)""".stripMargin
+    case BoolF(m, sh, n) =>
+      val base =
+        if (sh.nonEmpty)
+          sh.map(f => s"SELECT docid FROM ${filterSetSql(f)} ${al()}")
+            .mkString("(", " UNION ", ")")
+        else if (m.nonEmpty) filterSetSql(m.head)
+        else "(SELECT docid FROM docs)"
+      val remainingMusts = if (sh.nonEmpty) m else m.drop(1)
+      val afterNot = n.foldLeft(base)((acc, f) =>
+        s"""(SELECT docid FROM $acc ${al()}
+           | EXCEPT SELECT docid FROM ${filterSetSql(f)} ${al()})"""
+          .stripMargin)
+      remainingMusts.foldLeft(afterNot)((acc, f) =>
+        s"""(SELECT docid FROM $acc ${al()}
+           | INTERSECT SELECT docid FROM ${filterSetSql(f)} ${al()})"""
+          .stripMargin)
+  }
+
+  /** Filtered top-k where the gate is a [[DocFilter]] docid set (the
+    * filter-algebra analog of [[topKFiltered]]). */
+  def topKFilterSet(q: Query, f: DocFilter, k: Int): String =
+    s"""$prelude
+       |SELECT CAST(row_number() OVER (ORDER BY sq.score DESC, sq.docid) AS BIGINT) AS rank,
+       |       sq.docid, round(sq.score, 4) AS score
+       |FROM ${scoreSql(q)} sq
+       |WHERE sq.docid IN (SELECT docid FROM ${filterSetSql(f)} fset)
+       |ORDER BY sq.score DESC, sq.docid
+       |LIMIT $k""".stripMargin
+
   /** Payload-term top-k oracle (PayloadTermQuery + positionBoost
     * assigner): the payload of an occurrence at position p is `boost`
     * when p < firstN else the neutral 1.0 — recomputed here from the

@@ -344,6 +344,50 @@ object SparkEntry {
       },
       OracleSql.topKFiltered(TermQ("table"), "role = 'assistant'", 10)),
 
+    // --- contrib Queries filter algebra (TermsFilter / BooleanFilter /
+    // FilterClause / DuplicateFilter / QueryWrapperFilter) — pure
+    // docid-set gates, no score contribution ---
+    "ft_terms_filter" -> Raw(
+      (s, dir) => {
+        val sr = new Searcher(Engine.index(s, dir))
+        val f = sr.cacheFilter(TermsF(Seq(
+          "role" -> "user", "tool" -> "src1")): DocFilter)
+        Engine.ranked(sr.topKFiltered(TermQ("table"), f, 10))
+      },
+      OracleSql.topKFilterSet(TermQ("table"),
+        TermsF(Seq("role" -> "user", "tool" -> "src1")), 10)),
+    // SHOULD(role=user ∪ role=tool) − NOT(QueryF(term "dup")) ∩
+    // MUST(query-match of "scan") — exercises all three clause kinds
+    // plus a query-wrapped filter in one tree
+    "ft_bool_filter" -> Raw(
+      (s, dir) => {
+        val sr = new Searcher(Engine.index(s, dir))
+        val bf = BoolF(
+          must = Seq(QueryF(TermQ("scan"))),
+          should = Seq(TermsF(Seq("role" -> "user")),
+            TermsF(Seq("role" -> "tool"))),
+          mustNot = Seq(QueryF(TermQ("dup"))))
+        val f = sr.cacheFilter(bf: DocFilter)
+        Engine.ranked(sr.topKFiltered(TermQ("merge"), f, 10))
+      },
+      OracleSql.topKFilterSet(TermQ("merge"),
+        BoolF(
+          must = Seq(QueryF(TermQ("scan"))),
+          should = Seq(TermsF(Seq("role" -> "user")),
+            TermsF(Seq("role" -> "tool"))),
+          mustNot = Seq(QueryF(TermQ("dup")))), 10)),
+    // one doc per conversation (keep the LAST turn, the reference's
+    // default KM_USE_LAST_OCCURRENCE) gating a scored term query
+    "ft_dup_filter" -> Raw(
+      (s, dir) => {
+        val sr = new Searcher(Engine.index(s, dir))
+        val f = sr.cacheFilter(
+          DuplicateF("conv_id", keepFirst = false): DocFilter)
+        Engine.ranked(sr.topKFiltered(TermQ("table"), f, 10))
+      },
+      OracleSql.topKFilterSet(TermQ("table"),
+        DuplicateF("conv_id", keepFirst = false), 10)),
+
     // --- Snowball language analyzers (contrib Snowball / De / Fr) ---
     // The gate runs the stemmers over a fixed vocabulary against the
     // HAND-DERIVED vectors (frozen in the oracle as VALUES — DuckDB has

@@ -240,6 +240,42 @@ final case class PayloadSpanNearQ(terms: Seq[String], slop: Int,
     fn: PayloadFn = PayAvg, includeSpanScore: Boolean = true,
     inOrder: Boolean = true) extends Query
 
+// ---------------------------------------------------------------------
+// Filter algebra (contrib Queries filter family) — pure docid-set
+// combinators with NO scoring contribution, composable and cacheable
+// via Searcher.cacheFilter / topKFiltered (FilteredQuery semantics:
+// the filter gates, the query scores).
+// ---------------------------------------------------------------------
+sealed trait DocFilter
+
+/** TermsFilter.cs:31 — the union of the posting sets of an explicit
+  * (field, value) term list. Our NOT_ANALYZED fields are the keyword
+  * forward columns (role/tool/conv_id), so this is a docs-table scan
+  * with an OR predicate Catalyst pushes to the parquet reader. */
+final case class TermsF(terms: Seq[(String, String)]) extends DocFilter
+
+/** QueryWrapperFilter.cs:40 — any query's match set as a filter
+  * (scores discarded). */
+final case class QueryF(q: Query) extends DocFilter
+
+/** DuplicateFilter.cs:29 — keep ONE doc per distinct value of `field`
+  * (the first or last occurrence in docid order, KM_USE_FIRST/
+  * LAST_OCCURRENCE); docs without the field are dropped, like the
+  * reference's CorrectBits which only sets bits for docs carrying the
+  * field. One groupBy(field) shuffle at any scale. */
+final case class DuplicateF(field: String,
+    keepFirst: Boolean = false) extends DocFilter
+
+/** BooleanFilter.cs:63 + FilterClause.cs — set algebra over filters,
+  * mirroring the reference's evaluation order: SHOULD clauses union
+  * into the base set (if none, the base is the first MUST, or all live
+  * docs when only NOTs exist — the res.Flip branch), then NOT clauses
+  * subtract, then MUST clauses intersect. */
+final case class BoolF(
+    must: Seq[DocFilter] = Nil,
+    should: Seq[DocFilter] = Nil,
+    mustNot: Seq[DocFilter] = Nil) extends DocFilter
+
 /** Sort key for field-sorted top-k (SortField.cs:43-101): a forward doc
   * column, or the special name "score" (SortField.FIELD_SCORE). */
 final case class SortField(field: String, desc: Boolean = false)

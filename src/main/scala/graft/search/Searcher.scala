@@ -913,6 +913,55 @@ final class Searcher(idx: InvertedIndex) {
     score(q).join(f.bits, Seq("docid"), "left_semi")
       .orderBy(col("score").desc, col("docid").asc).limit(k)
 
+  /** Evaluate a [[DocFilter]] to its docid set (contrib Queries filter
+    * family: TermsFilter.cs:52, QueryWrapperFilter.cs:40,
+    * DuplicateFilter.cs:75, BooleanFilter.cs:63). Pure set algebra,
+    * no scores; wrap with [[cacheFilter]]+[[topKFiltered]] to gate a
+    * scoring query, mirroring ChainedFilter/FilteredQuery use. */
+  def filterBits(f: DocFilter): DataFrame = f match {
+    case QueryF(q) => score(q).select("docid")
+
+    case TermsF(ts) =>
+      // one docs scan; the OR-of-equalities predicate pushes to parquet
+      idx.docs
+        .filter(ts.map { case (fld, v) => col(fld) === lit(v) }
+          .reduceOption(_ || _).getOrElse(lit(false)))
+        .select("docid")
+
+    case DuplicateF(field, keepFirst) =>
+      // one shuffle on the dedup key (uniform group count ⇒ no skew
+      // concern: each group reduces to a single min/max)
+      val pick = if (keepFirst) min(col("docid")) else max(col("docid"))
+      idx.docs.filter(col(field).isNotNull)
+        .groupBy(col(field)).agg(pick.as("docid"))
+        .select("docid")
+
+    case BoolF(m, sh, n) =>
+      // reference evaluation order (BooleanFilter.GetDocIdSet): shoulds
+      // union; base falls back to the first MUST, or to ALL live docs
+      // when only NOTs exist (the res.Flip branch); NOTs subtract;
+      // remaining MUSTs intersect. Semi/anti joins auto-broadcast small
+      // sets and shuffle large ones — both survive scale-up.
+      val base =
+        if (sh.nonEmpty) sh.map(filterBits).reduce(_.union(_)).distinct()
+        else if (m.nonEmpty) filterBits(m.head)
+        else idx.docs.select(col("docid"))
+      val remainingMusts = if (sh.nonEmpty) m else m.drop(1)
+      val afterNot = n.foldLeft(base)((acc, nf) =>
+        acc.join(filterBits(nf), Seq("docid"), "left_anti"))
+      remainingMusts.foldLeft(afterNot)((acc, mf) =>
+        acc.join(filterBits(mf), Seq("docid"), "left_semi"))
+  }
+
+  /** Persisted [[DocFilter]] (CachingWrapperFilter over the filter
+    * algebra — same reuse contract as the Query overload). */
+  def cacheFilter(f: DocFilter): Searcher.CachedFilter = {
+    val bits = filterBits(f)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bits.count()
+    Searcher.CachedFilter(bits)
+  }
+
   /** Field-sorted top-k (TopFieldCollector.cs:35 + Sort.cs:100 +
     * FieldComparator.cs:83-960): sort keys are forward doc columns (the
     * columnar docs table IS the FieldCache — no un-inversion), with
