@@ -113,6 +113,27 @@ object TrainEntries {
        |           CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS simhash
        |         FROM bits GROUP BY doc_id)""".stripMargin
 
+  /** The full MinHash-LSH pair pipeline up to intersection counts —
+    * shared by dd_minhash (jaccard output) and dd_clusters (transitive
+    * closure input) so the two gates replay ONE pair definition. */
+  private val minhashPairsCte =
+    s"""$minhashCte,
+       |bk AS (SELECT doc_id, j // ${TrainOps.BandRows} AS band,
+       |         ${h60("array_to_string(list_sort(list(CAST(j AS VARCHAR) || '=' || CAST(minh AS VARCHAR))), ',')")} AS bkey
+       |       FROM mh GROUP BY doc_id, j // ${TrainOps.BandRows}),
+       |bkok AS (SELECT bk.* FROM bk
+       |         JOIN (SELECT band, bkey FROM bk GROUP BY band, bkey
+       |               HAVING count(*) <= ${TrainOps.LshBucketCap}) ok
+       |           USING (band, bkey)),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |         FROM bkok x JOIN bkok y ON x.band = y.band AND x.bkey = y.bkey
+       |              AND x.doc_id < y.doc_id),
+       |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+       |inter AS (SELECT cand.a, cand.b, count(*) AS i
+       |          FROM cand JOIN sh sa ON sa.doc_id = cand.a
+       |               JOIN sh sb ON sb.doc_id = cand.b AND sa.s = sb.s
+       |          GROUP BY cand.a, cand.b)""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
 
     // ---- deduplication ----
@@ -128,26 +149,32 @@ object TrainEntries {
 
     ("dd_minhash",
       (s, d) => TrainOps.dedupMinhashLsh(s, d),
-      s"""WITH $minhashCte,
-         |bk AS (SELECT doc_id, j // ${TrainOps.BandRows} AS band,
-         |         ${h60("array_to_string(list_sort(list(CAST(j AS VARCHAR) || '=' || CAST(minh AS VARCHAR))), ',')")} AS bkey
-         |       FROM mh GROUP BY doc_id, j // ${TrainOps.BandRows}),
-         |bkok AS (SELECT bk.* FROM bk
-         |         JOIN (SELECT band, bkey FROM bk GROUP BY band, bkey
-         |               HAVING count(*) <= ${TrainOps.LshBucketCap}) ok
-         |           USING (band, bkey)),
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |         FROM bkok x JOIN bkok y ON x.band = y.band AND x.bkey = y.bkey
-         |              AND x.doc_id < y.doc_id),
-         |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
-         |inter AS (SELECT cand.a, cand.b, count(*) AS i
-         |          FROM cand JOIN sh sa ON sa.doc_id = cand.a
-         |               JOIN sh sb ON sb.doc_id = cand.b AND sa.s = sb.s
-         |          GROUP BY cand.a, cand.b)
+      s"""WITH $minhashPairsCte
          |SELECT a, b, round(CAST(i AS DOUBLE) / (ca.c + cb.c - i), 4) AS jac
          |FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
          |WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5
          |ORDER BY a, b""".stripMargin),
+
+    // ---- near-dup clusters: transitive closure over the verified pairs ----
+    ("dd_clusters",
+      (s, d) => TrainOps.dedupClusters(s, d),
+      s"""WITH RECURSIVE $minhashPairsCte,
+         |pairs AS (SELECT a, b
+         |          FROM inter JOIN cnt ca ON ca.doc_id = a
+         |               JOIN cnt cb ON cb.doc_id = b
+         |          WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5),
+         |und AS (SELECT a AS x, b AS y FROM pairs
+         |        UNION ALL SELECT b, a FROM pairs),
+         |reach AS (SELECT x, x AS y FROM (SELECT DISTINCT x FROM und) n
+         |          UNION
+         |          SELECT r.x, u.y FROM reach r JOIN und u ON r.y = u.x),
+         |lbl AS (SELECT x AS doc_id, min(y) AS canonical_id
+         |        FROM reach GROUP BY x),
+         |sz AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |       FROM lbl GROUP BY canonical_id)
+         |SELECT l.doc_id, l.canonical_id, sz.cluster_size
+         |FROM lbl l JOIN sz USING (canonical_id)
+         |ORDER BY l.canonical_id, l.doc_id""".stripMargin),
 
     ("dd_ngram",
       (s, d) => TrainOps.dedupNgramJaccard(s, d),

@@ -325,6 +325,85 @@ object TrainOps {
   }
 
   // -------------------------------------------------------------------
+  // Dedup clustering (pairs → connected components → canonical doc)
+  // -------------------------------------------------------------------
+
+  /** Iteration cap for [[connectedComponents]]: label propagation with
+    * pointer jumping halves the longest label chain per round, so
+    * convergence needs ~log2(longest path) rounds — 40 covers any graph
+    * this engine could hold (2^40 chain). Non-convergence inside the cap
+    * is a logic error, not a data condition → loud sys.error. */
+  val CcMaxIters = 40
+
+  /** Connected components of an undirected pair list (a, b): returns
+    * (doc_id, canonical_id, cluster_size) for every endpoint, where
+    * canonical_id = the component's minimum doc_id.
+    *
+    * Algorithm: hash-min label propagation + pointer jumping —
+    * lbl(x) ← min(lbl(x), min_{y∈N(x)} lbl(y)) then lbl(x) ← lbl(lbl(x))
+    * — the published two-phase shape (Kiveris et al. "Connected
+    * Components in MapReduce and Beyond", SoCC'14: alternating min-label
+    * rounds with path-shortening gives O(log n) rounds; plain
+    * propagation alone needs O(diameter)). Near-dup graphs are
+    * short-diameter by construction (a cluster is "the same document
+    * mutated"), so this converges in 2-4 rounds.
+    *
+    * Scale shape: the label table holds ONLY docs that appear in a pair
+    * (at 100 TB: the dup fraction, not the corpus); each round is two
+    * hash joins + one aggregation on uniform doc_id keys; lineage is
+    * truncated per round with localCheckpoint (the iterative-algorithm
+    * requirement — an unbounded plan DAG re-plans every prior round).
+    * Convergence is checked with a count of changed labels (one action
+    * per round, same discipline as the build's convergence probes). */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val und = pairs.select(col("a").as("x"), col("b").as("y"))
+      .union(pairs.select(col("b").as("x"), col("a").as("y")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var lbl = und.select(col("x").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < CcMaxIters) {
+      // neighbor-min round
+      val nbr = und.join(lbl.select(col("node").as("y"), col("lbl")), "y")
+        .groupBy(col("x").as("node")).agg(min("lbl").as("nlbl"))
+      val prop = lbl.join(nbr, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // pointer jump: follow the label one hop (labels are node ids)
+      val jump = prop.select(col("node").as("jn"), col("lbl").as("jlbl"))
+      val next = prop.join(jump, prop("lbl") === jump("jn"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("jlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      val changed = next.join(lbl.withColumnRenamed("lbl", "prev"), "node")
+        .filter(col("lbl") =!= col("prev")).limit(1).count()
+      lbl = next
+      converged = changed == 0L
+      iter += 1
+    }
+    und.unpersist()
+    if (!converged)
+      sys.error(s"connectedComponents failed to converge in $CcMaxIters rounds")
+    val sz = lbl.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+    lbl.join(sz, "lbl")
+      .select(col("node").as("doc_id"), col("lbl").as("canonical_id"),
+        col("cluster_size"))
+      .orderBy("canonical_id", "doc_id")
+  }
+
+  /** Near-dup CLUSTERS from the MinHash-LSH verified pairs: the step a
+    * production dedup pipeline runs after pair generation — transitive
+    * closure groups pairs into clusters, the minimum doc_id is kept as
+    * canonical, everything else is droppable (keep iff
+    * doc_id == canonical_id). Output: one row per clustered doc. */
+  def dedupClusters(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5): DataFrame =
+    connectedComponents(
+      dedupMinhashLsh(spark, sfDir, threshold).select("a", "b"))
+
+  // -------------------------------------------------------------------
   // Embedding-cosine near-dup (feature-hashed shingle embeddings + SRP)
   // -------------------------------------------------------------------
 

@@ -162,6 +162,31 @@ class TrainOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents: chains, stars and singleton-free output") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter 4 — exercises >1 propagation round),
+    // star 10-{11,12,13}, lone pair 20-21; 99 appears in no pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (20L, 21L)).toDF("a", "b")
+    val got = TrainOps.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val exp = Seq(
+      (1L, 1L, 5L), (2L, 1L, 5L), (3L, 1L, 5L), (4L, 1L, 5L), (5L, 1L, 5L),
+      (10L, 10L, 4L), (11L, 10L, 4L), (12L, 10L, 4L), (13L, 10L, 4L),
+      (20L, 20L, 2L), (21L, 20L, 2L))
+    assert(got == exp)
+  }
+
+  test("dedupClusters groups the planted near-dups into one cluster") {
+    val spark = SparkFixture.spark
+    // docs 1, 2, 3 pair up pairwise (1-2 identical, 3 an edit of both)
+    // -> one component, canonical = 1, size 3; nothing else clusters
+    val got = TrainOps.dedupClusters(spark, plantedDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L)))
+  }
+
   test("simhash signatures are stable and 60-bit") {
     val spark = SparkFixture.spark
     // deterministic check against an independently-computed signature
