@@ -26,6 +26,22 @@ object SparkEntry {
   final case class Raw(spark: (SparkSession, String) => DataFrame,
       sql: String) extends Spec
 
+  /** Shared template of every ft_stem_* gate: stem a fixed vocabulary
+    * with the given stemmer, oracle = the hand-derived vectors frozen
+    * as VALUES. One definition; eleven languages. */
+  private def stemGate(vectors: Seq[(String, String)],
+      stem: String => String): Raw = Raw(
+    (s, dir) => {
+      import s.implicits._
+      vectors.map(_._1).toDF("word")
+        .select(col("word"))
+        .map(r => (r.getString(0), stem(r.getString(0))))
+        .toDF("word", "stem").orderBy("word")
+    },
+    "SELECT * FROM (VALUES " + vectors.sortBy(_._1)
+      .map { case (w, st) => s"('$w', '$st')" }.mkString(", ") +
+      ") AS t(word, stem) ORDER BY word")
+
   /** Standing-query registry for the multi-query percolation gate —
     * shapes chosen to exercise term, phrase, keyword-field and msm
     * membership through BOTH evaluators (MemoryIndex and the SQL
@@ -389,47 +405,19 @@ object SparkEntry {
         DuplicateF("conv_id", keepFirst = false), 10)),
 
     // --- Snowball language analyzers (contrib Snowball / De / Fr) ---
-    // The gate runs the stemmers over a fixed vocabulary against the
+    // Each gate runs one stemmer over a fixed vocabulary against
     // HAND-DERIVED vectors (frozen in the oracle as VALUES — DuckDB has
     // no offline stemmer, and the vectors were traced from the published
     // algorithm on paper, independent of the implementation; same
-    // method as SnowballSpec / the Porter paper vectors).
-    "ft_stem_de" -> Raw(
-      (s, dir) => {
-        import s.implicits._
-        StemVectors.german.map(_._1).toDF("word")
-          .select(col("word"))
-          .map(r => (r.getString(0),
-            graft.analysis.GermanStemmer.stem(r.getString(0))))
-          .toDF("word", "stem").orderBy("word")
-      },
-      "SELECT * FROM (VALUES " + StemVectors.german.sortBy(_._1)
-        .map { case (w, st) => s"('$w', '$st')" }.mkString(", ") +
-        ") AS t(word, stem) ORDER BY word"),
-    "ft_stem_fr" -> Raw(
-      (s, dir) => {
-        import s.implicits._
-        StemVectors.french.map(_._1).toDF("word")
-          .select(col("word"))
-          .map(r => (r.getString(0),
-            graft.analysis.FrenchStemmer.stem(r.getString(0))))
-          .toDF("word", "stem").orderBy("word")
-      },
-      "SELECT * FROM (VALUES " + StemVectors.french.sortBy(_._1)
-        .map { case (w, st) => s"('$w', '$st')" }.mkString(", ") +
-        ") AS t(word, stem) ORDER BY word"),
-    "ft_stem_es" -> Raw(
-      (s, dir) => {
-        import s.implicits._
-        StemVectors.spanish.map(_._1).toDF("word")
-          .select(col("word"))
-          .map(r => (r.getString(0),
-            graft.analysis.SpanishStemmer.stem(r.getString(0))))
-          .toDF("word", "stem").orderBy("word")
-      },
-      "SELECT * FROM (VALUES " + StemVectors.spanish.sortBy(_._1)
-        .map { case (w, st) => s"('$w', '$st')" }.mkString(", ") +
-        ") AS t(word, stem) ORDER BY word"),
+    // method as SnowballSpec / the Porter paper vectors). One shared
+    // [[stemGate]] template so the gate contract cannot diverge per
+    // language.
+    "ft_stem_de" -> stemGate(StemVectors.german,
+      graft.analysis.GermanStemmer.stem),
+    "ft_stem_fr" -> stemGate(StemVectors.french,
+      graft.analysis.FrenchStemmer.stem),
+    "ft_stem_es" -> stemGate(StemVectors.spanish,
+      graft.analysis.SpanishStemmer.stem),
     // typed Classic tokenizer chain over a fixed input set; expected
     // (input, pos, term, type) rows hand-derived and frozen in the
     // oracle as VALUES (same method as the stemmer gates)
@@ -465,66 +453,16 @@ object SparkEntry {
         }.mkString(", ") +
           ") AS t(input, pos, term, type) ORDER BY input, pos"
       }),
-    "ft_stem_it" -> Raw(
-      (s, dir) => {
-        import s.implicits._
-        StemVectors.italian.map(_._1).toDF("word")
-          .select(col("word"))
-          .map(r => (r.getString(0),
-            graft.analysis.ItalianStemmer.stem(r.getString(0))))
-          .toDF("word", "stem").orderBy("word")
-      },
-      "SELECT * FROM (VALUES " + StemVectors.italian.sortBy(_._1)
-        .map { case (w, st) => s"('$w', '$st')" }.mkString(", ") +
-        ") AS t(word, stem) ORDER BY word"),
-    "ft_stem_sv" -> Raw(
-      (s, dir) => {
-        import s.implicits._
-        StemVectors.swedish.map(_._1).toDF("word")
-          .select(col("word"))
-          .map(r => (r.getString(0),
-            graft.analysis.SwedishStemmer.stem(r.getString(0))))
-          .toDF("word", "stem").orderBy("word")
-      },
-      "SELECT * FROM (VALUES " + StemVectors.swedish.sortBy(_._1)
-        .map { case (w, st) => s"('$w', '$st')" }.mkString(", ") +
-        ") AS t(word, stem) ORDER BY word"),
-    "ft_stem_da" -> Raw(
-      (s, dir) => {
-        import s.implicits._
-        StemVectors.danish.map(_._1).toDF("word")
-          .select(col("word"))
-          .map(r => (r.getString(0),
-            graft.analysis.DanishStemmer.stem(r.getString(0))))
-          .toDF("word", "stem").orderBy("word")
-      },
-      "SELECT * FROM (VALUES " + StemVectors.danish.sortBy(_._1)
-        .map { case (w, st) => s"('$w', '$st')" }.mkString(", ") +
-        ") AS t(word, stem) ORDER BY word"),
-    "ft_stem_no" -> Raw(
-      (s, dir) => {
-        import s.implicits._
-        StemVectors.norwegian.map(_._1).toDF("word")
-          .select(col("word"))
-          .map(r => (r.getString(0),
-            graft.analysis.NorwegianStemmer.stem(r.getString(0))))
-          .toDF("word", "stem").orderBy("word")
-      },
-      "SELECT * FROM (VALUES " + StemVectors.norwegian.sortBy(_._1)
-        .map { case (w, st) => s"('$w', '$st')" }.mkString(", ") +
-        ") AS t(word, stem) ORDER BY word"),
-    "ft_stem_nl" -> Raw(
-      (s, dir) => {
-        import s.implicits._
-        StemVectors.dutch.map(_._1).toDF("word")
-          .select(col("word"))
-          .map(r => (r.getString(0),
-            graft.analysis.DutchStemmer.stem(r.getString(0))))
-          .toDF("word", "stem").orderBy("word")
-      },
-      "SELECT * FROM (VALUES " + StemVectors.dutch.sortBy(_._1)
-        .map { case (w, st) => s"('$w', '$st')" }.mkString(", ") +
-        ") AS t(word, stem) ORDER BY word"),
+    "ft_stem_it" -> stemGate(StemVectors.italian,
+      graft.analysis.ItalianStemmer.stem),
+    "ft_stem_sv" -> stemGate(StemVectors.swedish,
+      graft.analysis.SwedishStemmer.stem),
+    "ft_stem_da" -> stemGate(StemVectors.danish,
+      graft.analysis.DanishStemmer.stem),
+    "ft_stem_no" -> stemGate(StemVectors.norwegian,
+      graft.analysis.NorwegianStemmer.stem),
+    "ft_stem_nl" -> stemGate(StemVectors.dutch,
+      graft.analysis.DutchStemmer.stem),
     // non-Latin contrib analyzer family (CJK bigrams, Chinese unigrams,
     // Czech/Greek/Persian stop chains, Thai dictionary segmentation,
     // Arabic normalize+light-stem) over fixed inputs; expected
@@ -578,42 +516,12 @@ object SparkEntry {
       "SELECT * FROM (VALUES (1, 'fleisch'), (1, 'rind'), " +
         "(1, 'rindfleisch'), (3, 'dampf'), (3, 'dampfschiffahrt'), " +
         "(3, 'fahrt'), (3, 'schiff')) AS t(pos, term) ORDER BY pos, term"),
-    "ft_stem_pt" -> Raw(
-      (s, dir) => {
-        import s.implicits._
-        StemVectors.portuguese.map(_._1).toDF("word")
-          .select(col("word"))
-          .map(r => (r.getString(0),
-            graft.analysis.PortugueseStemmer.stem(r.getString(0))))
-          .toDF("word", "stem").orderBy("word")
-      },
-      "SELECT * FROM (VALUES " + StemVectors.portuguese.sortBy(_._1)
-        .map { case (w, st) => s"('$w', '$st')" }.mkString(", ") +
-        ") AS t(word, stem) ORDER BY word"),
-    "ft_stem_fi" -> Raw(
-      (s, dir) => {
-        import s.implicits._
-        StemVectors.finnish.map(_._1).toDF("word")
-          .select(col("word"))
-          .map(r => (r.getString(0),
-            graft.analysis.FinnishStemmer.stem(r.getString(0))))
-          .toDF("word", "stem").orderBy("word")
-      },
-      "SELECT * FROM (VALUES " + StemVectors.finnish.sortBy(_._1)
-        .map { case (w, st) => s"('$w', '$st')" }.mkString(", ") +
-        ") AS t(word, stem) ORDER BY word"),
-    "ft_stem_ru" -> Raw(
-      (s, dir) => {
-        import s.implicits._
-        StemVectors.russian.map(_._1).toDF("word")
-          .select(col("word"))
-          .map(r => (r.getString(0),
-            graft.analysis.RussianStemmer.stem(r.getString(0))))
-          .toDF("word", "stem").orderBy("word")
-      },
-      "SELECT * FROM (VALUES " + StemVectors.russian.sortBy(_._1)
-        .map { case (w, st) => s"('$w', '$st')" }.mkString(", ") +
-        ") AS t(word, stem) ORDER BY word"),
+    "ft_stem_pt" -> stemGate(StemVectors.portuguese,
+      graft.analysis.PortugueseStemmer.stem),
+    "ft_stem_fi" -> stemGate(StemVectors.finnish,
+      graft.analysis.FinnishStemmer.stem),
+    "ft_stem_ru" -> stemGate(StemVectors.russian,
+      graft.analysis.RussianStemmer.stem),
 
     // --- spell suggest (contrib SpellChecker analog) ---
     "ft_suggest" -> Raw(

@@ -116,6 +116,21 @@ object Analyzers {
       minWordSize: Int = 5, minSubword: Int = 2, maxSubword: Int = 15,
       onlyLongestMatch: Boolean = false) extends Kind
 
+  /** The shared shape of every language chain: raw word tokens
+    * (position = raw-token index, stop gaps preserved — the same
+    * coordinate system as the Standard chain), an optional per-token
+    * pre-normalization (elision, folding), the language's stop set,
+    * then its stemmer. One definition so a fix to the shape (length
+    * guard, position semantics) applies to every language at once. */
+  private def stopStemChain(text: String, stops: Set[String],
+      stem: String => String,
+      pre: String => String = identity): Vector[Token] =
+    Analyzer.rawTokens(text).iterator.map(pre).zipWithIndex.collect {
+      case (t, i) if t.nonEmpty && !stops(t) &&
+          t.length <= Analyzer.MaxTokenLength =>
+        Token(stem(t), i)
+    }.toVector
+
   def tokenize(kind: Kind, text: String): Vector[Token] = kind match {
     case Standard => Analyzer.fastTokenize(text)
     case Whitespace =>
@@ -134,105 +149,43 @@ object Analyzers {
       Analyzer.fastTokenize(text).map(t =>
         Token(PorterStemmer.stem(t.term), t.pos))
     case Folding => Analyzer.fastTokenize(foldToAscii(text))
-    case German =>
-      // raw (pre-English-stop) tokens with positional gaps for the
-      // German stop set, then stem — position = raw-token index, the
-      // same coordinate system as the Standard chain
-      Analyzer.rawTokens(text).zipWithIndex.collect {
-        case (t, i) if t.nonEmpty && !GermanStopWords(t) &&
-            t.length <= Analyzer.MaxTokenLength =>
-          Token(GermanStemmer.stem(t), i)
-      }
+    case German => stopStemChain(text, GermanStopWords, GermanStemmer.stem)
     case French =>
-      Analyzer.rawTokens(text).iterator.map(elide).zipWithIndex.collect {
-        case (t, i) if t.nonEmpty && !FrenchStopWords(t) &&
-            t.length <= Analyzer.MaxTokenLength =>
-          Token(FrenchStemmer.stem(t), i)
-      }.toVector
+      stopStemChain(text, FrenchStopWords, FrenchStemmer.stem, pre = elide)
     case Spanish =>
-      Analyzer.rawTokens(text).zipWithIndex.collect {
-        case (t, i) if t.nonEmpty && !SpanishStopWords(t) &&
-            t.length <= Analyzer.MaxTokenLength =>
-          Token(SpanishStemmer.stem(t), i)
-      }
+      stopStemChain(text, SpanishStopWords, SpanishStemmer.stem)
     case Russian =>
-      Analyzer.rawTokens(text).zipWithIndex.collect {
-        case (t, i) if t.nonEmpty && !RussianStopWords(t) &&
-            t.length <= Analyzer.MaxTokenLength =>
-          Token(RussianStemmer.stem(t), i)
-      }
+      stopStemChain(text, RussianStopWords, RussianStemmer.stem)
     case Italian =>
-      Analyzer.rawTokens(text).iterator.map(elideIt).zipWithIndex.collect {
-        case (t, i) if t.nonEmpty && !ItalianStopWords(t) &&
-            t.length <= Analyzer.MaxTokenLength =>
-          Token(ItalianStemmer.stem(t), i)
-      }.toVector
+      stopStemChain(text, ItalianStopWords, ItalianStemmer.stem,
+        pre = elideIt)
     case Swedish =>
-      Analyzer.rawTokens(text).zipWithIndex.collect {
-        case (t, i) if t.nonEmpty && !SwedishStopWords(t) &&
-            t.length <= Analyzer.MaxTokenLength =>
-          Token(SwedishStemmer.stem(t), i)
-      }
-    case Danish =>
-      Analyzer.rawTokens(text).zipWithIndex.collect {
-        case (t, i) if t.nonEmpty && !DanishStopWords(t) &&
-            t.length <= Analyzer.MaxTokenLength =>
-          Token(DanishStemmer.stem(t), i)
-      }
+      stopStemChain(text, SwedishStopWords, SwedishStemmer.stem)
+    case Danish => stopStemChain(text, DanishStopWords, DanishStemmer.stem)
     case Norwegian =>
-      Analyzer.rawTokens(text).zipWithIndex.collect {
-        case (t, i) if t.nonEmpty && !NorwegianStopWords(t) &&
-            t.length <= Analyzer.MaxTokenLength =>
-          Token(NorwegianStemmer.stem(t), i)
-      }
-    case Dutch =>
-      Analyzer.rawTokens(text).zipWithIndex.collect {
-        case (t, i) if t.nonEmpty && !DutchStopWords(t) &&
-            t.length <= Analyzer.MaxTokenLength =>
-          Token(DutchStemmer.stem(t), i)
-      }
+      stopStemChain(text, NorwegianStopWords, NorwegianStemmer.stem)
+    case Dutch => stopStemChain(text, DutchStopWords, DutchStemmer.stem)
     case Portuguese =>
-      Analyzer.rawTokens(text).zipWithIndex.collect {
-        case (t, i) if t.nonEmpty && !PortugueseStopWords(t) &&
-            t.length <= Analyzer.MaxTokenLength =>
-          Token(PortugueseStemmer.stem(t), i)
-      }
+      stopStemChain(text, PortugueseStopWords, PortugueseStemmer.stem)
     case Finnish =>
-      Analyzer.rawTokens(text).zipWithIndex.collect {
-        case (t, i) if t.nonEmpty && !FinnishStopWords(t) &&
-            t.length <= Analyzer.MaxTokenLength =>
-          Token(FinnishStemmer.stem(t), i)
-      }
+      stopStemChain(text, FinnishStopWords, FinnishStemmer.stem)
     case Cjk =>
       IntlAnalyzers.cjkBigrams(text).filter(t => !Analyzer.StopWords(t.term))
     case Chinese => IntlAnalyzers.chineseTokens(text)
-    case Czech =>
-      Analyzer.rawTokens(text).zipWithIndex.collect {
-        case (t, i) if t.nonEmpty && !CzechStopWords(t) &&
-            t.length <= Analyzer.MaxTokenLength => Token(t, i)
-      }
+    case Czech => stopStemChain(text, CzechStopWords, identity)
     case Greek =>
-      Analyzer.rawTokens(text).iterator.map(IntlAnalyzers.greekFold)
-        .zipWithIndex.collect {
-          case (t, i) if t.nonEmpty && !GreekStopWords(t) &&
-              t.length <= Analyzer.MaxTokenLength => Token(t, i)
-        }.toVector
+      stopStemChain(text, GreekStopWords, identity,
+        pre = IntlAnalyzers.greekFold)
     case Persian =>
-      Analyzer.rawTokens(text).iterator
-        .map(t => IntlAnalyzers.persianNormalize(
+      stopStemChain(text, PersianStopWords, identity,
+        pre = t => IntlAnalyzers.persianNormalize(
           IntlAnalyzers.arabicNormalize(t)))
-        .zipWithIndex.collect {
-          case (t, i) if t.nonEmpty && !PersianStopWords(t) &&
-              t.length <= Analyzer.MaxTokenLength => Token(t, i)
-        }.toVector
     case Thai => IntlAnalyzers.thaiTokens(text)
     case Arabic =>
-      Analyzer.rawTokens(text).zipWithIndex.collect {
-        case (t, i) if t.nonEmpty && !ArabicStopWords(t) &&
-            t.length <= Analyzer.MaxTokenLength =>
-          Token(IntlAnalyzers.arabicStem(
-            IntlAnalyzers.arabicNormalize(t)), i)
-      }
+      // stop check on the RAW token (the reference's Arabic stop list is
+      // unnormalized), normalize+stem after
+      stopStemChain(text, ArabicStopWords,
+        t => IntlAnalyzers.arabicStem(IntlAnalyzers.arabicNormalize(t)))
     case Shingles(n, keepUnigrams) => shingles(text, n, keepUnigrams)
     case Decompound(dict, minWord, minSub, maxSub, longest) =>
       decompound(Analyzer.fastTokenize(text), dict, minWord, minSub,

@@ -132,7 +132,7 @@ object PostingBlocks {
             }
           }
           case Some(a) => it.foreach { case (docid, text) =>
-            val toks = graft.analysis.Analyzer.fastTokenize(text)
+            val toks = graft.analysis.Analyzers.tokenize(kind, text)
             val len = toks.size.toLong
             val m = scala.collection.mutable.LinkedHashMap
               .empty[String, (scala.collection.mutable.ArrayBuffer[Int],

@@ -25,9 +25,11 @@ object Geo {
 
   val KmPerDeg = 111.2
 
-  /** k nearest docs within radiusKm of (lat0, lon0). */
+  /** k nearest docs within radiusKm of (lat0, lon0); `idCol` breaks
+    * distance ties (any unique column of the input frame). */
   def nearest(docs: DataFrame, latCol: String, lonCol: String,
-      lat0: Double, lon0: Double, radiusKm: Double, k: Int): DataFrame = {
+      lat0: Double, lon0: Double, radiusKm: Double, k: Int,
+      idCol: String = "doc_id"): DataFrame = {
     val cosLat0 = math.cos(math.toRadians(lat0))
     val dLat = radiusKm / KmPerDeg
     val dLon = radiusKm / (KmPerDeg * cosLat0)
@@ -38,7 +40,7 @@ object Geo {
         col(lonCol).between(lon0 - dLon, lon0 + dLon))
       .withColumn("dist_km", sqrt(dy * dy + dx * dx))
       .filter(col("dist_km") <= radiusKm)
-      .orderBy(col("dist_km"), col("doc_id"))
+      .orderBy(col("dist_km"), col(idCol))
       .limit(k)
   }
 

@@ -45,9 +45,14 @@ final case class MemoryIndex(terms: Map[String, Vector[Int]],
     case MatchAllQ => true
     case MatchNoneQ => false
     case BoolQ(m, s, n, msm) =>
-      // same minimum-should floor as the distributed evaluator
-      // (Searcher: max(1, msm) when there are no MUST clauses)
-      val floor = if (m.isEmpty) math.max(1, msm) else msm
+      // same clause algebra as the distributed evaluator: a boolean
+      // needs >= 1 positive clause (Searcher's "empty BooleanQuery"
+      // require), and minShouldMatch binds SHOULD clauses ONLY — with
+      // none present it is vacuous (the Searcher's scnt filter exists
+      // only on the should subplan; must-only queries never see msm)
+      require(m.nonEmpty || s.nonEmpty, "empty BooleanQuery")
+      val floor =
+        if (s.isEmpty) 0 else if (m.isEmpty) math.max(1, msm) else msm
       m.forall(matches) && s.count(matches) >= floor && !n.exists(matches)
     case PhraseQ(ts, 0) =>
       val off0 = ts.head._2
@@ -55,6 +60,21 @@ final case class MemoryIndex(terms: Map[String, Vector[Int]],
         ts.tail.forall { case (t, off) =>
           terms.getOrElse(t, Vector.empty).contains(p + off - off0)
         })
+    case PhraseQ(ts, slop) =>
+      // sloppy membership, the Searcher.phrase twin: per driving
+      // position of slot 0, every other slot needs a position within
+      // slop of its expected offset, and the summed minimal
+      // displacements must stay within slop
+      val off0 = ts.head._2
+      terms.getOrElse(ts.head._1, Vector.empty).exists { p =>
+        val dists = ts.tail.map { case (t, off) =>
+          val gap = off - off0
+          terms.getOrElse(t, Vector.empty).iterator
+            .map(j => math.abs(j - p - gap)).filter(_ <= slop)
+            .minOption
+        }
+        dists.forall(_.isDefined) && dists.flatten.sum <= slop
+      }
     case ConstantScoreQ(s, _) => matches(s)
     case BoostQ(s, _) => matches(s)
     case BoostingQ(p, _, _) => matches(p) // context only modulates score

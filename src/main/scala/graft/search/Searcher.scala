@@ -174,11 +174,14 @@ final class Searcher(idx: InvertedIndex) {
     case TermQ(t) =>
       termScores(Set(t)).select(col("docid"), col("tscore").as("score"))
 
-    case q: BoolQ if flattenBool(q).isDefined =>
-      val (rows, groups) = flattenBool(q).get
-      groupedBool(rows, groups, q.minShouldMatch)
-
-    case BoolQ(must, should, mustNot, msm) =>
+    // flattenBool is evaluated ONCE per query: grouped single-scan plan
+    // when the clause tree allows, per-clause compositional joins
+    // otherwise
+    case bq: BoolQ => flattenBool(bq) match {
+      case Some((rows, groups)) =>
+        groupedBool(rows, groups, bq.minShouldMatch)
+      case None =>
+      val BoolQ(must, should, mustNot, msm) = bq
       require(must.nonEmpty || should.nonEmpty, "empty BooleanQuery")
       require(must.size + should.size + mustNot.size <= Searcher.MaxClauseCount,
         s"too many boolean clauses (maxClauseCount=${Searcher.MaxClauseCount})")
@@ -213,6 +216,7 @@ final class Searcher(idx: InvertedIndex) {
           .reduce(_ unionByName _).distinct()
         combined.join(excl, Seq("docid"), "left_anti")
       }
+    }
 
     case p: PhraseQ => phrase(p)
 
@@ -1094,10 +1098,36 @@ object Searcher {
     (0 until n).map(i => q.substring(cuts(i), cuts(i + 1))).distinct
   }
 
+  /** True iff the pattern has an alternation at nesting depth 0 — such
+    * a pattern has NO required literal prefix (`table|merge` matches
+    * "merge"), so prefix pushdown must stand down entirely. Bracketed
+    * alternations (`tab(le|by)`) don't escape the scanned prefix. */
+  private def hasTopLevelAlternation(pat: String): Boolean = {
+    var depth = 0
+    var inClass = false
+    var i = 0
+    while (i < pat.length) {
+      pat(i) match {
+        case '\\' => i += 1 // skip the escaped char
+        case '[' if !inClass => inClass = true
+        case ']' if inClass => inClass = false
+        case '(' if !inClass => depth += 1
+        case ')' if !inClass => depth -= 1
+        case '|' if !inClass && depth == 0 => return true
+        case _ =>
+      }
+      i += 1
+    }
+    false
+  }
+
   /** Longest literal prefix of a regex: stops at the first metachar and
-    * before any quantified atom (`ab*c` → "a" — the b is optional). Used
+    * before any quantified atom (`ab*c` → "a" — the b is optional);
+    * empty when a top-level alternation means no prefix is required at
+    * all (`table|merge` — the scanned "table" is only one branch). Used
     * to turn anchored dictionary regex scans into range predicates. */
   def regexLiteralPrefix(pat: String): String = {
+    if (hasTopLevelAlternation(pat)) return ""
     val meta = "\\^$.|?*+()[]{}"
     val sb = new StringBuilder
     var i = 0

@@ -36,7 +36,10 @@ object Synonyms {
               (if (boost > 0) BoostQ(TermQ(s), boost) else TermQ(s))
         }
     }
-    BoolQ(should = clauses.toSeq)
+    // all-stopword input analyzes to nothing: match nothing, like
+    // QueryAst.similarQuery — a clauseless BoolQ would trip the
+    // Searcher's "empty BooleanQuery" require
+    if (clauses.isEmpty) MatchNoneQ else BoolQ(should = clauses.toSeq)
   }
 
   /** Syns2Index analog: persist the synonym map as a parquet table

@@ -66,6 +66,17 @@ object Wand {
     * prunes on a tf-skewed corpus"). */
   val PruneWorthFraction = 0.7
 
+  /** Upper bound on the candidate set the rescore may BROADCAST (the
+    * docid-range block join and the semi-join both ship the candidates
+    * to every task). kept_blocks × BlockSize bounds the candidates, so
+    * the adaptive planner devolves to the plain scan when the bound
+    * exceeds this — a megarow broadcast plus a nested-loop range join
+    * against millions of live blocks is worse than the one-scan
+    * disjunction it was supposed to beat. ~1M docids ≈ tens of MB
+    * broadcast: safely inside executor memory, far past any top-k that
+    * prunes usefully. */
+  val MaxRescoreCandidates = 1L << 20
+
   private final case class Plan(
       live: Seq[String],
       result: DataFrame,
@@ -168,9 +179,12 @@ object Wand {
       case None => plain
       case Some(p) =>
         // measured prunability: stat-only probe, then commit to whichever
-        // path the keep fraction says will decode less
+        // path the keep fraction says will decode less — and never to a
+        // pruned plan whose candidate bound would oversize the rescore
+        // broadcast ([[MaxRescoreCandidates]])
         val (total, kept) = p.stats()
-        if (total == 0 || kept.toDouble / total > PruneWorthFraction) plain
+        if (total == 0 || kept.toDouble / total > PruneWorthFraction ||
+          kept * Codec.BlockSize > MaxRescoreCandidates) plain
         else p.result
     }
   }

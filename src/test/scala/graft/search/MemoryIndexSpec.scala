@@ -36,6 +36,8 @@ class MemoryIndexSpec extends AnyFunSuite {
       BoolQ(must = Seq(BoolQ(should = Seq(TermQ("index"), TermQ("batch")))),
         mustNot = Seq(TermQ("deploy"))), // nested
       PhraseQ(Seq(a -> 0, b -> 1)),
+      PhraseQ(Seq(a -> 0, b -> 1), slop = 2), // sloppy membership
+      BoolQ(must = Seq(TermQ("table")), minShouldMatch = 1), // msm vacuous
       PrefixQ("mer"),
       WildcardQ("qu*ry"),
       RegexQ("err.r"),

@@ -246,6 +246,14 @@ class SearcherSpec extends AnyFunSuite {
     // whole-term regex: sp.* | st.* like terms
     assert(run(RegexQ("f[ao]x")).keySet == Set(2L, 7L))
     assert(run(RegexQ("ox")).isEmpty) // anchored: no substring match
+    // top-level alternation: NO required prefix — both branches match
+    // (a prefix pushdown keyed on the first branch would drop 'spark')
+    assert(run(RegexQ("fox|spark")).keySet ==
+      run(RegexQ("fox")).keySet ++ run(TermQ("spark")).keySet)
+    assert(Searcher.regexLiteralPrefix("table|merge") == "")
+    assert(Searcher.regexLiteralPrefix("tab(le|by)") == "tab")
+    assert(Searcher.regexLiteralPrefix("tab[l|b]e") == "tab")
+    assert(Searcher.regexLiteralPrefix("ab*c") == "a")
     val f = run(FunctionQ("CAST(turn_idx AS DOUBLE) + 0.5"))
     assert(f.size == n)
     assert(f(0L) == 0.5 && f(3L) == 3.5)

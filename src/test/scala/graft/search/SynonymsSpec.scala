@@ -28,6 +28,9 @@ class SynonymsSpec extends AnyFunSuite {
   test("boost 0 adds synonyms unboosted; stop words drop from the query") {
     val q = Synonyms.expand("the dog", Map("dog" -> Seq("hound")))
     assert(q == BoolQ(should = Seq(TermQ("dog"), TermQ("hound"))))
+    // all-stopword input: MatchNoneQ, never a clauseless BoolQ
+    assert(Synonyms.expand("the a to", Map("dog" -> Seq("hound")))
+      == MatchNoneQ)
   }
 
   test("synonym table round-trips through parquet") {
