@@ -523,6 +523,74 @@ object SparkEntry {
     "ft_stem_ru" -> stemGate(StemVectors.russian,
       graft.analysis.RussianStemmer.stem),
 
+    // --- pluggable Similarity (Similarity.cs:398-503 strategy) ---
+    // classic TF-IDF DefaultSimilarity: tf=sqrt(freq), idf=1+ln(N/(df+1)),
+    // lengthNorm=1/sqrt(len) — same query ASTs, swapped strategy; oracle
+    // recomputes the classic formula from the shared postings CTEs
+    "ft_classic_term" -> Raw(
+      (s, dir) => Engine.ranked(
+        new Searcher(Engine.index(s, dir), ClassicSim)
+          .topK(TermQ("table"), 10)),
+      s"""${OracleSql.prelude},
+         |cscored AS (
+         |  SELECT p.docid,
+         |         (1.0 + ln(CAST(s.n AS DOUBLE) / (d.df + 1)))
+         |           * (sqrt(p.tf) * (1.0 / sqrt(l.len))) AS score
+         |  FROM postings p JOIN dict d USING (term)
+         |       JOIN doclens l USING (docid) CROSS JOIN stats s
+         |  WHERE p.term = 'table')
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, docid) AS BIGINT) AS rank,
+         |       docid, round(score, 4) AS score
+         |FROM cscored ORDER BY score DESC, docid LIMIT 10""".stripMargin),
+    // coord factor (DefaultSimilarity.Coord:81): SHOULD disjunction score
+    // is multiplied by matchedClauses/totalClauses — the slot BM25
+    // intentionally leaves identity
+    "ft_classic_coord" -> Raw(
+      (s, dir) => Engine.ranked(
+        new Searcher(Engine.index(s, dir), ClassicSim)
+          .topK(BoolQ(should =
+            Seq(TermQ("spark"), TermQ("query"), TermQ("window"))), 10)),
+      s"""${OracleSql.prelude},
+         |cscored AS (
+         |  SELECT p.docid,
+         |         (1.0 + ln(CAST(s.n AS DOUBLE) / (d.df + 1)))
+         |           * (sqrt(p.tf) * (1.0 / sqrt(l.len))) AS score
+         |  FROM postings p JOIN dict d USING (term)
+         |       JOIN doclens l USING (docid) CROSS JOIN stats s
+         |  WHERE p.term IN ('spark', 'query', 'window')),
+         |agg AS (
+         |  SELECT docid, sum(score) AS s, count(*) AS c
+         |  FROM cscored GROUP BY docid)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, docid) AS BIGINT) AS rank,
+         |       docid, round(score, 4) AS score
+         |FROM (SELECT docid, s * (CAST(c AS DOUBLE) / 3.0) AS score FROM agg)
+         |ORDER BY score DESC, docid LIMIT 10""".stripMargin),
+    // SmallFloat byte315 norm codec (SmallFloat.cs, Similarity.cs:501-503):
+    // hand-derived encode/decode vectors frozen as VALUES (same method as
+    // the stemmer gates); round-trip floats written as exact power-of-two
+    // arithmetic so both engines produce identical doubles
+    "ft_smallfloat" -> Raw(
+      (s, dir) => {
+        import s.implicits._
+        Seq("-3.5", "0.0", "1e-10", "0.25", "0.5", "0.57735026",
+          "0.70710678", "1.0", "2.0", "3.0", "5.0", "7.0", "1e10")
+          .map { lbl =>
+            val b = graft.index.SmallFloat.floatToByte315(lbl.toFloat)
+            (lbl, (b & 0xff), graft.index.SmallFloat.decodeNorm(b).toDouble)
+          }
+          .toDF("f", "b", "rt").orderBy("f")
+      },
+      """SELECT f, CAST(b AS INTEGER) AS b, CAST(rt AS DOUBLE) AS rt
+        |FROM (VALUES
+        |  ('-3.5', 0, 0.0), ('0.0', 0, 0.0),
+        |  ('1e-10', 1, 1.25 / 2147483648.0),
+        |  ('0.25', 116, 0.25), ('0.5', 120, 0.5),
+        |  ('0.57735026', 120, 0.5), ('0.70710678', 121, 0.625),
+        |  ('1.0', 124, 1.0), ('2.0', 128, 2.0), ('3.0', 130, 3.0),
+        |  ('5.0', 133, 5.0), ('7.0', 135, 7.0),
+        |  ('1e10', 255, 1.75 * 4294967296.0)
+        |) AS t(f, b, rt) ORDER BY f""".stripMargin),
+
     // --- spell suggest (contrib SpellChecker analog) ---
     "ft_suggest" -> Raw(
       (s, dir) => Suggest.suggest(Engine.index(s, dir), "tble", 2, 5),

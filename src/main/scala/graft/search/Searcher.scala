@@ -14,14 +14,17 @@ import graft.index.InvertedIndex
   *   OR   → groupBy(docid) sum + minShouldMatch (DisjunctionSumScorer.cs:28)
   *   NOT  → left anti join                      (ReqExclScorer.cs:30)
   *   req+opt → left outer join + coalesce       (ReqOptSumScorer.cs:28)
-  * Coord factor intentionally dropped (BM25-era Lucene drops it; SURVEY §7.7).
+  * Scoring is a pluggable [[Similarity]] strategy (Similarity.cs:398-503):
+  * BM25 by default (coord intentionally dropped, BM25-era Lucene drops it;
+  * SURVEY §7.7), the reference's classic TF-IDF with coord via
+  * [[ClassicSim]].
   *
   * Determinism: clause scores are summed in sorted clause order via
   * aggregate(sort_array(collect_list(...))) — float addition order is
   * fixed regardless of shuffle layout, so scores are bit-stable run to run
   * (SURVEY §7 hard-part #1).
   */
-final class Searcher(idx: InvertedIndex) {
+final class Searcher(idx: InvertedIndex, sim: Similarity = Bm25Sim) {
 
   /** Per-(term, docid) BM25 partial scores for a set of query terms.
     * Broadcast dictionary join supplies df (TermInfosReader analog —
@@ -33,7 +36,7 @@ final class Searcher(idx: InvertedIndex) {
     idx.postingsForScoring(ts)
       .join(broadcast(dict), Seq("term"))
       .select(col("term"), col("docid"),
-        Bm25.score(idx.numDocs, idx.avgdl, col("df"), col("tf"), col("len"))
+        sim.score(idx.numDocs, idx.avgdl, col("df"), col("tf"), col("len"))
           .as("tscore"))
   }
 
@@ -148,8 +151,9 @@ final class Searcher(idx: InvertedIndex) {
           if (g.nShould > 0) base && cntOf(a, "s") >= g.msm else base
         } else cntOf(a, "s") >= math.max(1, g.msm)
       val matched = inner && cntOf(a, "n") === 0L
-      val gscore =
-        if (g.nMust > 0) sumOf(a, "m") + sumOf(a, "s") else sumOf(a, "s")
+      val gscore = sim.applyCoord(
+        if (g.nMust > 0) sumOf(a, "m") + sumOf(a, "s") else sumOf(a, "s"),
+        cntOf(a, "m") + cntOf(a, "s"), g.nMust + g.nShould)
       df.withColumn(s"${g.gid}_ok", matched)
         .withColumn(s"${g.gid}_sc", when(matched, gscore).otherwise(lit(0.0)))
     }
@@ -166,7 +170,10 @@ final class Searcher(idx: InvertedIndex) {
       val floor = if (mustG.isEmpty) math.max(1, outerMsm) else outerMsm
       if (floor > 0) out = out.filter(okCnt(shouldG) >= floor)
     }
-    out.select(col("docid"), (scSum(mustG) + scSum(shouldG)).as("score"))
+    out.select(col("docid"),
+      sim.applyCoord(scSum(mustG) + scSum(shouldG),
+        okCnt(mustG) + okCnt(shouldG), mustG.size + shouldG.size)
+        .as("score"))
   }
 
   /** Evaluate to one row per matching doc: (docid: long, score: double). */
@@ -202,12 +209,17 @@ final class Searcher(idx: InvertedIndex) {
           m.join(s, Seq("docid"), "left")
             .filter(coalesce(col("scnt"), lit(0L)) >= msm)
             .select(col("docid"),
-              (col("mscore") + coalesce(col("sscore"), lit(0.0))).as("score"))
+              sim.applyCoord(
+                col("mscore") + coalesce(col("sscore"), lit(0.0)),
+                lit(must.size.toLong) + coalesce(col("scnt"), lit(0L)),
+                must.size + should.size).as("score"))
         case (Some(m), None) =>
           m.select(col("docid"), col("mscore").as("score"))
         case (None, Some(s)) =>
           s.filter(col("scnt") >= math.max(1, msm))
-            .select(col("docid"), col("sscore").as("score"))
+            .select(col("docid"),
+              sim.applyCoord(col("sscore"), col("scnt"), should.size)
+                .as("score"))
         case _ => sys.error("unreachable")
       }
       if (mustNot.isEmpty) combined
@@ -259,7 +271,7 @@ final class Searcher(idx: InvertedIndex) {
       }
       val base =
         if (includeSpan)
-          Bm25.score(idx.numDocs, idx.avgdl, col("df"), col("tf"), col("len"))
+          sim.score(idx.numDocs, idx.avgdl, col("df"), col("tf"), col("len"))
         else lit(1.0)
       idx.postingsForPay(Seq(t))
         .join(broadcast(dict), Seq("term"))
@@ -271,7 +283,7 @@ final class Searcher(idx: InvertedIndex) {
       // matched span in posA order (deterministic fold)
       val dfs = dfOf(Set(a, b))
       val sumIdf = Seq(a, b)
-        .map(t => Bm25.idf(idx.numDocs, dfs.getOrElse(t, 0L))).sum
+        .map(t => sim.idf(idx.numDocs, dfs.getOrElse(t, 0L))).sum
       val pa = idx.postingsForPay(Seq(a))
         .select(col("docid"), col("positions").as("posA"),
           col("payloads").as("payA"), col("len"))
@@ -300,7 +312,7 @@ final class Searcher(idx: InvertedIndex) {
       }
       val base =
         if (includeSpan)
-          lit(sumIdf) * Bm25.tfNorm(col("tfp"), col("len"), idx.avgdl)
+          lit(sumIdf) * sim.tfNorm(col("tfp"), col("len"), idx.avgdl)
         else lit(1.0)
       pa.join(pb, Seq("docid"))
         .withColumn("spans", spans)
@@ -316,7 +328,7 @@ final class Searcher(idx: InvertedIndex) {
       if (!ts.forall(dfs.contains))
         return idx.docs.select(col("docid"), lit(1.0).as("score"))
           .filter(lit(false))
-      val sumIdf = ts.map(t => Bm25.idf(idx.numDocs, dfs(t))).sum
+      val sumIdf = ts.map(t => sim.idf(idx.numDocs, dfs(t))).sum
       // one payload-postings frame per clause (duplicate terms get their
       // own aliased columns); the first carries len
       val joined = ts.zipWithIndex.map { case (t, i) =>
@@ -386,7 +398,7 @@ final class Searcher(idx: InvertedIndex) {
       }
       val base =
         if (includeSpan)
-          lit(sumIdf) * Bm25.tfNorm(col("tfp"), col("len"), idx.avgdl)
+          lit(sumIdf) * sim.tfNorm(col("tfp"), col("len"), idx.avgdl)
         else lit(1.0)
       joined
         .withColumn("tfp", tfp)
@@ -445,7 +457,7 @@ final class Searcher(idx: InvertedIndex) {
       val scored = idx.postingsForTermSetScoring(cand.select("term"))
         .join(broadcast(cand), Seq("term"))
         .select(col("docid"), col("term").as("ord"),
-          (Bm25.score(idx.numDocs, idx.avgdl, col("df"), col("tf"),
+          (sim.score(idx.numDocs, idx.avgdl, col("df"), col("tf"),
             col("len")) * col("boost")).as("score"))
       scored.groupBy(col("docid")).agg(
         aggregate(
@@ -486,19 +498,19 @@ final class Searcher(idx: InvertedIndex) {
             .otherwise(col("score")).as("score"))
 
     case SpanFirstQ(t, end) =>
-      val idf = Bm25.idf(idx.numDocs, dfOf(Set(t)).getOrElse(t, 0L))
+      val idf = sim.idf(idx.numDocs, dfOf(Set(t)).getOrElse(t, 0L))
       idx.postingsFor(Seq(t))
         .withColumn("tfp",
           size(filter(col("positions"), p => p < end)).cast("double"))
         .filter(col("tfp") > 0)
         .select(col("docid"),
-          (lit(idf) * Bm25.tfNorm(col("tfp"), col("len"), idx.avgdl))
+          (lit(idf) * sim.tfNorm(col("tfp"), col("len"), idx.avgdl))
             .as("score"))
 
     case SpanNearQ(a, b, slop, inOrder) =>
       val dfs = dfOf(Set(a, b))
       val sumIdf = Seq(a, b)
-        .map(t => Bm25.idf(idx.numDocs, dfs.getOrElse(t, 0L))).sum
+        .map(t => sim.idf(idx.numDocs, dfs.getOrElse(t, 0L))).sum
       val pa = idx.postingsFor(Seq(a))
         .select(col("docid"), col("positions").as("posA"), col("len"))
       val pb = idx.postingsFor(Seq(b))
@@ -522,13 +534,13 @@ final class Searcher(idx: InvertedIndex) {
         .withColumn("tfp", tfp)
         .filter(col("tfp") > 0)
         .select(col("docid"),
-          (lit(sumIdf) * Bm25.tfNorm(col("tfp"), col("len"), idx.avgdl))
+          (lit(sumIdf) * sim.tfNorm(col("tfp"), col("len"), idx.avgdl))
             .as("score"))
 
     case SpanNotQ(a, b, slop, exc) =>
       val dfs = dfOf(Set(a, b))
       val sumIdf = Seq(a, b)
-        .map(t => Bm25.idf(idx.numDocs, dfs.getOrElse(t, 0L))).sum
+        .map(t => sim.idf(idx.numDocs, dfs.getOrElse(t, 0L))).sum
       val pa = idx.postingsFor(Seq(a))
         .select(col("docid"), col("positions").as("posA"), col("len"))
       val pb = idx.postingsFor(Seq(b))
@@ -552,19 +564,19 @@ final class Searcher(idx: InvertedIndex) {
         .withColumn("tfp", tfp)
         .filter(col("tfp") > 0)
         .select(col("docid"),
-          (lit(sumIdf) * Bm25.tfNorm(col("tfp"), col("len"), idx.avgdl))
+          (lit(sumIdf) * sim.tfNorm(col("tfp"), col("len"), idx.avgdl))
             .as("score"))
 
     case SpanOrQ(ts) =>
       val dfs = dfOf(ts.toSet)
       val sumIdf = ts.distinct
-        .map(t => Bm25.idf(idx.numDocs, dfs.getOrElse(t, 0L))).sum
+        .map(t => sim.idf(idx.numDocs, dfs.getOrElse(t, 0L))).sum
       idx.postingsFor(ts)
         .groupBy(col("docid"))
         .agg(sum(col("tf")).cast("double").as("tfp"),
           max(col("len")).as("len"))
         .select(col("docid"),
-          (lit(sumIdf) * Bm25.tfNorm(col("tfp"), col("len"), idx.avgdl))
+          (lit(sumIdf) * sim.tfNorm(col("tfp"), col("len"), idx.avgdl))
             .as("score"))
 
     case SpanQ(sp) => spanQuery(sp)
@@ -638,7 +650,7 @@ final class Searcher(idx: InvertedIndex) {
     idx.postingsForTermSetScoring(dict.select("term"))
       .join(broadcast(dict), Seq("term"))
       .select(col("docid"), col("term").as("ord"),
-        Bm25.score(idx.numDocs, idx.avgdl, col("df"), col("tf"), col("len"))
+        sim.score(idx.numDocs, idx.avgdl, col("df"), col("tf"), col("len"))
           .as("score"))
       .groupBy(col("docid")).agg(
         aggregate(
@@ -660,7 +672,7 @@ final class Searcher(idx: InvertedIndex) {
     // a term absent from the dictionary makes the n-way join empty anyway;
     // its idf contribution uses df=0 (irrelevant — no rows survive)
     val sumIdf = p.terms
-      .map { case (t, _) => Bm25.idf(idx.numDocs, dfs.getOrElse(t, 0L)) }.sum
+      .map { case (t, _) => sim.idf(idx.numDocs, dfs.getOrElse(t, 0L)) }.sum
 
     val slots = p.terms.zipWithIndex.map { case ((t, _), i) =>
       val base = idx.postingsFor(Seq(t))
@@ -705,7 +717,7 @@ final class Searcher(idx: InvertedIndex) {
       .withColumn("tfp", tfp)
       .filter(col("tfp") > 0)
       .select(col("docid"),
-        (lit(sumIdf) * Bm25.tfNorm(col("tfp"), col("len"), idx.avgdl))
+        (lit(sumIdf) * sim.tfNorm(col("tfp"), col("len"), idx.avgdl))
           .as("score"))
   }
 
@@ -730,7 +742,7 @@ final class Searcher(idx: InvertedIndex) {
       return idx.docs.select(col("docid"), lit(1.0).as("score"))
         .filter(lit(false))
     // masked keyword leaves contribute no idf (keyword semantics)
-    val sumIdf = reqTerms.map(t => Bm25.idf(idx.numDocs, dfs(t))).sum
+    val sumIdf = reqTerms.map(t => sim.idf(idx.numDocs, dfs(t))).sum
 
     // one position column per distinct leaf; required leaves inner-join,
     // exclude-only leaves left-join (missing -> empty array)
@@ -820,7 +832,7 @@ final class Searcher(idx: InvertedIndex) {
       .withColumn("tfp", tfp)
       .filter(col("tfp") > 0)
       .select(col("docid"),
-        (lit(sumIdf) * Bm25.tfNorm(col("tfp"), col("len"), idx.avgdl))
+        (lit(sumIdf) * sim.tfNorm(col("tfp"), col("len"), idx.avgdl))
           .as("score"))
   }
 
@@ -833,7 +845,7 @@ final class Searcher(idx: InvertedIndex) {
     val allTerms = mp.slots.flatMap(_._1)
     val dfs = dfOf(allTerms.toSet)
     val sumIdf = allTerms
-      .map(t => Bm25.idf(idx.numDocs, dfs.getOrElse(t, 0L))).sum
+      .map(t => sim.idf(idx.numDocs, dfs.getOrElse(t, 0L))).sum
     val slots = mp.slots.zipWithIndex.map { case ((ts, _), i) =>
       val agg = idx.postingsFor(ts)
         .groupBy(col("docid"))
@@ -852,7 +864,7 @@ final class Searcher(idx: InvertedIndex) {
       .withColumn("tfp", size(filter(col("pos0"), pred)).cast("double"))
       .filter(col("tfp") > 0)
       .select(col("docid"),
-        (lit(sumIdf) * Bm25.tfNorm(col("tfp"), col("len"), idx.avgdl))
+        (lit(sumIdf) * sim.tfNorm(col("tfp"), col("len"), idx.avgdl))
           .as("score"))
   }
 
@@ -869,7 +881,7 @@ final class Searcher(idx: InvertedIndex) {
       .groupBy(_.term).map { case (t, xs) => t -> xs.size.toLong }
     val dfs = dfOf(tfMap.keySet)
     val ranked = tfMap.toSeq.map { case (t, tf) =>
-      (t, tf * Bm25.idf(idx.numDocs, dfs.getOrElse(t, 0L)))
+      (t, tf * sim.idf(idx.numDocs, dfs.getOrElse(t, 0L)))
     }.sortBy { case (t, w) => (-w, t) }.take(topN).map(_._1)
     if (ranked.isEmpty)
       return idx.docs.select(col("docid"), lit(1.0).as("score"))
@@ -1062,9 +1074,9 @@ final class Searcher(idx: InvertedIndex) {
     idx.postingsForScoring(Seq(t))
       .join(broadcast(dict), Seq("term"))
       .select(col("docid"), col("term"), col("tf"), col("len"), col("df"),
-        Bm25.idfCol(idx.numDocs, col("df")).as("idf"),
-        Bm25.tfNorm(col("tf"), col("len"), idx.avgdl).as("tfnorm"),
-        Bm25.score(idx.numDocs, idx.avgdl, col("df"), col("tf"), col("len"))
+        sim.idfCol(idx.numDocs, col("df")).as("idf"),
+        sim.tfNorm(col("tf"), col("len"), idx.avgdl).as("tfnorm"),
+        sim.score(idx.numDocs, idx.avgdl, col("df"), col("tf"), col("len"))
           .as("score"))
   }
 }
