@@ -349,26 +349,8 @@ object TrainEntries {
 
     ("tx_quality",
       (s, d) => TrainOps.qualityScore(s, d),
-      s"""WITH t AS (
-         |  SELECT doc_id, $tokSql AS tk,
-         |         CAST(length(text) AS DOUBLE) AS chars,
-         |         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha
-         |  FROM documents),
-         |m AS (
-         |  SELECT doc_id,
-         |    CAST(len(tk) AS DOUBLE) AS ntok,
-         |    CAST(len(list_filter(tk, x -> x IN ('the','a','and','of','to','in','is','it','that','for'))) AS DOUBLE) AS nstop,
-         |    CASE WHEN len(tk) > 0
-         |         THEN CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / CAST(len(tk) AS DOUBLE)
-         |         ELSE 0.0 END AS meanw,
-         |    chars, alpha
-         |  FROM t)
-         |SELECT doc_id,
-         |  round(0.35 * least(chars / 500.0, 1.0)
-         |      + 0.25 * least(nstop / greatest(ntok, 1.0) * 4.0, 1.0)
-         |      + 0.25 * (alpha / greatest(chars, 1.0))
-         |      + 0.15 * least(meanw / 8.0, 1.0), 4) AS quality
-         |FROM m ORDER BY doc_id""".stripMargin),
+      s"""WITH $qualityCtes
+         |SELECT doc_id, quality FROM q ORDER BY doc_id""".stripMargin),
 
     ("tx_langid",
       (s, d) => TrainOps.langId(s, d),
@@ -528,5 +510,75 @@ object TrainEntries {
          |  CAST(64 + (h // 512) % 512 AS INTEGER) AS height,
          |  h % 997 AS chk
          |FROM m ORDER BY doc_id""".stripMargin),
+
+    // ---- dataset assembly: split / stratified sample / curation ----
+    ("tx_split",
+      (s, d) => TrainOps.splitCounts(s, d),
+      s"""WITH t AS (SELECT
+         |    CASE WHEN ${h60("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 90
+         |           THEN 'train'
+         |         WHEN ${h60("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 95
+         |           THEN 'val'
+         |         ELSE 'test' END AS split,
+         |    CAST(len($tokSql) AS BIGINT) AS t
+         |  FROM documents)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(t) AS BIGINT) AS n_tokens
+         |FROM t GROUP BY split ORDER BY split""".stripMargin),
+
+    // per-source sampling fractions are PARAMETERS (frac × 2^60 embedded
+    // as literals below); the verified computation is the salted
+    // hash-vs-threshold filter, replayed independently in SQL
+    ("tx_sample",
+      (s, d) => TrainOps.stratifiedSample(s, d, SampleFracs, SampleDefault),
+      s"""SELECT source, doc_id FROM documents
+         |WHERE ${h60("'strat:' || CAST(doc_id AS VARCHAR)")}
+         |  < (CASE ${SampleFracs.map { case (src, f) =>
+              s"WHEN source = '$src' THEN ${sampleThr(f)}" }.mkString(" ")}
+         |     ELSE ${sampleThr(SampleDefault)} END)
+         |ORDER BY source, doc_id""".stripMargin),
+
+    ("tx_curate",
+      (s, d) => TrainOps.curateTopK(s, d, k = 3),
+      s"""WITH $qualityCtes,
+         |r AS (
+         |  SELECT source, doc_id, quality,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY quality DESC, doc_id) AS BIGINT) AS rk
+         |  FROM q)
+         |SELECT source, doc_id, quality, rk FROM r
+         |WHERE rk <= 3 ORDER BY source, rk""".stripMargin),
   )
+
+  /** tx_sample parameters: per-source keep fractions + default (defs —
+    * referenced from `entries`, which initializes first). */
+  private def SampleFracs = Seq("src3" -> 0.6, "src7" -> 0.0)
+  private def SampleDefault = 0.25
+  private def sampleThr(f: Double): Long = (f * TrainOps.H60Range).toLong
+
+  /** Quality CTE chain (mirrors TrainOps.qualityCol, identical operand
+    * order): yields q(source, doc_id, quality) — shared by tx_quality
+    * and tx_curate so the formula cannot drift between gates. */
+  private lazy val qualityCtes: String =
+    s"""t AS (
+       |  SELECT source, doc_id, $tokSql AS tk,
+       |         CAST(length(text) AS DOUBLE) AS chars,
+       |         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha
+       |  FROM documents),
+       |m AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(tk) AS DOUBLE) AS ntok,
+       |    CAST(len(list_filter(tk, x -> x IN ('the','a','and','of','to','in','is','it','that','for'))) AS DOUBLE) AS nstop,
+       |    CASE WHEN len(tk) > 0
+       |         THEN CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+       |         ELSE 0.0 END AS meanw,
+       |    chars, alpha
+       |  FROM t),
+       |q AS (
+       |  SELECT source, doc_id,
+       |    round(0.35 * least(chars / 500.0, 1.0)
+       |        + 0.25 * least(nstop / greatest(ntok, 1.0) * 4.0, 1.0)
+       |        + 0.25 * (alpha / greatest(chars, 1.0))
+       |        + 0.15 * least(meanw / 8.0, 1.0), 4) AS quality
+       |  FROM m)""".stripMargin
 }

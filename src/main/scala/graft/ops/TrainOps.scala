@@ -846,15 +846,18 @@ object TrainOps {
   private val StopMarkers = Seq("the", "a", "and", "of", "to", "in", "is",
     "it", "that", "for")
 
-  /** Quality score in [0,1]: length, stopword traffic, alpha ratio,
-    * mean word length — the classic cheap pretraining filters. */
-  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
-    val tk = toks(col("text"))
+  /** Quality score in [0,1] over a text column: length, stopword
+    * traffic, alpha ratio, mean word length — the classic cheap
+    * pretraining filters. Rounded to 4 decimals (the cross-engine
+    * float guard; downstream ops RANK by this rounded value so both
+    * engines see identical tie sets). */
+  private def qualityCol(text: Column): Column = {
+    val tk = toks(text)
     val nTok = size(tk).cast("double")
     val nStop = size(filter(tk, t => t.isin(StopMarkers: _*))).cast("double")
-    val alpha = size(regexp_extract_all(col("text"), lit("[A-Za-z]"), lit(0)))
+    val alpha = size(regexp_extract_all(text, lit("[A-Za-z]"), lit(0)))
       .cast("double")
-    val chars = length(col("text")).cast("double")
+    val chars = length(text).cast("double")
     val meanW = when(nTok > 0,
       aggregate(tk, lit(0.0), (acc, t) => acc + length(t)) / nTok)
       .otherwise(0.0)
@@ -862,11 +865,14 @@ object TrainOps {
     val stopScore = least(nStop / greatest(nTok, lit(1.0)) * 4.0, lit(1.0))
     val alphaScore = alpha / greatest(chars, lit(1.0))
     val wlenScore = least(meanW / lit(8.0), lit(1.0))
-    docs(spark, sfDir).select(col("doc_id"),
-      round(lit(0.35) * lenScore + lit(0.25) * stopScore +
-        lit(0.25) * alphaScore + lit(0.15) * wlenScore, 4).as("quality"))
-      .orderBy("doc_id")
+    round(lit(0.35) * lenScore + lit(0.25) * stopScore +
+      lit(0.25) * alphaScore + lit(0.15) * wlenScore, 4)
   }
+
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), qualityCol(col("text")).as("quality"))
+      .orderBy("doc_id")
 
   private val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "is", "that", "for", "with"),
@@ -1042,5 +1048,75 @@ object TrainOps {
       .groupBy("doc_id")
       .agg(countDistinct(col("g")).as("n_hits"))
       .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------------------
+  // Dataset assembly: split / stratified sample / per-source curation
+  // -------------------------------------------------------------------
+
+  /** Deterministic train/val/test split: bucket = salted-hash(doc_id)
+    * mod 100 → train (<90) / val (<95) / test. Membership is a pure
+    * function of the id — stable under reruns, repartitions, and
+    * incremental appends (a new doc never moves an old one), the
+    * property random/reservoir splits lack at 100 TB. Map-only + one
+    * 3-group agg. The salt decorrelates this hash from every other
+    * md5(doc_id) use in the pipeline (sampling, SimHash, ...). */
+  def splitCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = pmod(h60(concat(lit("split:"), col("doc_id").cast("string"))),
+      lit(100))
+    docs(spark, sfDir)
+      .select(
+        when(b < 90, "train").when(b < 95, "val").otherwise("test")
+          .as("split"),
+        size(toks(col("text"))).cast("long").as("t"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("t").as("n_tokens"))
+      .orderBy("split")
+  }
+
+  /** Max value of [[h60]] + 1 (2^60) — the sampling-threshold scale. */
+  val H60Range = 1L << 60
+
+  /** Stratified sampling: per-stratum keep fraction as a THRESHOLD on
+    * the salted id hash (keep iff h60 < frac × 2^60) — map-only, no
+    * count pass, no per-group rank. Exact per-stratum quotas would need
+    * a window over each stratum (an extra shuffle and a skew hazard on
+    * hot strata at 100 TB) to guarantee what the hash already delivers
+    * within ~1/√(stratum size); deterministic, append-stable, and any
+    * doc's membership is auditable from its id alone. */
+  def stratifiedSample(spark: SparkSession, sfDir: String,
+      fracs: Seq[(String, Double)], defaultFrac: Double): DataFrame = {
+    def thr(f: Double): Long = (f * H60Range).toLong
+    val thrCol = fracs.foldLeft(lit(thr(defaultFrac))) { case (acc, (s, f)) =>
+      when(col("source") === s, lit(thr(f))).otherwise(acc)
+    }
+    docs(spark, sfDir)
+      .filter(h60(concat(lit("strat:"), col("doc_id").cast("string")))
+        < thrCol)
+      .select(col("source"), col("doc_id"))
+      .orderBy("source", "doc_id")
+  }
+
+  /** Per-source top-k curation by [[qualityCol]] — the per-domain cap a
+    * pretraining mix applies. Skew-proof two-level top-k: level 1 ranks
+    * within (source, input-partition) cells — a hot source spreads over
+    * every cell, so no reducer sees more than its partition's share —
+    * and keeps ≤ k per cell (correct: any global top-k row is top-k in
+    * whatever cell it lands in); level 2 ranks the ≤ k·P survivors per
+    * source. Both levels rank by the ROUNDED quality (tie-break doc_id)
+    * so the oracle sees identical tie sets. */
+  def curateTopK(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val base = docs(spark, sfDir).select(col("source"), col("doc_id"),
+      qualityCol(col("text")).as("quality"))
+      .withColumn("cell", spark_partition_id())
+    val lvl1 = Window.partitionBy(col("source"), col("cell"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    val pruned = base.withColumn("r1", row_number().over(lvl1))
+      .filter(col("r1") <= k).drop("r1", "cell")
+    val lvl2 = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    pruned.withColumn("rk", row_number().over(lvl2).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy(col("source"), col("rk"))
   }
 }

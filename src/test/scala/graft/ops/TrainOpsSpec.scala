@@ -203,4 +203,71 @@ class TrainOpsSpec extends AnyFunSuite {
     }
     assert(votesKnown >= 0 && votesKnown < (1L << 60))
   }
+
+  /** Skewed multi-source corpus over many input partitions — exercises
+    * the salted two-level top-k against the naive single-window plan. */
+  private lazy val skewedDir: String = {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    // "hot" owns 80% of docs; quality varies via text length/shape
+    val docs = (1L to 200L).map { i =>
+      val src = if (i % 5 != 0) "hot" else s"cold${i % 3}"
+      val body = ("the scan " * (i % 17).toInt) +
+        s"unique filler u$i v$i " + ("and aggregate rows " * (i % 7).toInt)
+      (i, body, src)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-cur").toString
+    docs.toDF("doc_id", "text", "source").repartition(9)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("curateTopK (salted two-level) == naive global window top-k") {
+    val spark = SparkFixture.spark
+    val got = TrainOps.curateTopK(spark, skewedDir, k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    // independent naive reference: full sort per source, driver-side
+    val all = TrainOps.qualityScore(spark, skewedDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val srcs = spark.read.parquet(s"$skewedDir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val want = srcs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      ds.map(_._1).sortBy(d => (-all(d), d)).take(4).zipWithIndex
+        .map { case (d, i) => (src, d, (i + 1).toLong) }
+    }.sortBy(t => (t._1, t._3))
+    assert(got.toSeq == want)
+  }
+
+  test("split and sample are partition-count invariant and disjoint-stable") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    val dirA = java.nio.file.Files.createTempDirectory("graft-spl").toString
+    val docs = (1L to 300L).map(i => (i, s"doc body $i with words " * 3))
+    docs.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dirA/documents.parquet")
+    val dirB = java.nio.file.Files.createTempDirectory("graft-spl").toString
+    docs.toDF("doc_id", "text").repartition(11)
+      .write.mode("overwrite").parquet(s"$dirB/documents.parquet")
+    val a = TrainOps.splitCounts(spark, dirA).collect().map(_.toSeq)
+    val b = TrainOps.splitCounts(spark, dirB).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+    assert(a.map(_(1).asInstanceOf[Long]).sum == 300L)
+    // append-stability: the first 150 docs keep their membership when
+    // the corpus doubles (pure function of the id)
+    val dirC = java.nio.file.Files.createTempDirectory("graft-spl").toString
+    docs.take(150).toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dirC/documents.parquet")
+    def keptIds(dir: String) = {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+        .withColumn("source", lit("s"))
+      val t = java.nio.file.Files.createTempDirectory("graft-spl").toString
+      d.write.mode("overwrite").parquet(s"$t/documents.parquet")
+      TrainOps.stratifiedSample(spark, t, Nil, 0.3)
+        .collect().map(_.getLong(1)).toSet
+    }
+    val half = keptIds(dirC)
+    val full = keptIds(dirB)
+    assert(half == full.filter(_ <= 150L))
+  }
 }
