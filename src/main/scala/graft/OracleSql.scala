@@ -19,7 +19,7 @@ object OracleSql {
 
   private val stopList = Analyzer.StopWordsSeq.map(sq).mkString(", ")
 
-  private val transcriptsCte: String =
+  private[graft] val transcriptsCte: String =
     s"""transcripts AS (
        |  SELECT 'c' || lpad(CAST(doc_id // 8 AS VARCHAR), 6, '0') AS conv_id,
        |         CAST(doc_id % 8 AS INTEGER) AS turn_idx,

@@ -523,6 +523,51 @@ object SparkEntry {
     "ft_stem_ru" -> stemGate(StemVectors.russian,
       graft.analysis.RussianStemmer.stem),
 
+    // --- sortable field codecs (Document/DateTools.cs, NumberTools.cs) ---
+    // DAY/HOUR-resolution date strings put timestamps into the
+    // lexicographic term space; the gate proves the range contract
+    // (string BETWEEN == time range) on the transcripts ts field
+    "ft_datetools" -> Raw(
+      (s, dir) => {
+        val t = graft.model.Transcripts.fromDocuments(s, dir)
+        t.filter(graft.model.DateTools.dateToString(col("ts"), "hour")
+          .between("2025010102", "2025010104"))
+          .select(col("conv_id"), col("turn_idx"),
+            graft.model.DateTools.dateToString(col("ts"), "minute")
+              .as("minute_key"))
+          .orderBy("conv_id", "turn_idx")
+      },
+      s"""WITH ${OracleSql.transcriptsCte}
+         |SELECT conv_id, turn_idx,
+         |       strftime(ts, '%Y%m%d%H%M') AS minute_key
+         |FROM transcripts
+         |WHERE strftime(ts, '%Y%m%d%H') BETWEEN '2025010102' AND '2025010104'
+         |ORDER BY conv_id, turn_idx""".stripMargin),
+    // order-preserving long encoding: result is ordered BY the encoded
+    // string, so a hash match proves lexicographic == numeric order and
+    // the round-trip, over mixed-sign values
+    "ft_numbertools" -> Raw(
+      (s, dir) => {
+        val v = col("doc_id") * lit(2654435761L) -
+          lit(4611686018427387904L)
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), v.as("v"),
+            graft.model.NumberTools.longToString(v).as("enc"))
+          .withColumn("rt",
+            graft.model.NumberTools.stringToLong(col("enc")))
+          .orderBy("enc", "doc_id")
+      },
+      """SELECT doc_id, v,
+        |  lpad(CAST(CAST(v AS HUGEINT) + 9223372036854775808 AS VARCHAR),
+        |       20, '0') AS enc,
+        |  CAST(CAST(lpad(CAST(CAST(v AS HUGEINT) + 9223372036854775808
+        |         AS VARCHAR), 20, '0') AS HUGEINT)
+        |       - 9223372036854775808 AS BIGINT) AS rt
+        |FROM (SELECT doc_id,
+        |        doc_id * 2654435761 - 4611686018427387904 AS v
+        |      FROM documents)
+        |ORDER BY enc, doc_id""".stripMargin),
+
     // --- pluggable Similarity (Similarity.cs:398-503 strategy) ---
     // classic TF-IDF DefaultSimilarity: tf=sqrt(freq), idf=1+ln(N/(df+1)),
     // lengthNorm=1/sqrt(len) — same query ASTs, swapped strategy; oracle
