@@ -277,6 +277,9 @@ object SparkEntry {
     // same co-generated spec path (oracle derives from the same AST) ---
     "ft_multifield" -> TopK(QueryParser.parseMultiField(
       "spark role:assistant merge", Seq("text", "role"))),
+    // field scope threads into groups: role applies to BOTH disjuncts
+    "ft_field_group" -> TopK(QueryParser.parse(
+      "role:(tool user) +table merge")),
 
     // --- highlighter (contrib Highlighter / FastVectorHighlighter) ---
     // best-window snippets over the top-k hits; the tvec variant takes

@@ -16,8 +16,12 @@ import graft.analysis.Analyzer
   *  - prefix* (QueryParser.cs:1037), wild*card / wild?card (:995)
   *  - fuzzy~ / fuzzy~N (edits; :1063 — the reference's float similarity
   *    is mapped to integer max-edits, Lucene-4 style)
-  *  - ^boost, ( grouping )
+  *  - ^boost, ( grouping ); `field:(...)` threads the field into every
+  *    sub-clause (QueryParser.JJ Clause field arg)
   *  - field:... — `role`/`tool`/`conv_id` are NOT_ANALYZED keyword fields
+  *  - `\` escapes (QueryParser.Escape set): an escaped char is plain
+  *    text — `foo\:bar` is one word, `role:a\ b` a keyword with a
+  *    space, `spark\~` no fuzzy marker
   */
 object QueryParser {
 
@@ -61,11 +65,52 @@ object QueryParser {
     def peek: Char = s.charAt(pos)
     def skipWs(): Unit = while (!eof && s.charAt(pos).isWhitespace) pos += 1
 
+    /** Raw word scan, backslash-aware (QueryParser.JJ's `\` escapes: an
+      * escaped char neither terminates the word nor acts as syntax —
+      * `foo\:bar`, `user\ name`, `\+1` are single words). Escapes are
+      * kept in the RAW result; strip them with [[unescape]] only after
+      * syntax decisions (fuzzy/wildcard markers) are made. */
     private def word(): String = {
       val start = pos
-      while (!eof && !s.charAt(pos).isWhitespace &&
-        !"()\"^[]{}".contains(s.charAt(pos))) pos += 1
+      while (!eof && {
+        val c = s.charAt(pos)
+        if (c == '\\' && pos + 1 < s.length) { pos += 2; true }
+        else if (!c.isWhitespace && !"()\"^[]{}".contains(c)) {
+          pos += 1; true
+        } else false
+      }) ()
       s.substring(start, pos)
+    }
+
+    /** Drop the escape backslashes: each `\x` becomes `x`. */
+    private def unescape(w: String): String = {
+      val b = new StringBuilder(w.length)
+      var i = 0
+      while (i < w.length) {
+        if (w.charAt(i) == '\\' && i + 1 < w.length) { b += w.charAt(i + 1); i += 2 }
+        else { b += w.charAt(i); i += 1 }
+      }
+      b.result()
+    }
+
+    /** Index of the last UNESCAPED occurrence of `c`, or -1. */
+    private def lastUnescaped(w: String, c: Char): Int = {
+      var i = w.length - 1
+      while (i >= 0) {
+        if (w.charAt(i) == c && (i == 0 || w.charAt(i - 1) != '\\')) return i
+        i -= 1
+      }
+      -1
+    }
+
+    private def hasUnescaped(w: String, cs: String): Boolean = {
+      var i = 0
+      var found = false
+      while (i < w.length && !found) {
+        if (w.charAt(i) == '\\') i += 2
+        else { if (cs.indexOf(w.charAt(i)) >= 0) found = true; i += 1 }
+      }
+      found
     }
 
     private def tryKeyword(kw: String): Boolean = {
@@ -77,8 +122,10 @@ object QueryParser {
     }
 
     /** clause list with Lucene's conjunction upgrading: `a AND b` marks
-      * both MUST (QueryParser.AddClause semantics). */
-    def parseBool(): Query = {
+      * both MUST (QueryParser.AddClause semantics). `targets` carries
+      * the enclosing field scope (QueryParser.JJ threads the `field`
+      * param into sub-queries, so `role:(a b)` applies role to BOTH). */
+    def parseBool(targets: Seq[(String, Double)] = defaultFields): Query = {
       val clauses = scala.collection.mutable.ArrayBuffer.empty[(Occur, Query)]
       var first = true
       while ({ skipWs(); !eof && peek != ')' }) {
@@ -95,7 +142,7 @@ object QueryParser {
         else if (tryKeyword("NOT")) occ = MustNot
         skipWs()
         if (!eof && peek != ')') {
-          val q = parseClause()
+          val q = parseClause(targets)
           if (conjAnd) {
             if (occ == Should) occ = Must
             // upgrade the previous clause too (a AND b => +a +b)
@@ -119,11 +166,13 @@ object QueryParser {
     }
 
     /** One clause: [field:] atom [^boost]. Without an explicit field the
-      * atom expands over defaultFields (one field = the classic parser;
-      * several = the MultiFieldQueryParser disjunction). */
-    private def parseClause(): Option[Query] = {
+      * atom expands over the enclosing scope's fields (one field = the
+      * classic parser; several = the MultiFieldQueryParser
+      * disjunction). */
+    private def parseClause(outer: Seq[(String, Double)]): Option[Query] = {
       skipWs()
-      // field prefix
+      // field prefix (an escaped `\:` is not a field separator — the
+      // w0 scanner stops at the backslash, so `foo\:bar` stays a word)
       var explicit: Option[String] = None
       val save = pos
       val w0 = {
@@ -136,7 +185,7 @@ object QueryParser {
       else pos = save
 
       val targets: Seq[(String, Double)] =
-        explicit.map(f => Seq(f -> 1.0)).getOrElse(defaultFields)
+        explicit.map(f => Seq(f -> 1.0)).getOrElse(outer)
 
       /** Build the atom once per target field; OR the survivors. */
       def perField(build: String => Option[Query]): Option[Query] = {
@@ -155,15 +204,19 @@ object QueryParser {
         else peek match {
           case '(' =>
             pos += 1
-            val q = parseBool()
+            // the field scope threads INTO the group: role:(a b) applies
+            // role to both sub-clauses (QueryParser.JJ Clause field arg)
+            val q = parseBool(targets)
             skipWs(); require(!eof && peek == ')', "expected )"); pos += 1
             Some(q)
           case '"' =>
             pos += 1
             val start = pos
-            while (!eof && peek != '"') pos += 1
+            while (!eof && peek != '"') {
+              if (peek == '\\' && pos + 1 < s.length) pos += 2 else pos += 1
+            }
             require(!eof, "unterminated phrase")
-            val text = s.substring(start, pos); pos += 1
+            val text = unescape(s.substring(start, pos)); pos += 1
             var slop = 0
             if (!eof && peek == '~') {
               pos += 1
@@ -196,22 +249,31 @@ object QueryParser {
               rewrite = AutoRewrite))
           case _ =>
             val w = word()
+            // syntax markers are detected on the RAW word (escaped ~ * ?
+            // are plain text); the text itself is unescaped afterwards
+            val tilde = lastUnescaped(w, '~')
+            val isFuzzy =
+              tilde > 0 && w.substring(tilde + 1).forall(_.isDigit)
             if (w.isEmpty) { pos += 1; None }
             else perField { f =>
-              if (KeywordFields.contains(f)) Some(KeywordQ(f, w))
-              else if (w.endsWith("~") || w.matches(".*~\\d+$")) {
-                val idx = w.lastIndexOf('~')
-                val t = w.substring(0, idx).toLowerCase
+              if (KeywordFields.contains(f)) Some(KeywordQ(f, unescape(w)))
+              else if (isFuzzy) {
+                val t = unescape(w.substring(0, tilde)).toLowerCase
                 val edits =
-                  if (idx == w.length - 1) 2 else w.substring(idx + 1).toInt
+                  if (tilde == w.length - 1) 2 else w.substring(tilde + 1).toInt
                 Some(FuzzyQ(Analyzer.stripPossessive(t), edits))
-              } else if (w.contains('*') || w.contains('?')) {
-                val t = w.toLowerCase
-                if (t.endsWith("*") && !t.dropRight(1).exists(c => c == '*' || c == '?'))
+              } else if (hasUnescaped(w, "*?")) {
+                // an escaped wildcard inside a word that ALSO carries an
+                // unescaped one degrades to a wildcard (corpus terms
+                // cannot contain * or ?, so the pattern cannot match
+                // either way)
+                val t = unescape(w).toLowerCase
+                if (lastUnescaped(w, '*') == w.length - 1 &&
+                  !hasUnescaped(w.dropRight(1), "*?"))
                   Some(PrefixQ(t.dropRight(1), rewrite = AutoRewrite))
                 else Some(WildcardQ(t, rewrite = AutoRewrite))
               } else {
-                Analyzer.analyzeQuery(w) match {
+                Analyzer.analyzeQuery(unescape(w)) match {
                   case Vector() => None // stopword-only clause drops out
                   case Vector(t) => Some(TermQ(t))
                   case ts => Some(PhraseQ(ts.zipWithIndex.map {

@@ -90,6 +90,44 @@ class QueryParserSpec extends AnyFunSuite {
     assert(QueryParser.parse("the a to") == MatchNoneQ)
   }
 
+  test("field scope threads into groups (QueryParser.JJ field arg)") {
+    assert(QueryParser.parse("role:(tool user)") ==
+      BoolQ(Nil, Seq(KeywordQ("role", "tool"), KeywordQ("role", "user")),
+        Nil))
+    // explicit inner field overrides the group scope
+    assert(QueryParser.parse("role:(tool text:merge)") ==
+      BoolQ(Nil, Seq(KeywordQ("role", "tool"), TermQ("merge")), Nil))
+    // nested groups inherit transitively
+    assert(QueryParser.parse("role:((tool))") == KeywordQ("role", "tool"))
+    // multifield expansion still applies inside unscoped groups
+    assert(QueryParser.parseMultiField("(spark)", Seq("text", "role")) ==
+      BoolQ(Nil, Seq(TermQ("spark"), KeywordQ("role", "spark")), Nil))
+  }
+
+  test("backslash escapes make syntax chars plain text") {
+    // escaped colon: one analyzed word, not a field prefix
+    assert(QueryParser.parse("foo\\:bar") ==
+      PhraseQ(Seq("foo" -> 0, "bar" -> 1)))
+    // escaped space in a keyword value
+    assert(QueryParser.parse("role:user\\ name") ==
+      KeywordQ("role", "user name"))
+    // escaped tilde: no fuzzy marker (the ~ is stripped by analysis)
+    assert(QueryParser.parse("spark\\~") == TermQ("spark"))
+    // unescaped tilde still fuzzy
+    assert(QueryParser.parse("spark~1") == FuzzyQ("spark", 1))
+    // escaped star: not a wildcard; term survives via analysis
+    assert(QueryParser.parse("spark\\*") == TermQ("spark"))
+    // unescaped star after escaped one still a prefix shape? mixed
+    // degrades to wildcard (documented)
+    assert(QueryParser.parse("spar?") ==
+      WildcardQ("spar?", rewrite = AutoRewrite))
+    // escaped quote inside a phrase
+    assert(QueryParser.parse("\"key \\\" agg\"") ==
+      PhraseQ(Seq("key" -> 0, "agg" -> 1)))
+    // escaped plus is not an occur marker
+    assert(QueryParser.parse("\\+1") == TermQ("1"))
+  }
+
   test("unbalanced parens rejected") {
     intercept[IllegalArgumentException](QueryParser.parse("(spark table"))
   }
