@@ -59,6 +59,14 @@ object Explain {
     dump("percolate multi", graft.streaming.StreamingPercolator.percolate(
       graft.model.Transcripts.fromDocuments(spark, sfDir),
       Seq("q" -> TermQ("table"))))
+    // stratified sample: the scan's ReadSchema must carry ONLY
+    // (source, doc_id) — the hash filter needs no text column
+    dump("stratified sample (no text read)", graft.ops.TrainOps
+      .stratifiedSample(spark, sfDir, Seq("src3" -> 0.6), 0.25))
+    // curation: level-1 window keyed by (source, cell) BEFORE the
+    // per-source window — two bounded shuffles, no global sort
+    dump("curate top-k (two-level window)",
+      graft.ops.TrainOps.curateTopK(spark, sfDir, 3))
     spark.stop()
   }
 }
