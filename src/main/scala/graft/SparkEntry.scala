@@ -571,6 +571,25 @@ object SparkEntry {
         |      FROM documents)
         |ORDER BY enc, doc_id""".stripMargin),
 
+    // stored-field compression (CompressionTools.cs): the engine
+    // compresses + decompresses every doc's bytes and hashes the result;
+    // the oracle hashes the original directly — equality proves the
+    // round-trip is lossless on real data. Compressed SIZE is a
+    // diagnostic, not gated (zlib library versions may differ).
+    "ft_compress" -> Raw(
+      (s, dir) => {
+        val raw = col("text").cast("binary")
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            length(raw).cast("long").as("n_raw"),
+            md5(graft.model.CompressionTools.decompressCol(
+              graft.model.CompressionTools.compressCol(raw))).as("rt_md5"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_raw,
+        |       md5(text) AS rt_md5
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
     // --- pluggable Similarity (Similarity.cs:398-503 strategy) ---
     // classic TF-IDF DefaultSimilarity: tf=sqrt(freq), idf=1+ln(N/(df+1)),
     // lengthNorm=1/sqrt(len) — same query ASTs, swapped strategy; oracle
