@@ -571,6 +571,39 @@ object SparkEntry {
         |      FROM documents)
         |ORDER BY enc, doc_id""".stripMargin),
 
+    // index-derived query stop set (contrib
+    // Query/QueryAutoStopWordAnalyzer.cs): terms in > 80% of docs are
+    // stopped at query time; the gate verifies the derived set itself
+    "ft_autostop" -> Raw(
+      (s, dir) => {
+        val idx = Engine.index(s, dir)
+        val cap = (idx.numDocs * 0.80).toLong
+        idx.termDict.filter(col("df") > cap)
+          .select(col("term"), col("df")).orderBy("term")
+      },
+      s"""${OracleSql.prelude}
+         |SELECT term, df FROM dict CROSS JOIN stats s
+         |WHERE df > CAST(floor(s.n * 0.80) AS BIGINT)
+         |ORDER BY term""".stripMargin),
+
+    // leading wildcard via the reversed twin field (contrib
+    // Reverse/ReverseStringFilter.cs mechanism): `*er` becomes
+    // PrefixQ("re") on a Reversed-analyzed index. Reversal is a term
+    // bijection (df/tf/len invariant), so the scored result must equal
+    // the oracle's wildcard scoring on the NORMAL terms — which is
+    // exactly what the gate compares.
+    "ft_reverse_wild" -> Raw(
+      (s, dir) => Engine.ranked(
+        new Searcher(Engine.indexAnalyzed(s, dir,
+          graft.analysis.Analyzers.Reversed))
+          .topK(PrefixQ("re", rewrite = ScoringBoolean), 10)),
+      s"""${OracleSql.prelude}
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, docid) AS BIGINT) AS rank,
+         |       docid, round(score, 4) AS score
+         |FROM (SELECT docid, sum(tscore) AS score FROM scored
+         |      WHERE term LIKE '%er' GROUP BY docid)
+         |ORDER BY score DESC, docid LIMIT 10""".stripMargin),
+
     // stored-field compression (CompressionTools.cs): the engine
     // compresses + decompresses every doc's bytes and hashes the result;
     // the oracle hashes the original directly — equality proves the

@@ -115,6 +115,21 @@ object Analyzers {
   final case class Decompound(dict: Set[String],
       minWordSize: Int = 5, minSubword: Int = 2, maxSubword: Int = 15,
       onlyLongestMatch: Boolean = false) extends Kind
+  /** Reverse/ReverseStringFilter.cs analog: every kept Standard token
+    * reversed in place. The reference's leading-wildcard mechanism —
+    * index a reversed twin field and `*suffix` becomes a PREFIX scan
+    * there (block-pushdown-able) instead of a full-dictionary regex. */
+  case object Reversed extends Kind
+  /** NGram/EdgeNGramTokenFilter.cs (front edge) analog: the
+    * minGram..maxGram PREFIXES of each kept Standard token, emitted at
+    * the token's position — the autocomplete index shape. */
+  final case class EdgeNgrams(minGram: Int = 1, maxGram: Int = 5)
+    extends Kind
+  /** Miscellaneous/PatternAnalyzer.cs analog: the regex is the token
+    * SEPARATOR (String.split semantics), tokens lowercased, optional
+    * Standard stop set — the CSV/log-line tokenizer. */
+  final case class Pattern(separator: String, stops: Boolean = true)
+    extends Kind
 
   /** The shared shape of every language chain: raw word tokens
     * (position = raw-token index, stop gaps preserved — the same
@@ -133,6 +148,20 @@ object Analyzers {
 
   def tokenize(kind: Kind, text: String): Vector[Token] = kind match {
     case Standard => Analyzer.fastTokenize(text)
+    case Reversed =>
+      Analyzer.fastTokenize(text).map(t => Token(t.term.reverse, t.pos))
+    case EdgeNgrams(lo, hi) =>
+      Analyzer.fastTokenize(text).flatMap(t =>
+        (lo to math.min(hi, t.term.length)).map(n =>
+          Token(t.term.substring(0, n), t.pos)))
+    case Pattern(sep, stops) =>
+      if (text == null) Vector.empty
+      else text.split(sep, -1).iterator.map(_.toLowerCase).zipWithIndex
+        .collect {
+          case (t, i) if t.nonEmpty && (!stops || !Analyzer.StopWords(t)) &&
+              t.length <= Analyzer.MaxTokenLength =>
+            Token(t, i)
+        }.toVector
     case Whitespace =>
       if (text == null) Vector.empty
       else text.split("\\s+").iterator.filter(_.nonEmpty).zipWithIndex

@@ -160,6 +160,25 @@ class AnalyzersSpec extends AnyFunSuite {
       Token("dampf", 0), Token("schiffahrt", 0), Token("fahrt", 0)))
   }
 
+  test("reversed / edge-ngram / pattern kinds") {
+    import graft.analysis.Analyzer.Token
+    // Reversed: kept Standard tokens, each reversed, positions intact
+    assert(Analyzers.tokenize(Analyzers.Reversed, "the customer filter") ==
+      Vector(Token("remotsuc", 1), Token("retlif", 2)))
+    // EdgeNgrams: minGram..maxGram prefixes, all at the token position
+    assert(Analyzers.tokenize(Analyzers.EdgeNgrams(2, 4), "spark it") ==
+      Vector(Token("sp", 0), Token("spa", 0), Token("spar", 0)))
+    // a token shorter than maxGram stops at its own length
+    assert(Analyzers.tokenize(Analyzers.EdgeNgrams(1, 8), "row") ==
+      Vector(Token("r", 0), Token("ro", 0), Token("row", 0)))
+    // Pattern: the regex is the SEPARATOR; lowercase; empty fields and
+    // stopwords drop; positions are field indices
+    assert(Analyzers.tokenize(Analyzers.Pattern(","), "X,,The,B") ==
+      Vector(Token("x", 0), Token("b", 3)))
+    assert(Analyzers.tokenize(Analyzers.Pattern(",", stops = false),
+      "X,,the,B") == Vector(Token("x", 0), Token("the", 2), Token("b", 3)))
+  }
+
   test("length filter min and max") {
     import graft.analysis.Analyzer.Token
     val toks = Vector(Token("a", 0), Token("spark", 1), Token("hi", 2),

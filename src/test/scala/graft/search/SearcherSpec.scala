@@ -282,6 +282,22 @@ class SearcherSpec extends AnyFunSuite {
     }
   }
 
+  test("auto stop words derive from index df and strip from queries") {
+    import TinyCorpus._
+    // scalar oracle: df over the tokenized corpus, threshold 0.25
+    val dfm = docs.flatMap(_.map(_.term).distinct)
+      .groupBy(identity).map { case (t, xs) => t -> xs.size }
+    val cap = (n * 0.25).toLong
+    val want = dfm.collect { case (t, df) if df > cap => t }.toSet
+    assert(want.nonEmpty && !want.contains("merge")) // merge df=2 stays
+    assert(AutoStopWords.stopSet(index, 0.25) == want)
+    // a query of only hot terms matches nothing; mixed keeps the rare
+    assert(AutoStopWords.query("spark error", want) == MatchNoneQ)
+    assert(AutoStopWords.query("spark merge", want) == TermQ("merge"))
+    assert(AutoStopWords.query("fox merge jumps", want) ==
+      BoolQ(should = Seq(TermQ("fox"), TermQ("merge"), TermQ("jumps"))))
+  }
+
   test("per-turn text equality invariant under stable ordering (north rule)") {
     val fromIndex = index.docs.orderBy("docid")
       .select("conv_id", "turn_idx", "text").collect()
