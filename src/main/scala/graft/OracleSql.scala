@@ -472,6 +472,23 @@ object OracleSql {
         s"""(SELECT docid FROM $acc ${al()}
            | INTERSECT SELECT docid FROM ${filterSetSql(f)} ${al()})"""
           .stripMargin)
+    case ChainF(first, links) =>
+      links.foldLeft(filterSetSql(first)) { case (acc, (op, f)) =>
+        val b = filterSetSql(f)
+        val a = s"SELECT docid FROM $acc ${al()}"
+        val bb = s"SELECT docid FROM $b ${al()}"
+        op match {
+          case ChainAnd => s"($a INTERSECT $bb)"
+          case ChainOr => s"($a UNION $bb)"
+          case ChainAndNot => s"($a EXCEPT $bb)"
+          case ChainXor =>
+            s"""((SELECT docid FROM $acc ${al()}
+               |  UNION SELECT docid FROM $b ${al()})
+               | EXCEPT
+               | (SELECT docid FROM $acc ${al()}
+               |  INTERSECT SELECT docid FROM $b ${al()}))""".stripMargin
+        }
+      }
   }
 
   /** Filtered top-k where the gate is a [[DocFilter]] docid set (the

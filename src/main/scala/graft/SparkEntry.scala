@@ -395,6 +395,22 @@ object SparkEntry {
           should = Seq(TermsF(Seq("role" -> "user")),
             TermsF(Seq("role" -> "tool"))),
           mustNot = Seq(QueryF(TermQ("dup")))), 10)),
+    // sequential filter chain with XOR (contrib Filters/ChainedFilter):
+    // (role=user XOR matches-"table") ANDNOT matches-"dup", gating a
+    // scored term query — XOR is the shape BoolF cannot express
+    "ft_filter_chain" -> Raw(
+      (s, dir) => {
+        val sr = new Searcher(Engine.index(s, dir))
+        val cf = ChainF(TermsF(Seq("role" -> "user")),
+          Seq((ChainXor, QueryF(TermQ("table"))),
+            (ChainAndNot, QueryF(TermQ("dup")))))
+        val f = sr.cacheFilter(cf: DocFilter)
+        Engine.ranked(sr.topKFiltered(TermQ("merge"), f, 10))
+      },
+      OracleSql.topKFilterSet(TermQ("merge"),
+        ChainF(TermsF(Seq("role" -> "user")),
+          Seq((ChainXor, QueryF(TermQ("table"))),
+            (ChainAndNot, QueryF(TermQ("dup"))))), 10)),
     // one doc per conversation (keep the LAST turn, the reference's
     // default KM_USE_LAST_OCCURRENCE) gating a scored term query
     "ft_dup_filter" -> Raw(

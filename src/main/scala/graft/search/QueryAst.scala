@@ -276,6 +276,20 @@ final case class BoolF(
     should: Seq[DocFilter] = Nil,
     mustNot: Seq[DocFilter] = Nil) extends DocFilter
 
+/** Filters/ChainedFilter.cs:38 link operators. */
+sealed trait ChainOp
+case object ChainAnd extends ChainOp
+case object ChainOr extends ChainOp
+case object ChainAndNot extends ChainOp
+case object ChainXor extends ChainOp
+
+/** Filters/ChainedFilter.cs:38 — a LEFT FOLD over filters with a
+  * per-link set operator, the sequential cousin of [[BoolF]] (whose
+  * clause algebra cannot express XOR). `(f0, [(op1,f1),(op2,f2)])`
+  * evaluates `(f0 op1 f1) op2 f2`. */
+final case class ChainF(first: DocFilter,
+    links: Seq[(ChainOp, DocFilter)]) extends DocFilter
+
 /** Sort key for field-sorted top-k (SortField.cs:43-101): a forward doc
   * column, or the special name "score" (SortField.FIELD_SCORE). */
 final case class SortField(field: String, desc: Boolean = false)

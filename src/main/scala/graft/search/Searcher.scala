@@ -967,6 +967,24 @@ final class Searcher(idx: InvertedIndex, sim: Similarity = Bm25Sim) {
         acc.join(filterBits(nf), Seq("docid"), "left_anti"))
       remainingMusts.foldLeft(afterNot)((acc, mf) =>
         acc.join(filterBits(mf), Seq("docid"), "left_semi"))
+
+    case ChainF(first, links) =>
+      // sequential fold (ChainedFilter.GetDocIdSet): each link is one
+      // semi/anti join (or union+anti for XOR) — small sets broadcast,
+      // large ones shuffle; no driver-side set materialization
+      links.foldLeft(filterBits(first)) { case (acc, (op, f)) =>
+        val b = filterBits(f)
+        op match {
+          case ChainAnd => acc.join(b, Seq("docid"), "left_semi")
+          case ChainOr => acc.union(b).distinct()
+          case ChainAndNot => acc.join(b, Seq("docid"), "left_anti")
+          case ChainXor =>
+            // (acc ∪ b) − (acc ∩ b)
+            acc.union(b).distinct()
+              .join(acc.join(b, Seq("docid"), "left_semi"),
+                Seq("docid"), "left_anti")
+        }
+      }
   }
 
   /** Persisted [[DocFilter]] (CachingWrapperFilter over the filter

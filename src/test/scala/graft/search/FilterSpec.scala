@@ -70,6 +70,27 @@ class FilterSpec extends AnyFunSuite {
     assert(bits(f) == sparkDocs.intersect(users))
   }
 
+  test("ChainedFilter: sequential fold with AND/OR/ANDNOT/XOR links") {
+    val sparkDocs = (0 until n).filter(d => tf("spark", d) > 0)
+      .map(_.toLong).toSet
+    val errorDocs = (0 until n).filter(d => tf("error", d) > 0)
+      .map(_.toLong).toSet
+    def xor(a: Set[Long], b: Set[Long]) = (a ++ b) -- a.intersect(b)
+    assert(bits(ChainF(TermsF(Seq("role" -> "user")),
+      Seq((ChainXor, QueryF(TermQ("spark")))))) == xor(users, sparkDocs))
+    assert(bits(ChainF(QueryF(TermQ("spark")),
+      Seq((ChainAndNot, QueryF(TermQ("error")))))) ==
+      sparkDocs -- errorDocs)
+    assert(bits(ChainF(QueryF(TermQ("spark")),
+      Seq((ChainOr, QueryF(TermQ("error"))),
+        (ChainAnd, TermsF(Seq("role" -> "user")))))) ==
+      (sparkDocs ++ errorDocs).intersect(users))
+    // fold is LEFT-associative: (spark XOR error) XOR error == spark
+    assert(bits(ChainF(QueryF(TermQ("spark")),
+      Seq((ChainXor, QueryF(TermQ("error"))),
+        (ChainXor, QueryF(TermQ("error")))))) == sparkDocs)
+  }
+
   test("filtered top-k keeps the unfiltered scores (filter gates only)") {
     val f = searcher.cacheFilter(DuplicateF("conv_id"): DocFilter)
     try {
