@@ -358,6 +358,16 @@ object OracleSql {
           s"""(SELECT DISTINCT $ha.docid, least($ss) AS s, greatest($es) AS e
              | FROM $h $ha $joins
              | WHERE greatest($es) - least($ss) + 1 - ($cov) <= $slop)""".stripMargin
+        case SOr(cs) =>
+          // nestable SpanOrQuery: UNION (distinct) of clause span sets
+          if (cs.isEmpty) "(SELECT docid, pos AS s, pos AS e FROM tok WHERE FALSE)"
+          else cs.map(c => s"SELECT * FROM ${spanSql(c)} ${al()}")
+            .mkString("(", " UNION ", ")")
+        case SRegex(p) =>
+          // SpanRegexQuery leaf: every occurrence of any dictionary term
+          // matching the anchored pattern (the engine's SOr expansion,
+          // expressed directly — regexp_full_match anchors like rlike ^$)
+          s"(SELECT docid, pos AS s, pos AS e FROM tok WHERE regexp_full_match(term, ${sq(p)}))"
         case SFirst(sub, end) =>
           s"(SELECT * FROM ${spanSql(sub)} ${al()} WHERE e < $end)"
         case SNot(inc, exc) =>
@@ -368,8 +378,25 @@ object OracleSql {
       }
       val minW = Spans.requiredLeaves(sp).size - 1
       val reqD = Spans.termsOf(Spans.requiredLeaves(sp).distinct)
+      // SOr branch terms and SRegex expansions carry idf too (the
+      // engine's scoringTs sum); SOr/SRegex-free trees keep the original
+      // VALUES-join form verbatim
+      val statics = Spans.scoringTerms(sp).distinct
+      val regexes = Spans.scoringRegexes(sp).distinct
+      val idfSql =
+        if (regexes.isEmpty && statics == reqD) sumIdfSql(reqD)
+        else {
+          val conds =
+            (if (statics.nonEmpty)
+              Seq(s"d.term IN (${statics.map(sq).mkString(", ")})")
+            else Nil) ++
+              regexes.map(p => s"regexp_full_match(d.term, ${sq(p)})")
+          s"""(SELECT coalesce(sum(ln(1.0 + (CAST(st.n AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))), 0.0)
+             | FROM dict d CROSS JOIN stats st
+             | WHERE ${conds.mkString(" OR ")})""".stripMargin
+        }
       s"""(SELECT g.docid,
-         |   ${sumIdfSql(reqD)} * (g.tfp * 2.2)
+         |   $idfSql * (g.tfp * 2.2)
          |     / (g.tfp + 1.2 * (1.0 - 0.75 + 0.75 * l.len / st.avgdl)) AS score
          | FROM (SELECT docid, sum(1.0 / (1.0 + CAST(e - s - $minW AS DOUBLE))) AS tfp
          |       FROM (SELECT docid, s, min(e) AS e

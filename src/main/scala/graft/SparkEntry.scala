@@ -271,6 +271,13 @@ object SparkEntry {
       inOrder = false))),
     "ft_span_mask" -> TopK(SpanQ(SNear(
       Seq(SMask("role", "assistant"), STerm("table")), 5))),
+    // nestable SpanOr (SpanOrQuery.cs:32 inside a near) + SpanRegex
+    // (contrib Regex/SpanRegexQuery.cs:33 — regex leaf expands to the
+    // SOr of matching dictionary terms, idf summed over the expansion)
+    "ft_span_or_nested" -> TopK(SpanQ(SNear(
+      Seq(SOr(Seq(STerm("table"), STerm("row"))), STerm("merge")), 3))),
+    "ft_span_regex" -> TopK(SpanQ(SNear(
+      Seq(SRegex("s(ort|can|park)"), STerm("key")), 4))),
     "ft_mlt" -> TopK(MoreLikeThisQ(7L, 8)),
 
     // --- MultiFieldQueryParser analog: parser-built AST through the

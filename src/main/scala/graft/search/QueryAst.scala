@@ -146,6 +146,17 @@ final case class SNear(clauses: Seq[Span], slop: Int,
 final case class SFirst(s: Span, end: Int) extends Span
 /** SpanNotQuery.cs:31 — include spans overlapping no exclude span. */
 final case class SNot(include: Span, exclude: Span) extends Span
+/** SpanOrQuery.cs:32 as a NESTABLE node (the flat [[SpanOrQ]] keeps the
+  * single-scan fast path for the top-level all-term case): the union of
+  * the clause span sets. A doc matches if ANY clause matches, so clause
+  * leaves join optionally (left), never gating the doc set. */
+final case class SOr(clauses: Seq[Span]) extends Span
+/** contrib Regex/SpanRegexQuery.cs:33 — a regex multi-term span leaf.
+  * The reference rewrites RegexQuery's SCORING_BOOLEAN expansion into a
+  * SpanOrQuery of SpanTermQuerys; we expand the anchored pattern against
+  * the term dictionary at plan time (literal-prefix pushdown, capped at
+  * maxClauseCount) into exactly that [[SOr]] of [[STerm]]s. */
+final case class SRegex(pattern: String) extends Span
 
 /** A span query scored like the flat span family: freq = Σ over matched
   * starts (greedy min-end span per start) of 1/(1 + totalGap), weight =
@@ -165,14 +176,43 @@ object Spans {
     case SNear(cs, _, _) => cs.flatMap(leaves)
     case SFirst(sub, _) => leaves(sub)
     case SNot(i, e) => leaves(i) ++ leaves(e)
+    case SOr(cs) => cs.flatMap(leaves)
+    case SRegex(_) => Nil // expanded to SOr(STerm*) before leaf collection
   }
-  /** Leaves on the REQUIRED side only (SNot excludes join optionally). */
+  /** Leaves on the REQUIRED side only (SNot excludes join optionally;
+    * SOr clauses match any-of, so none of their leaves is required —
+    * this also keeps minW identical between the engine's expanded tree
+    * and the oracle's static one). */
   def requiredLeaves(s: Span): Seq[SLeaf] = s match {
     case STerm(t) => Seq(TermLeaf(t))
     case SMask(f, v) => Seq(MaskLeaf(f, v))
     case SNear(cs, _, _) => cs.flatMap(requiredLeaves)
     case SFirst(sub, _) => requiredLeaves(sub)
     case SNot(i, _) => requiredLeaves(i)
+    case SOr(_) => Nil
+    case SRegex(_) => Nil
+  }
+  /** Terms contributing idf to the span weight (SpanWeight sums idf over
+    * every scoring-side leaf term — SOr branches included, the SNot
+    * exclude side not). Identical to required terms for SOr/SRegex-free
+    * trees. */
+  def scoringTerms(s: Span): Seq[String] = s match {
+    case STerm(t) => Seq(t)
+    case SMask(_, _) => Nil
+    case SNear(cs, _, _) => cs.flatMap(scoringTerms)
+    case SFirst(sub, _) => scoringTerms(sub)
+    case SNot(i, _) => scoringTerms(i)
+    case SOr(cs) => cs.flatMap(scoringTerms)
+    case SRegex(_) => Nil
+  }
+  /** Scoring-side regex leaves (idf of their plan-time expansions). */
+  def scoringRegexes(s: Span): Seq[String] = s match {
+    case SRegex(p) => Seq(p)
+    case SNear(cs, _, _) => cs.flatMap(scoringRegexes)
+    case SFirst(sub, _) => scoringRegexes(sub)
+    case SNot(i, _) => scoringRegexes(i)
+    case SOr(cs) => cs.flatMap(scoringRegexes)
+    case _ => Nil
   }
   /** Text terms among a leaf list (idf carriers; masks contribute 0). */
   def termsOf(ls: Seq[SLeaf]): Seq[String] =

@@ -728,8 +728,32 @@ final class Searcher(idx: InvertedIndex, sim: Similarity = Bm25Sim) {
     * and reduced greedily (per start keep the min end — the "driving
     * position" rule of the flat span family); freq = Σ 1/(1 + totalGap)
     * where totalGap = e - s - (#leaf positions - 1). */
-  private def spanQuery(sp: Span): DataFrame = {
+  /** SpanRegexQuery.cs:33 rewrite: each regex leaf becomes the SOr of
+    * the dictionary terms matching the anchored pattern (literal-prefix
+    * pushdown bounds the dictionary scan, maxClauseCount bounds the
+    * expansion — the reference's BooleanQuery.maxClauseCount guard on
+    * multi-term rewrites applies to the span form too). */
+  private def expandSpanRegexes(s: Span): Span = s match {
+    case SRegex(p) =>
+      val rx = col("term").rlike("^(?:" + p + ")$")
+      val pfx = Searcher.regexLiteralPrefix(p)
+      val pred = if (pfx.nonEmpty) col("term").startsWith(pfx) && rx else rx
+      val ts = idx.termDict.filter(pred).select(col("term"))
+        .limit(Searcher.MaxClauseCount + 1)
+        .collect().map(_.getString(0)).toSeq.sorted
+      require(ts.size <= Searcher.MaxClauseCount,
+        s"span regex '$p' expands past maxClauseCount=${Searcher.MaxClauseCount}")
+      SOr(ts.map(STerm))
+    case SNear(cs, sl, io) => SNear(cs.map(expandSpanRegexes), sl, io)
+    case SFirst(sub, e) => SFirst(expandSpanRegexes(sub), e)
+    case SNot(i, e) => SNot(expandSpanRegexes(i), expandSpanRegexes(e))
+    case SOr(cs) => SOr(cs.map(expandSpanRegexes))
+    case leaf => leaf
+  }
+
+  private def spanQuery(sp0: Span): DataFrame = {
     import Spans.{MaskLeaf, SLeaf, TermLeaf}
+    val sp = expandSpanRegexes(sp0)
     val req = Spans.requiredLeaves(sp)
     // term leaves first: the head leaf's posting rows carry `len` for
     // tfNorm without a docLens join (masks have no len column)
@@ -737,12 +761,17 @@ final class Searcher(idx: InvertedIndex, sim: Similarity = Bm25Sim) {
     val excl = (Spans.leaves(sp).distinct.toSet -- reqD.toSet).toSeq
       .sortBy(_.toString)
     val reqTerms = Spans.termsOf(reqD)
-    val dfs = dfOf(reqTerms.toSet)
+    // scoring terms ⊇ required terms: SOr branch terms carry idf too
+    // (SpanWeight sums idf over every scoring-side leaf); absent
+    // OPTIONAL terms just contribute nothing
+    val scoringTs = Spans.scoringTerms(sp).distinct
+    val dfs = dfOf((reqTerms ++ scoringTs).toSet)
     if (!reqTerms.forall(dfs.contains))
       return idx.docs.select(col("docid"), lit(1.0).as("score"))
         .filter(lit(false))
     // masked keyword leaves contribute no idf (keyword semantics)
-    val sumIdf = reqTerms.map(t => sim.idf(idx.numDocs, dfs(t))).sum
+    val sumIdf = scoringTs.filter(dfs.contains)
+      .map(t => sim.idf(idx.numDocs, dfs(t))).sum
 
     // one position column per distinct leaf; required leaves inner-join,
     // exclude-only leaves left-join (missing -> empty array)
@@ -755,14 +784,19 @@ final class Searcher(idx: InvertedIndex, sim: Similarity = Bm25Sim) {
         .select(col("docid"),
           array(lit(0)).cast("array<int>").as(colOf(l)))
     }
-    val base = reqD.zipWithIndex.map { case (l, i) =>
-      val src = sourceOf(l)
-      if (i == 0) src else src.drop("len")
-    }.reduce((a, b) => a.join(b, Seq("docid")))
-    // an all-mask required set has no len column: fall back to docLens
+    // no required leaf at all (a pure SOr tree) = a disjunction: every
+    // live doc is a candidate (tfp > 0 prunes), like BoolQ(should)
     val based =
-      if (reqD.headOption.exists(_.isInstanceOf[TermLeaf])) base
-      else base.join(idx.docLens, Seq("docid"))
+      if (reqD.isEmpty) idx.docLens
+      else {
+        val base = reqD.zipWithIndex.map { case (l, i) =>
+          val src = sourceOf(l)
+          if (i == 0) src else src.drop("len")
+        }.reduce((a, b) => a.join(b, Seq("docid")))
+        // an all-mask required set has no len column: fall back to docLens
+        if (reqD.headOption.exists(_.isInstanceOf[TermLeaf])) base
+        else base.join(idx.docLens, Seq("docid"))
+      }
     val joined = excl.foldLeft(based) { (acc, l) =>
       acc.join(sourceOf(l).drop("len"), Seq("docid"), "left")
         .withColumn(colOf(l),
@@ -781,6 +815,12 @@ final class Searcher(idx: InvertedIndex, sim: Similarity = Bm25Sim) {
         transform(col(colOf(TermLeaf(t))), p => struct(p.as("s"), p.as("e")))
       case SMask(f, v) =>
         transform(col(colOf(MaskLeaf(f, v))), p => struct(p.as("s"), p.as("e")))
+      case SOr(cs) =>
+        // nestable SpanOrQuery: union of clause span sets
+        cs.map(spansOf).reduceOption((a, b) => array_distinct(concat(a, b)))
+          .getOrElse(array().cast("array<struct<s:int,e:int>>"))
+      case SRegex(p) =>
+        sys.error(s"unexpanded span regex '$p'") // rewritten at entry
       case SNear(cs, slop, true) =>
         cs.map(spansOf).reduce((a, b) => chain(a, b, slop))
       case SNear(Seq(a, b), slop, false) =>

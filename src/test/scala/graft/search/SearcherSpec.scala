@@ -182,6 +182,43 @@ class SearcherSpec extends AnyFunSuite {
     assert(unord.keySet == Set(4L, 8L))
   }
 
+  test("nestable SpanOr: union branches, any-of matching, idf over all branches") {
+    // near(or(error, fox), deploy) slop 2: doc 3 "deploy failed with
+    // error" has error AFTER deploy (ordered fails), doc 6 "error error
+    // error error deploy" chains error->deploy
+    val got = run(SpanQ(SNear(Seq(SOr(Seq(STerm("error"), STerm("fox"))),
+      STerm("deploy")), 2)))
+    assert(got.keySet == Set(6L))
+    // idf sums over BOTH or-branches plus the required term
+    val sumIdf = idf("error") + idf("fox") + idf("deploy")
+    // doc 6 = "error error error error deploy": errors at 1,2,3 chain
+    // to deploy at 4 (gap <= 2), greedy min-e per start -> spans of
+    // widths e-s = 3,2,1; minW = |requiredLeaves| - 1 = 0
+    val tfp = 1.0 / (1 + 3) + 1.0 / (1 + 2) + 1.0 / (1 + 1)
+    val want = sumIdf * (tfp * 2.2) /
+      (tfp + 1.2 * (1 - 0.75 + 0.75 * lens(6) / avgdl))
+    assert(math.abs(got(6L) - want) < 1e-9)
+    // a pure SOr tree (no required leaf) matches any-branch docs
+    val pure = run(SpanQ(SOr(Seq(STerm("fox"), STerm("lazy")))))
+    assert(pure.keySet == Set(2L, 7L))
+    // a missing OPTIONAL branch term never empties the result
+    val miss = run(SpanQ(SNear(Seq(SOr(Seq(STerm("error"), STerm("zzz"))),
+      STerm("deploy")), 2)))
+    assert(miss.keySet == Set(6L))
+  }
+
+  test("SpanRegex expands to the SOr of matching dictionary terms") {
+    val rx = run(SpanQ(SNear(Seq(SRegex("(error|fox)"), STerm("deploy")), 2)))
+    val or = run(SpanQ(SNear(Seq(SOr(Seq(STerm("error"), STerm("fox"))),
+      STerm("deploy")), 2)))
+    assert(rx == or)
+    // prefix-pushdown path: pattern with a literal prefix
+    val pfx = run(SpanQ(SOr(Seq(SRegex("f(ox|ailed)")))))
+    assert(pfx.keySet ==
+      (0 until n).filter(d => tf("fox", d) + tf("failed", d) > 0)
+        .map(_.toLong).toSet)
+  }
+
   test("prefix / wildcard / fuzzy / range rewrites") {
     assert(run(PrefixQ("dep")).keySet ==
       (0 until n).filter(d => docs(d).exists(_.term.startsWith("dep"))).map(_.toLong).toSet)
