@@ -719,6 +719,15 @@ object SparkEntry {
       (s, dir) => Suggest.suggest(Engine.index(s, dir), "tble", 2, 5),
       s"""${OracleSql.prelude},
          |${Suggest.oracleSql("tble", 2, 5)}""".stripMargin),
+    // pluggable-StringDistance path (StringDistance.cs strategy +
+    // SuggestWordQueue score-desc ordering); Levenshtein similarity is
+    // the oracle-expressible strategy, JW/NGram are spec-gated on the
+    // reference test vectors (StringDistancesSpec)
+    "ft_suggest_sim" -> Raw(
+      (s, dir) => Suggest.suggestSimilar(Engine.index(s, dir), "tble",
+        LevenshteinSim, 0.5, 5),
+      s"""${OracleSql.prelude},
+         |${Suggest.oracleSqlSimilar("tble", 0.5, 5)}""".stripMargin),
 
     // --- storage / merge / WAND (§2.1, §2.4; SURVEY §7 steps 3-5, 9) ---
     // Same oracles as the in-memory paths: the compressed block store,

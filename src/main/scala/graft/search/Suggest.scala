@@ -44,6 +44,69 @@ object Suggest {
       .select(col("term"), col("df"), col("dist").cast("int").as("dist"))
   }
 
+  /** SuggestSimilar with a pluggable [[StringDistance]] — the
+    * SpellChecker.cs:106 + SuggestWordQueue.cs:28 shape: trigram join
+    * bounds the candidate set, the strategy scores each candidate in
+    * [0,1], results rank by (score desc, df desc, term asc) and cut at
+    * `minSim` (the reference's `accuracy`/minScore, default 0.5).
+    *
+    * LevenshteinSim stays a native column expression (codegen,
+    * whole-stage) — 1 − levenshtein/maxlen is expressible in-plan.
+    * Other strategies run as a typed map over the ALREADY-BOUNDED
+    * candidate set, so the scalar cost is O(|candidates|) per query,
+    * never O(|dict|). Scores are rounded to 6 decimals so the gate
+    * hash is stable across engines. */
+  def suggestSimilar(idx: InvertedIndex, query: String,
+      dist: StringDistance = LevenshteinSim, minSim: Double = 0.5,
+      k: Int = 5): DataFrame = {
+    val spark = idx.termDict.sparkSession
+    import spark.implicits._
+    val cands = trigramCandidates(idx, query)
+    val scored = dist match {
+      case LevenshteinSim =>
+        cands.withColumn("score",
+          lit(1.0) - levenshtein(col("term"), lit(query)) /
+            greatest(length(col("term")), lit(query.length))
+              .cast("double"))
+      case d =>
+        cands.select(col("term"), col("df")).as[(String, Long)]
+          .map { case (t, df) => (t, df, d.similarity(t, query)) }
+          .toDF("term", "df", "score")
+    }
+    scored
+      .filter(col("score") >= minSim && col("term") =!= query)
+      .orderBy(col("score").desc, col("df").desc, col("term").asc)
+      .limit(k)
+      .select(col("term"), col("df"), round(col("score"), 6).as("score"))
+  }
+
+  /** DuckDB twin of [[suggestSimilar]](LevenshteinSim) — same trigram
+    * candidate CTE, same 1 − lev/maxlen scalar (both engines compute
+    * the identical small-integer division, so round(…, 6) hashes
+    * equal). */
+  def oracleSqlSimilar(query: String, minSim: Double, k: Int): String = {
+    val q = query.replace("'", "''")
+    s"""cand AS (
+       |  SELECT DISTINCT d.term, d.df
+       |  FROM (SELECT term, df,
+       |          unnest(list_transform(generate_series(1, greatest(length(term) - 2, 1)),
+       |            i -> substr(term, i, 3))) AS g
+       |        FROM dict) d
+       |  WHERE d.g IN (SELECT unnest(list_distinct(list_transform(
+       |    generate_series(1, greatest(length('$q') - 2, 1)),
+       |    i -> substr('$q', i, 3)))))),
+       |simscored AS (
+       |  SELECT term, df,
+       |         1.0 - levenshtein(term, '$q') /
+       |           CAST(greatest(length(term), length('$q')) AS DOUBLE) AS score
+       |  FROM cand)
+       |SELECT term, df, round(score, 6) AS score
+       |FROM simscored
+       |WHERE score >= $minSim AND term != '$q'
+       |ORDER BY score DESC, df DESC, term ASC
+       |LIMIT $k""".stripMargin
+  }
+
   /** DuckDB twin of [[suggest]] (assumes the `dict` CTE is in scope). */
   def oracleSql(query: String, maxEdits: Int, k: Int): String = {
     val q = query.replace("'", "''")
