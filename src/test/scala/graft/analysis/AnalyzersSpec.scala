@@ -95,6 +95,45 @@ class AnalyzersSpec extends AnyFunSuite {
     assert(Analyzers.foldToAscii("naïve élan") == "naive elan")
   }
 
+  test("ascii folding matches the reference Latin1 accent vector") {
+    // TestASCIIFoldingFilter.cs:32 TestLatin1Accents, token for token
+    val in = "Des mot clés À LA CHAÎNE À Á Â Ã Ä Å Æ Ç È É Ê Ë Ì Í Î Ï Ĳ Ð Ñ" +
+      " Ò Ó Ô Õ Ö Ø Œ Þ Ù Ú Û Ü Ý Ÿ à á â ã ä å æ ç è é ê ë ì í î ï ĳ" +
+      " ð ñ ò ó ô õ ö ø œ ß þ ù ú û ü ý ÿ ﬁ ﬂ"
+    val expect = ("Des mot cles A LA CHAINE A A A A A A AE C E E E E I I I I" +
+      " IJ D N O O O O O O OE TH U U U U Y Y a a a a a a ae c e e e e" +
+      " i i i i ij d n o o o o o o oe ss th u u u u y y fi fl").split(' ')
+    assert(Analyzers.foldToAscii(in).split(' ').toSeq == expect.toSeq)
+  }
+
+  test("ascii folding covers the non-decomposable table regions") {
+    // samples across the reference's full switch table
+    // (ASCIIFoldingFilter.cs:58): hook/stroke letters, small capitals,
+    // named letters, digraphs, dingbat digits, quotes/dashes/brackets
+    val cases = Seq(
+      "Ɓ" -> "B", "ƀ" -> "b",       // hook / stroke
+      "ᴀ" -> "A", "ʙ" -> "B",       // small capitals fold UP
+      "Ə" -> "A", "ə" -> "a",       // schwa
+      "Ð" -> "D", "ð" -> "d",       // eth
+      "Ŋ" -> "N", "ŋ" -> "n",       // eng
+      "ĸ" -> "q",                    // kra
+      "Ǖ" -> "U", "ǘ" -> "u",       // double-diacritic (NFKD path)
+      "ȸ" -> "db", "ʣ" -> "dz",     // digraphs
+      "❾" -> "9", "➓" -> "10",     // dingbat negative circled
+      "“" -> "\"", "”" -> "\"", "‘" -> "'", "’" -> "'",
+      "«" -> "\"", "»" -> "\"", "‹" -> "'", "›" -> "'",
+      "–" -> "-", "—" -> "-", "⁻" -> "-",
+      "⁅" -> "[", "⁆" -> "]", "❪" -> "(", "❫" -> ")",
+      "❬" -> "<", "❭" -> ">", "❴" -> "{", "❵" -> "}",
+      "⁎" -> "*", "⁄" -> "/", "⁓" -> "~",
+      "Ⓐ" -> "A", "ⓩ" -> "z", "Ａ" -> "A", "ｚ" -> "z")
+    cases.foreach { case (in, out) =>
+      assert(Analyzers.foldToAscii(in) == out,
+        s"fold($in, U+${in.codePointAt(0).toHexString}) != $out " +
+          s"(got ${Analyzers.foldToAscii(in)})")
+    }
+  }
+
   test("mapping char filter rewrites longest match first") {
     val f = Analyzers.mapChars(
       Map("ph" -> "f", "pha" -> "fa~", "&" -> " and ")) _
