@@ -331,12 +331,19 @@ object OracleSql {
           // span at position 0 per matching doc
           s"(SELECT docid, 0 AS s, 0 AS e FROM docs WHERE $f = ${sq(v)})"
         case SNear(cs, slop, true) =>
-          cs.map(spanSql).reduce { (a, b) =>
-            val (x, y) = (al(), al())
-            s"""(SELECT $x.docid, $x.s, $y.e FROM $a $x JOIN $b $y
-               | ON $y.docid = $x.docid AND $y.s > $x.e
-               | AND $y.s - $x.e - 1 <= $slop)""".stripMargin
+          // TOTAL-gap semantics (NearSpansOrdered.cs:47): the running
+          // column g accumulates Σ inter-clause gaps and the constraint
+          // is on the sum — mirrors Searcher.spanQuery's chainG
+          val init =
+            s"(SELECT docid, s, e, 0 AS g FROM ${spanSql(cs.head)} ${al()})"
+          val chained = cs.tail.foldLeft(init) { (a, c) =>
+            val b = spanSql(c); val (x, y) = (al(), al())
+            s"""(SELECT $x.docid, $x.s, $y.e, $x.g + $y.s - $x.e - 1 AS g
+               | FROM $a $x JOIN $b $y ON $y.docid = $x.docid
+               | AND $y.s > $x.e
+               | AND $x.g + $y.s - $x.e - 1 <= $slop)""".stripMargin
           }
+          s"(SELECT docid, s, e FROM $chained ${al()})"
         case SNear(Seq(a, b), slop, false) =>
           s"""(SELECT * FROM ${spanSql(SNear(Seq(a, b), slop, true))} ${al()}
              | UNION
@@ -600,8 +607,10 @@ object OracleSql {
 
   /** N-term ordered payload span-near oracle (PayloadSpanNearQ): the
     * min-chain is built by one grouped join per clause (per prefix
-    * chain, the MIN qualifying next occurrence), sloppy freq
-    * 1/(1 + width − (N−1)), payloads summed over every chain member. */
+    * chain, the MIN qualifying next occurrence) under the TOTAL-gap
+    * constraint (p_i − p_0 − i ≤ slop — NearSpansOrdered matchLength),
+    * sloppy freq 1/(1 + width − (N−1)), payloads summed over every
+    * chain member. */
   def payloadSpanNearTopK(terms: Seq[String], slop: Int,
       fn: graft.search.PayloadFn, firstN: Int, boost: Double,
       includeSpanScore: Boolean, k: Int): String = {
@@ -617,7 +626,7 @@ object OracleSql {
       s"""(SELECT m.docid, $keep, min(x.pos) AS p$i
          |              FROM $prev m JOIN tok x ON x.docid = m.docid
          |                   AND x.term = ${sq(terms(i))} AND x.pos > m.p${i - 1}
-         |                   AND x.pos - m.p${i - 1} - 1 <= $slop
+         |                   AND x.pos - m.p0 - $i <= $slop
          |              GROUP BY m.docid, $keep)""".stripMargin
     }
     val payAgg = {

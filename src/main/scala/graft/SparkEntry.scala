@@ -269,6 +269,11 @@ object SparkEntry {
     "ft_span_unord3" -> TopK(SpanQ(SNear(
       Seq(STerm("table"), STerm("merge"), STerm("key")), 6,
       inOrder = false))),
+    // N-clause ORDERED near under the total-gap rule
+    // (NearSpansOrdered.cs:47: Σ inter-clause gaps ≤ slop, not each)
+    "ft_span_ord3" -> TopK(SpanQ(SNear(
+      Seq(STerm("table"), STerm("merge"), STerm("key")), 6,
+      inOrder = true))),
     "ft_span_mask" -> TopK(SpanQ(SNear(
       Seq(SMask("role", "assistant"), STerm("table")), 5))),
     // nestable SpanOr (SpanOrQuery.cs:32 inside a near) + SpanRegex

@@ -118,9 +118,9 @@ final case class MultiPhraseQ(slots: Seq[(Seq[String], Int)]) extends Query
 // ---------------------------------------------------------------------
 // General span algebra (Spans/*.cs) — composable, one+ levels of nesting.
 // A span evaluates per doc to a set of [start, end] position intervals.
-// Deviation from the reference (documented): ordered SNear constrains
-// EACH inter-clause gap by `slop` (the reference constrains the total
-// match width); the per-start greedy min-end span feeds sloppyFreq.
+// Ordered SNear constrains the TOTAL inter-clause gap sum by `slop`
+// (NearSpansOrdered.cs:47 matchLength semantics); the per-start greedy
+// min-end span feeds sloppyFreq.
 // ---------------------------------------------------------------------
 sealed trait Span
 /** SpanTermQuery.cs:29 — every occurrence is a width-0 span. */

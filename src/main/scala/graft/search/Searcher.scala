@@ -343,21 +343,28 @@ final class Searcher(idx: InvertedIndex, sim: Similarity = Bm25Sim) {
       // clause in clause order and (hi|last) − (lo|ms[1]) is the width
       val chains =
         if (inOrder) {
+          // TOTAL-gap constraint across the chain (NearSpansOrdered
+          // semantics — the struct's g accumulates Σ gaps); greedy min
+          // next-occurrence stays exact: the smallest qualifying
+          // position minimizes both this gap and every later one
           val chained = (1 until n).foldLeft(
             transform(col("pos0"), p =>
               struct(lit(true).as("ok"), p.as("lo"), p.as("hi"),
-                array(p).as("ms")))) {
+                array(p).as("ms"), lit(0).as("g")))) {
             (acc, k) =>
               transform(acc, c => {
                 val q = array_min(filter(col(s"pos$k"), x =>
                   x > c.getField("hi") &&
-                    (x - c.getField("hi") - 1) <= slop))
+                    c.getField("g") + (x - c.getField("hi") - 1) <= slop))
                 struct((c.getField("ok") && q.isNotNull).as("ok"),
                   c.getField("lo").as("lo"),
                   coalesce(q, lit(Int.MaxValue)).as("hi"),
                   when(q.isNotNull,
                     concat(c.getField("ms"), array(q)))
-                    .otherwise(c.getField("ms")).as("ms"))
+                    .otherwise(c.getField("ms")).as("ms"),
+                  when(q.isNotNull,
+                    c.getField("g") + q - c.getField("hi") - 1)
+                    .otherwise(c.getField("g")).as("g"))
               })
           }
           filter(chained, c => c.getField("ok"))
@@ -803,12 +810,25 @@ final class Searcher(idx: InvertedIndex, sim: Similarity = Bm25Sim) {
           coalesce(col(colOf(l)), array().cast("array<int>")))
     }
 
-    def chain(a: Column, b: Column, slop: Int): Column =
+    // ordered chaining with TOTAL-gap semantics (NearSpansOrdered.cs:47
+    // shrinkToAfterShortestMatch: matchLength = Σ inter-clause gaps ≤
+    // slop, not each gap separately): the accumulator carries the gap
+    // sum so far, which also prunes dead chains early. For 2 clauses
+    // this is identical to the per-gap rule.
+    def chainG(a: Column, b: Column, slop: Int): Column =
       flatten(transform(a, x =>
         transform(
           filter(b, y => y.getField("s") > x.getField("e") &&
-            y.getField("s") - x.getField("e") - 1 <= slop),
-          y => struct(x.getField("s").as("s"), y.getField("e").as("e")))))
+            x.getField("g") + y.getField("s") - x.getField("e") - 1 <= slop),
+          y => struct(x.getField("s").as("s"), y.getField("e").as("e"),
+            (x.getField("g") + y.getField("s") - x.getField("e") - 1)
+              .as("g")))))
+    def withG(a: Column): Column =
+      transform(a, x => struct(x.getField("s").as("s"),
+        x.getField("e").as("e"), lit(0).as("g")))
+    def dropG(a: Column): Column =
+      array_distinct(transform(a, x =>
+        struct(x.getField("s").as("s"), x.getField("e").as("e"))))
 
     def spansOf(s: Span): Column = s match {
       case STerm(t) =>
@@ -822,11 +842,13 @@ final class Searcher(idx: InvertedIndex, sim: Similarity = Bm25Sim) {
       case SRegex(p) =>
         sys.error(s"unexpanded span regex '$p'") // rewritten at entry
       case SNear(cs, slop, true) =>
-        cs.map(spansOf).reduce((a, b) => chain(a, b, slop))
+        dropG(cs.tail.foldLeft(withG(spansOf(cs.head))) {
+          (acc, c) => chainG(acc, spansOf(c), slop)
+        })
       case SNear(Seq(a, b), slop, false) =>
         array_distinct(concat(
-          chain(spansOf(a), spansOf(b), slop),
-          chain(spansOf(b), spansOf(a), slop)))
+          dropG(chainG(withG(spansOf(a)), spansOf(b), slop)),
+          dropG(chainG(withG(spansOf(b)), spansOf(a), slop))))
       case SNear(cs, slop, false) =>
         // NearSpansUnordered.cs:32 envelope semantics for N>=3: one span
         // per clause in any order (overlap allowed — the reference's

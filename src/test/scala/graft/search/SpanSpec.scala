@@ -45,6 +45,23 @@ class SpanSpec extends AnyFunSuite {
     assert(math.abs(ord(8L) - want) < 1e-9)
   }
 
+  test("ordered N-clause near constrains the TOTAL gap sum") {
+    // doc 9 "merge the table then merge again" (stop gaps kept):
+    // merge@0, table@2, merge@4, again@5. Chain (merge, table, again) =
+    // 0 -> 2 -> 5 with gaps 1 and 2: each gap <= 2 but the SUM is 3 —
+    // NearSpansOrdered.cs:47 matchLength semantics reject slop 2
+    val q2 = SpanQ(SNear(
+      Seq(STerm("merge"), STerm("table"), STerm("again")), 2))
+    assert(!run(q2).contains(9L))
+    // slop 3 admits it: span [0,5], freq 1/(1 + 5-0-2) = 0.25
+    val q3 = SpanQ(SNear(
+      Seq(STerm("merge"), STerm("table"), STerm("again")), 3))
+    val hits = run(q3)
+    val want = (idf("merge") + idf("table") + idf("again")) *
+      tfNorm(0.25, 9)
+    assert(math.abs(hits(9L) - want) < 1e-9)
+  }
+
   test("span not: exclusion inside the span kills it") {
     // doc 9 "merge the table then merge again": merge@0, table@2 ->
     // ordered near (merge, table) slop 2 matches span [0,2]
