@@ -957,11 +957,23 @@ final class Searcher(idx: InvertedIndex, sim: Similarity = Bm25Sim) {
   }
 
   /** Driver-side dictionary lookup (TermInfosReader analog — tiny:
-    * |query terms| rows). */
-  def dfOf(terms: Set[String]): Map[String, Long] =
-    idx.termDict.filter(col("term").isin(terms.toSeq: _*))
-      .select(col("term"), col("df")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    * |query terms| rows), memoized per Searcher like the reference's
+    * per-thread TermInfo cache (TermInfosReader.cs:203-224): one query
+    * evaluation may resolve the same terms from several sub-plans (the
+    * WAND planner + its devolved disjunction, nested boolean groups),
+    * and each uncached call is a full driver-side job. */
+  private val dfMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Long]]()
+  def dfOf(terms: Set[String]): Map[String, Long] = {
+    val missing = terms.filter(t => !dfMemo.containsKey(t))
+    if (missing.nonEmpty) {
+      val got = idx.termDict.filter(col("term").isin(missing.toSeq: _*))
+        .select(col("term"), col("df")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      missing.foreach(t => dfMemo.put(t, got.get(t)))
+    }
+    terms.flatMap(t => dfMemo.get(t).map(t -> _)).toMap
+  }
 
   /** Top-k with the mandatory (score desc, docid asc) tie-break
     * (TopScoreDocCollector.cs:56-64,90). Catalyst compiles orderBy.limit
