@@ -405,7 +405,7 @@ object OracleSql {
       s"""(SELECT g.docid,
          |   $idfSql * (g.tfp * 2.2)
          |     / (g.tfp + 1.2 * (1.0 - 0.75 + 0.75 * l.len / st.avgdl)) AS score
-         | FROM (SELECT docid, sum(1.0 / (1.0 + CAST(e - s - $minW AS DOUBLE))) AS tfp
+         | FROM (SELECT docid, sum(1.0 / (1.0 + greatest(0.0, CAST(e - s - $minW AS DOUBLE)))) AS tfp
          |       FROM (SELECT docid, s, min(e) AS e
          |             FROM (SELECT DISTINCT docid, s, e
          |                   FROM ${spanSql(sp)} ${al()}) ${al()}
@@ -697,7 +697,7 @@ object OracleSql {
        |FROM (
        |  SELECT g.docid, $score AS score
        |  FROM (SELECT m.docid,
-       |               sum(1.0 / (1.0 + m.w - ${n - 1}.0)) AS tfp,
+       |               sum(1.0 / (1.0 + greatest(0.0, m.w - ${n - 1}.0))) AS tfp,
        |               $payAgg AS pay
        |        FROM (SELECT t0.docid, $sel, $width AS w
        |              FROM $joins

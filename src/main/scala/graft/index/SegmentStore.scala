@@ -66,10 +66,20 @@ object SegmentStore {
       s""""sumLen":${s.sumLen},"maxDocid":${s.maxDocid},""" +
       s""""lineage":"${esc(s.lineage)}"}"""
 
+  /** On-disk codec format version, stamped into every manifest and
+    * REQUIRED to match on open (the reference's SegmentInfos.FORMAT
+    * version gate, SegmentInfos.cs:69-118): the block codec is not
+    * self-describing, so a silent format change (e.g. format 2's
+    * delta<<1|payload position packing) would decode an older store's
+    * blobs into garbage positions instead of failing loudly.
+    *   1 = raw VLong position deltas; 2 = (delta<<1 | payload bit). */
+  val FormatVersion = 2
+
   def toJson(m: Manifest): String = {
     val segs = m.segments.map(segJson).mkString(",")
     val dels = m.deletes.map(d => s""""${esc(d)}"""").mkString(",")
-    s"""{"version":${m.version},"segments":[$segs],"deletes":[$dels]}"""
+    s"""{"format":$FormatVersion,"version":${m.version},""" +
+      s""""segments":[$segs],"deletes":[$dels]}"""
   }
 
   private val SegRe =
@@ -83,7 +93,14 @@ object SegmentStore {
   private val DelsRe = """"deletes":\[([^\]]*)\]""".r
   private val DelRe = """"((?:[^"\\]|\\.)*)"""".r
 
+  private val FmtRe = """"format":(\d+)""".r
+
   def fromJson(json: String): Manifest = {
+    val fmt = FmtRe.findFirstMatchIn(json).map(_.group(1).toInt).getOrElse(0)
+    if (fmt != FormatVersion)
+      sys.error(s"segment store codec format $fmt != supported " +
+        s"$FormatVersion — refusing to open (rebuild the store; a " +
+        s"mismatched position codec would silently decode garbage)")
     val version = VerRe.findFirstMatchIn(json)
       .map(_.group(1).toLong)
       .getOrElse(sys.error(s"bad manifest: $json"))

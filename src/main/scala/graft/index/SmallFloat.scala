@@ -15,8 +15,10 @@ package graft.index
   * source: the byte is the top (1 + exponent-bits + mantissa-bits) of
   * the IEEE-754 single's bit pattern, re-biased so the byte value 0
   * lands at the chosen zero exponent; out-of-range values clamp
-  * (negative/zero → 0, subnormal-for-the-format positives → 1, too
-  * large → 255).
+  * (negative/zero → 0, positives below the format's zero band → 1, the
+  * zero band [2^-31, 1.125·2^-31) itself → 0, too large → 255 — the
+  * boundary is the reference's strict-< test, including its
+  * non-monotone underflow quirk).
   */
 object SmallFloat {
 
@@ -26,7 +28,10 @@ object SmallFloat {
     val fzero = (63 - 15) << 3
     val bits = java.lang.Float.floatToRawIntBits(f)
     val small = bits >> (24 - 3)
-    if (small <= fzero) { if (bits <= 0) 0 else 1 }
+    // strict <: small == fzero encodes byte 0 through the final branch
+    // (positives in [2^-31, 1.125*2^-31) quantize to zero, exactly as
+    // the format's underflow boundary defines)
+    if (small < fzero) { if (bits <= 0) 0 else 1 }
     else if (small >= fzero + 0x100) -1
     else (small - fzero).toByte
   }

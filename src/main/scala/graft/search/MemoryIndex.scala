@@ -19,26 +19,8 @@ import graft.analysis.Analyzers
 final case class MemoryIndex(terms: Map[String, Vector[Int]],
     fields: Map[String, String] = Map.empty) {
 
-  private def editDistance(a: String, b: String): Int = {
-    val prev = new Array[Int](b.length + 1)
-    val cur = new Array[Int](b.length + 1)
-    var j = 0
-    while (j <= b.length) { prev(j) = j; j += 1 }
-    var i = 1
-    while (i <= a.length) {
-      cur(0) = i
-      j = 1
-      while (j <= b.length) {
-        val cost = if (a(i - 1) == b(j - 1)) 0 else 1
-        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
-          prev(j - 1) + cost)
-        j += 1
-      }
-      System.arraycopy(cur, 0, prev, 0, b.length + 1)
-      i += 1
-    }
-    prev(b.length)
-  }
+  private def editDistance(a: String, b: String): Int =
+    StringDistances.editDistance(a, b)
 
   def matches(q: Query): Boolean = q match {
     case TermQ(t) => terms.contains(t)

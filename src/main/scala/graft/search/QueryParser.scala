@@ -95,12 +95,16 @@ object QueryParser {
 
     /** Index of the last UNESCAPED occurrence of `c`, or -1. */
     private def lastUnescaped(w: String, c: Char): Int = {
-      var i = w.length - 1
-      while (i >= 0) {
-        if (w.charAt(i) == c && (i == 0 || w.charAt(i - 1) != '\\')) return i
-        i -= 1
+      // left-to-right \x pair scan, like unescape/hasUnescaped: a char
+      // after an ESCAPED backslash (`foo\\~`) is itself unescaped —
+      // a preceding-char check alone would misread the second backslash
+      var i = 0
+      var last = -1
+      while (i < w.length) {
+        if (w.charAt(i) == '\\' && i + 1 < w.length) i += 2
+        else { if (w.charAt(i) == c) last = i; i += 1 }
       }
-      -1
+      last
     }
 
     private def hasUnescaped(w: String, cs: String): Boolean = {

@@ -385,11 +385,16 @@ final class Searcher(idx: InvertedIndex, sim: Similarity = Bm25Sim) {
             c.getField("hi") - c.getField("lo") + lit(1) - lit(n) <= slop)
         }
       // sloppy freq per chain/combination over total width (for ordered
-      // N=2: 1/(q-p), the PayloadNearQ formula)
+      // N=2: 1/(q-p), the PayloadNearQ formula). The distance is clamped
+      // at 0: duplicate query terms let an unordered combination reuse
+      // one occurrence for two clauses, making envelope − (n−1) negative
+      // — unclamped that is a zero/negative denominator (Infinity or
+      // negative scores). Ordered chains are strictly increasing and
+      // never need the clamp.
       val tfp = aggregate(chains, lit(0.0), (acc, c) =>
         acc + lit(1.0) / (lit(1.0) +
-          (c.getField("hi") - c.getField("lo") -
-            lit(n - 1)).cast("double")))
+          greatest(lit(0.0), (c.getField("hi") - c.getField("lo") -
+            lit(n - 1)).cast("double"))))
       // payloads of every chain member, via per-clause pos→pay maps
       val pays = flatten(transform(chains, c =>
         array((0 until n).map { k =>
@@ -882,13 +887,18 @@ final class Searcher(idx: InvertedIndex, sim: Similarity = Bm25Sim) {
 
     val minW = req.size - 1
     val spans = sort_array(array_distinct(spansOf(sp)))
+    // width − minW clamped at 0: minW counts DUPLICATE leaves too, and
+    // an unordered combination may cover duplicate clauses with one
+    // occurrence, driving the raw distance negative (zero/negative
+    // sloppy-freq denominator → Infinity / negative scores)
     val tfp = aggregate(spans,
       struct(lit(-1).as("ls"), lit(0.0).as("acc")),
       (st, x) => when(x.getField("s") === st.getField("ls"), st)
         .otherwise(struct(x.getField("s").as("ls"),
           (st.getField("acc") + lit(1.0) /
-            (lit(1.0) + (x.getField("e") - x.getField("s") - lit(minW))
-              .cast("double"))).as("acc"))),
+            (lit(1.0) + greatest(lit(0.0),
+              (x.getField("e") - x.getField("s") - lit(minW))
+                .cast("double")))).as("acc"))),
       st => st.getField("acc"))
     joined
       .withColumn("tfp", tfp)
@@ -1146,8 +1156,23 @@ final class Searcher(idx: InvertedIndex, sim: Similarity = Bm25Sim) {
       }
       val allParts = (0 until must.size + should.size)
         .map(i => coalesce(col(s"p$i"), array().cast(PartsType)))
+      // coord as an additive correction part (the parts contract is a
+      // sum): raw*(coord-1), so Σ parts == applyCoord(raw) — identity
+      // (and no extra part) under Bm25Sim, the overlap/maxOverlap
+      // factor under ClassicSim, keeping Explain==Score for EVERY
+      // Similarity (the scoring paths coord at lines 154/174/212)
+      val rawParts = flatten(array(allParts: _*))
+      val rawSum = aggregate(rawParts, lit(0.0),
+        (a, x) => a + x.getField("value"))
+      val overlap = lit(must.size.toLong) + scnt.cast("long")
+      val maxOverlap = must.size + should.size
+      val coorded = sim.applyCoord(rawSum, overlap, maxOverlap)
       anti.select(col("docid"),
-        flatten(array(allParts: _*)).as("parts"))
+        when(coorded === rawSum, rawParts)
+          .otherwise(concat(rawParts, array(struct(
+            concat(lit("coord("), overlap.cast("string"),
+              lit(s"/$maxOverlap)")).as("part"),
+            (coorded - rawSum).as("value"))))).as("parts"))
 
     case ConstantScoreQ(sub, sc) =>
       leafParts(s"ConstantScore($sc)", score(q))

@@ -10,6 +10,26 @@ sealed trait StringDistance extends Serializable {
   def similarity(a: String, b: String): Double
 }
 
+object StringDistances {
+  /** Two-row Levenshtein DP — the ONE int edit-distance kernel
+    * (LevenshteinDistance.cs:38-115), shared by [[LevenshteinSim]] and
+    * [[MemoryIndex]]'s FuzzyQ membership so the two can never diverge. */
+  def editDistance(a: String, b: String): Int = {
+    var prev = Array.tabulate(a.length + 1)(identity)
+    var cur = new Array[Int](a.length + 1)
+    for (j <- 1 to b.length) {
+      cur(0) = j
+      for (i <- 1 to a.length) {
+        val cost = if (a(i - 1) == b(j - 1)) 0 else 1
+        cur(i) = math.min(math.min(cur(i - 1) + 1, prev(i) + 1),
+          prev(i - 1) + cost)
+      }
+      val t = prev; prev = cur; cur = t
+    }
+    prev(a.length)
+  }
+}
+
 /** LevenshteinDistance.cs:38-115 — 1 − editDistance / max(|a|, |b|).
   * This one is expressible natively (Spark `levenshtein`, DuckDB
   * `levenshtein`), so [[graft.search.Suggest.suggestSimilar]] keeps it
@@ -17,21 +37,8 @@ sealed trait StringDistance extends Serializable {
 case object LevenshteinSim extends StringDistance {
   def similarity(a: String, b: String): Double = {
     if (a.isEmpty || b.isEmpty) return if (a == b) 1.0 else 0.0
-    val dist = {
-      var prev = Array.tabulate(a.length + 1)(identity)
-      var cur = new Array[Int](a.length + 1)
-      for (j <- 1 to b.length) {
-        cur(0) = j
-        for (i <- 1 to a.length) {
-          val cost = if (a(i - 1) == b(j - 1)) 0 else 1
-          cur(i) = math.min(math.min(cur(i - 1) + 1, prev(i) + 1),
-            prev(i - 1) + cost)
-        }
-        val t = prev; prev = cur; cur = t
-      }
-      prev(a.length)
-    }
-    1.0 - dist.toDouble / math.max(a.length, b.length)
+    1.0 - StringDistances.editDistance(a, b).toDouble /
+      math.max(a.length, b.length)
   }
 }
 

@@ -121,11 +121,18 @@ object Wand {
           col("min_len").cast("double"), idx.avgdl))
     val gmaxDf = withUb.groupBy("term").agg(max(col("ub")).as("gmax"))
     val totalDf = gmaxDf.agg(sum(col("gmax")).as("gsum"))
+    // lazily checkpointed: the stats() probe action and the result plan
+    // share the SAME materialized flag table — without it the seed
+    // top-k job (t0df: a full scoring decode of one term's postings)
+    // and the block-stat aggregation re-execute inside p.result after
+    // the probe already paid for them (cross-action Spark reuses
+    // nothing). Lazy: plans that never execute never pay it.
     val flagged = withUb
       .join(broadcast(gmaxDf), Seq("term"))
       .crossJoin(broadcast(totalDf))
       .crossJoin(broadcast(t0df))
       .withColumn("keep", col("ub") >= col("t0") - (col("gsum") - col("gmax")))
+      .localCheckpoint(false)
     val kept = flagged.filter(col("keep"))
       .drop("keep", "idf", "ub", "gmax", "gsum", "t0")
 

@@ -12,6 +12,11 @@ class SmallFloatSpec extends AnyFunSuite {
     (-3.5f, 0, 0.0f),
     (0.0f, 0, 0.0f),
     (1e-10f, 1, 1.25f / 2147483648.0f), // underflow -> smallest nonzero
+    // the format's zero band [2^-31, 1.125*2^-31): smallfloat == fzero
+    // encodes 0 (the reference's strict-< boundary; non-monotone quirk —
+    // positives BELOW the band encode 1)
+    (4.6566129e-10f, 0, 0.0f),
+    (5.0e-10f, 0, 0.0f),
     (0.25f, 116, 0.25f),
     (0.5f, 120, 0.5f),
     (0.57735026f, 120, 0.5f), // lengthNorm(len=3), quantized down

@@ -46,6 +46,26 @@ class ExplainSpec extends AnyFunSuite {
     assert(skipped.size <= 2, s"too many skipped: $skipped")
   }
 
+  test("Explain == Score holds under ClassicSim (coord as a part)") {
+    val sr = new Searcher(idx, ClassicSim)
+    val q = BoolQ(should = Seq(TermQ("error"), TermQ("deploy"),
+      TermQ("spark")))
+    val scores = sr.topK(q, 50).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores.nonEmpty)
+    val ex = sr.explain(q).collect()
+      .map(r => (r.getLong(0), r.getSeq[org.apache.spark.sql.Row](1),
+        r.getDouble(2)))
+    val exMap = ex.map(e => e._1 -> e._3).toMap
+    scores.foreach { case (d, s) =>
+      assert(math.abs(exMap(d) - s) <= 2.5e-4,
+        s"doc $d: explain ${exMap(d)} != score $s")
+    }
+    // partial-overlap docs must carry a coord(k/3) correction part
+    val partial = ex.filter(_._2.exists(_.getString(0).startsWith("coord(")))
+    assert(partial.nonEmpty, "no coord parts on any partial-overlap doc")
+  }
+
   test("explain parts sum to value and carry leaf labels") {
     val q = BoolQ(
       must = Seq(TermQ("error")),

@@ -126,6 +126,11 @@ class QueryParserSpec extends AnyFunSuite {
       PhraseQ(Seq("key" -> 0, "agg" -> 1)))
     // escaped plus is not an occur marker
     assert(QueryParser.parse("\\+1") == TermQ("1"))
+    // a marker after an ESCAPED BACKSLASH is itself unescaped: the \\
+    // pair consumes both backslashes, so the ~N is a live fuzzy marker
+    // (all three escape helpers must agree on the same pair scan); the
+    // unescaped literal backslash stays in the term, like the reference
+    assert(QueryParser.parse("spark\\\\~1") == FuzzyQ("spark\\", 1))
   }
 
   test("unbalanced parens rejected") {

@@ -62,6 +62,22 @@ class SpanSpec extends AnyFunSuite {
     assert(math.abs(hits(9L) - want) < 1e-9)
   }
 
+  test("unordered near with duplicate terms keeps scores finite") {
+    // doc 6 "error error error error deploy": error@0-3, deploy@4.
+    // The combination product can cover BOTH duplicate error clauses
+    // with ONE occurrence, and minW counts the duplicate leaf (=2), so
+    // span [3,4] has raw distance (4-3)-2 = -1 — unclamped that is a
+    // zero denominator (Infinity score). Clamped: distances
+    // [2,1,0,-1->0] over starts 0..3, tfp = 1/3 + 1/2 + 1 + 1.
+    val hits = run(SpanQ(SNear(
+      Seq(STerm("error"), STerm("error"), STerm("deploy")), 2,
+      inOrder = false)))
+    hits.values.foreach(v => assert(java.lang.Double.isFinite(v) && v > 0))
+    val tfp = 1.0 / 3 + 1.0 / 2 + 1 + 1
+    val want = (idf("error") + idf("deploy")) * tfNorm(tfp, 6)
+    assert(math.abs(hits(6L) - want) < 1e-9)
+  }
+
   test("span not: exclusion inside the span kills it") {
     // doc 9 "merge the table then merge again": merge@0, table@2 ->
     // ordered near (merge, table) slop 2 matches span [0,2]
