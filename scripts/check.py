@@ -12,12 +12,17 @@ SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 FILT = sys.argv[3] if len(sys.argv) > 3 else ""
 
-con = duckdb.connect()
-for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]:
-    p = f"{SF}/{t}.parquet"
-    if os.path.exists(p):
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+def fresh_con():
+    # one connection PER QUERY: a single long-lived connection accumulates
+    # reserved buffer-pool memory across ~140 heavy queries and starts
+    # failing small allocations ("bad allocation") despite free RAM
+    c = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        p = f"{SF}/{t}.parquet"
+        if os.path.exists(p):
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return c
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 ok = fail = 0
@@ -29,9 +34,11 @@ for name, sql in sorted(oracle.items()):
     if not files:
         print(f"FAIL {name}: no spark output");  fail += 1;  continue
     try:
+        con = fresh_con()
         spark_df = con.execute(
             f"SELECT * FROM read_parquet('{d}/*.parquet')").df()
         ora_df = con.execute(sql).df()
+        con.close()
     except Exception as e:
         print(f"FAIL {name}: exec error: {e}");  fail += 1;  continue
     sd = spark_df.reindex(sorted(spark_df.columns), axis=1)

@@ -73,7 +73,8 @@ object Engine {
         Transcripts.fromDocuments(spark, sfDir), root,
         numBatches = 4, numPartitions = parts(spark),
         assigner = Some(graft.analysis.Payloads.positionBoost(
-          PayloadFirstN, PayloadBoost)))
+          PayloadFirstN, PayloadBoost)),
+        payTag = s"posBoost($PayloadFirstN,$PayloadBoost)")
       SegmentStore.open(spark, root)
     })
 

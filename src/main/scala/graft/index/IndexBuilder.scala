@@ -241,6 +241,8 @@ object IndexBuilder {
     // spills, never recomputes), so the inner range-shuffled base can go
     val n = docs.count()
     assigned.release()
+    require(n > 0, "empty input: refusing to build an index with no docs" +
+      " (avgdl would be NaN and BM25 scores would silently propagate it)")
     // sumLen = Σ tf over postings ≡ Σ len over docs (integer arithmetic —
     // exactly reproducible across engines)
     val sumLen = postings.agg(coalesce(sum(col("tf")), lit(0L)))
@@ -266,6 +268,8 @@ object IndexBuilder {
     docs.cache(); postings.cache(); docLens.cache(); termDict.cache()
     val n = docs.count()
     assigned.release()
+    require(n > 0, "empty input: refusing to build an index with no docs" +
+      " (avgdl would be NaN and BM25 scores would silently propagate it)")
     val sumLen = postings.agg(coalesce(sum(col("tf")), lit(0L)))
       .collect()(0).getLong(0)
     InvertedIndex(docs, postings, termDict, docLens, n, sumLen.toDouble / n)
@@ -284,8 +288,11 @@ object IndexBuilder {
   def buildSegments(spark: SparkSession, transcripts: DataFrame,
       root: String, numBatches: Int = 4, numPartitions: Int = 32,
       assigner: Option[graft.analysis.Payloads.Assigner] = None,
-      kind: graft.analysis.Analyzers.Kind = graft.analysis.Analyzers.Standard)
-      : Manifest = {
+      kind: graft.analysis.Analyzers.Kind = graft.analysis.Analyzers.Standard,
+      // stamped into lineage alongside the analyzer kind: assigners are
+      // bare functions with no stable identity, so a resume under a
+      // DIFFERENT assigner can only be detected if the caller names it
+      payTag: String = ""): Manifest = {
     val tAssign = System.nanoTime()
     // assign() pins its sorted base; `docs` is a cheap projection of it
     val assigned = DocIds.assign(transcripts,
@@ -304,7 +311,9 @@ object IndexBuilder {
         val id = f"seg_b$b%05d"
         // payload/analyzer builds carry a distinct lineage so a resumed
         // run never reuses a segment analyzed differently
-        val src = (if (assigner.isDefined) "ingest-pay" else "ingest") +
+        val src = (if (assigner.isDefined)
+            "ingest-pay" + (if (payTag.nonEmpty) s":$payTag" else "")
+          else "ingest") +
           (if (kind != graft.analysis.Analyzers.Standard) s" analyzer=$kind"
            else "")
         val lineage = s"batch=$b/$numBatches docids=[$lo,$hi) src=$src"
@@ -369,6 +378,12 @@ object IndexBuilder {
     val base = prev.map(_.maxDocid).getOrElse(-1L) + 1
     val nextOrd = prev.flatMap(_.segments.map(_.ord).maxOption)
       .getOrElse(-1L) + 1
+    // the id carries the COMMIT VERSION (like merge ids) so directory
+    // names are globally unique across history: ords alone repeat after
+    // a merge lowers max(ord) (merge keeps ord = min), and an ord-only
+    // id would overwrite a dir still referenced by a retained rollback
+    // manifest — and poison reopen's reuse-by-id of unchanged segments
+    val nextVer = prev.map(_.version + 1).getOrElse(1L)
     val local = DocIds.assign(turns,
       Seq(col("conv_id"), col("turn_idx")), numPartitions)
     val n = local.total
@@ -383,7 +398,7 @@ object IndexBuilder {
       .persist(StorageLevel.DISK_ONLY)
     docs.count()    // materializes the outer pin …
     local.release() // … so the inner range-shuffled base can go
-    val id = f"seg_a$nextOrd%05d"
+    val id = f"seg_a$nextVer%04d_$nextOrd%05d"
     SegmentStore.writeTable(root, id, "blocks",
       PostingBlocks.buildFromDocs(docs, numPartitions).toDF())
     val blocksDf = SegmentStore.readTable(spark, root, id, "blocks")
@@ -448,9 +463,14 @@ object IndexBuilder {
       numPartitions: Int = 32): Option[Manifest] = {
     val m = SegmentStore.latest(root).getOrElse(return None)
     if (m.segments.size < 2) return None
-    def level(s: SegmentMeta): Int =
-      if (s.numDocs <= 1) 0
-      else (math.log(s.numDocs.toDouble) / math.log(mergeFactor.toDouble)).toInt
+    // integer log: floor(ln(n)/ln(f)) mis-bins exact powers by float
+    // rounding (ln(1000)/ln(10) = 2.9999999999999996 -> level 2)
+    def level(s: SegmentMeta): Int = {
+      var l = 0
+      var x = s.numDocs
+      while (x >= mergeFactor) { x /= mergeFactor; l += 1 }
+      l
+    }
     val byLevel = m.segments.groupBy(level).toSeq.sortBy(-_._1)
     byLevel.collectFirst { case (_, segs) if segs.size >= mergeFactor =>
       doMerge(spark, root, m, segs.sortBy(_.ord).take(mergeFactor),
@@ -533,9 +553,17 @@ object IndexBuilder {
           blocksDf.agg(coalesce(sum(col("sum_tf")), lit(0L)))
             .collect()(0).getLong(0))
     }
+    // streamBatch markers must SURVIVE merges: the streaming sink's
+    // replay check scans lineages for `streamBatch=<id>`, and a
+    // compaction that rewrote lineage before the stream checkpoint
+    // committed would make a crash-replay re-index the whole batch
+    val carried = toMerge
+      .flatMap(_.lineage.split(' ').filter(_.startsWith("streamBatch=")))
+      .distinct
     val meta = SegmentMeta(id, newOrd, n, sumLen,
       s"merged=[${toMerge.map(_.id).mkString(",")}]" +
-        (if (del.isDefined) " expunged-deletes" else ""),
+        (if (del.isDefined) " expunged-deletes" else "") +
+        (if (carried.isEmpty) "" else carried.mkString(" ", " ", "")),
       // the watermark NEVER shrinks on expunge: surviving docids keep
       // their original values, so appends must still re-base past the
       // pre-merge ceiling

@@ -149,10 +149,18 @@ object SegmentStore {
   def commit(root: String, m: Manifest): Unit = {
     val dir = manifestDir(root)
     Files.createDirectories(dir)
+    val target = dir.resolve(s"v${m.version}.json")
+    // optimistic-concurrency guard: ATOMIC_MOVE REPLACES an existing
+    // target on POSIX, so two writers committing the same next version
+    // (append vs out-of-band compaction) would silently drop one commit.
+    // The check-then-move is not itself atomic — the store's contract is
+    // one writer at a time — but it turns the common race loud.
+    if (Files.exists(target))
+      sys.error(s"concurrent commit: $target already exists — " +
+        "re-read latest() and retry at the next version")
     val tmp = dir.resolve(s"v${m.version}.json.tmp")
     Files.writeString(tmp, toJson(m))
-    Files.move(tmp, dir.resolve(s"v${m.version}.json"),
-      StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
   }
 
   // ---- segment I/O ----
@@ -283,11 +291,25 @@ object SegmentStore {
     * /root/reference/src/core/Index/IndexFileDeleter.cs). Also prunes all
     * but the newest `keepManifests` commit files. */
   def gc(root: String, keepManifests: Int = 2): Seq[String] = {
-    val man = latest(root)
-    val live = man.map(m => m.segments.map(_.id).toSet ++ m.deletes.toSet)
-      .getOrElse(Set.empty)
     val rootP = Paths.get(root)
     if (!Files.isDirectory(rootP)) return Nil
+    val mdir = manifestDir(root)
+    // prune old manifests FIRST, then compute liveness as the UNION over
+    // every manifest that survives: the retained rollback commits still
+    // reference their segments, so latest-only liveness would delete
+    // dirs a kept vN.json points at (rollback read → missing parquet)
+    val kept: Seq[java.nio.file.Path] =
+      if (!Files.isDirectory(mdir)) Nil
+      else {
+        val vs = Files.list(mdir).iterator().asScala
+          .filter(_.getFileName.toString.matches("v\\d+\\.json")).toSeq
+          .sortBy(p => p.getFileName.toString.stripPrefix("v")
+            .stripSuffix(".json").toLong)
+        vs.dropRight(keepManifests).foreach(Files.delete)
+        vs.takeRight(keepManifests)
+      }
+    val live = kept.map(p => fromJson(Files.readString(p)))
+      .flatMap(m => m.segments.map(_.id) ++ m.deletes).toSet
     val dropped = Files.list(rootP).iterator().asScala
       .filter(p => Files.isDirectory(p) &&
         (p.getFileName.toString.startsWith("seg_") ||
@@ -295,14 +317,6 @@ object SegmentStore {
       .filterNot(p => live.contains(p.getFileName.toString))
       .map { p => deleteRec(p); p.getFileName.toString }
       .toSeq
-    val mdir = manifestDir(root)
-    if (Files.isDirectory(mdir)) {
-      val vs = Files.list(mdir).iterator().asScala
-        .filter(_.getFileName.toString.matches("v\\d+\\.json")).toSeq
-        .sortBy(p => p.getFileName.toString.stripPrefix("v")
-          .stripSuffix(".json").toLong)
-      vs.dropRight(keepManifests).foreach(Files.delete)
-    }
     dropped
   }
 

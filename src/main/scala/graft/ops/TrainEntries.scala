@@ -25,8 +25,13 @@ object TrainEntries {
   private def norm2Sql(a: String): String =
     (1 to Dim).map(i => s"CAST($a[$i] AS DOUBLE)*CAST($a[$i] AS DOUBLE)")
       .mkString(" + ")
+  /** Zero-norm convention mirror (TrainOps cosine sites): cos with a
+    * zero vector is -1.0, never NaN — NaN orders differently across
+    * JVM / Spark SQL / DuckDB. DuckDB division by zero yields NULL, so
+    * coalesce(-1.0) implements the convention without duplicating the
+    * unrolled norm expressions. */
   private def cosSql(a: String, b: String): String =
-    s"(${dotSql(a, b)}) / (sqrt(${norm2Sql(a)}) * sqrt(${norm2Sql(b)}))"
+    s"coalesce((${dotSql(a, b)}) / (sqrt(${norm2Sql(a)}) * sqrt(${norm2Sql(b)})), -1.0)"
 
   /** Unrolled Lloyd-iteration mirror of [[TrainOps.annIvfKmeans]]: the
     * hash-sample init, per-iteration argmax assignment (ties → lower
@@ -230,9 +235,9 @@ object TrainEntries {
          |              JOIN emb eb ON eb.doc_id = b AND ea.dim = eb.dim
          |         GROUP BY a, b)
          |SELECT a, b,
-         |  round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cos
+         |  round(coalesce(dot / (sqrt(na.n2) * sqrt(nb.n2)), -1.0), 4) AS cos
          |FROM dots JOIN nrm na ON na.doc_id = a JOIN nrm nb ON nb.doc_id = b
-         |WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= ${TrainOps.EmbedCosThreshold}
+         |WHERE coalesce(dot / (sqrt(na.n2) * sqrt(nb.n2)), -1.0) >= ${TrainOps.EmbedCosThreshold}
          |ORDER BY a, b""".stripMargin),
 
     ("dd_simhash",
@@ -343,7 +348,7 @@ object TrainEntries {
     ("tx_tokens",
       (s, d) => TrainOps.tokenCounts(s, d),
       """SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin),
 

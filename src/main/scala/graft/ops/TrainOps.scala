@@ -139,15 +139,17 @@ object TrainOps {
   def dedupMinhashLsh(spark: SparkSession, sfDir: String,
       threshold: Double = 0.5): DataFrame = {
     val sig = lshBuckets(spark, sfDir)
-    // cap via a count window over the SAME (band, bkey) key the pair
-    // join shuffles on — one pass, no extra aggregation+join; the two
-    // self-join branches build identical subplans, so the physical plan
-    // reuses the exchange
-    val capped = sig
-      .withColumn("bsz", count(lit(1)).over(
-        Window.partitionBy("band", "bkey")))
-      .filter(col("bsz") <= LshBucketCap)
-      .drop("bsz")
+    // cap via a partial-aggregating count + broadcast anti-join, NOT a
+    // count window: WindowExec must co-locate, sort, and buffer EVERY
+    // raw row of a bucket in one task before the filter runs — on the
+    // degenerate boilerplate buckets this cap exists for (10^8 rows in
+    // one (band, bkey)), that task IS the OOM. The count aggregation
+    // map-side combines to per-key counters, the over-cap key set is
+    // tiny by construction, and the anti-join broadcasts it.
+    val over = sig.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") > LshBucketCap)
+      .select("band", "bkey")
+    val capped = sig.join(broadcast(over), Seq("band", "bkey"), "left_anti")
     val cand = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -295,12 +297,13 @@ object TrainOps {
   def dedupNgramJaccard(spark: SparkSession, sfDir: String,
       threshold: Double = 0.5): DataFrame = {
     val sh = shingles(spark, sfDir)
-    // df via a count window over the SAME key the pair join shuffles on
-    // (the lshBuckets pattern): one pass, exchange reused by both
-    // self-join branches
-    val withDf = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
-    val kept = withDf.filter(col("df") <= ShingleDfCap).drop("df")
+    // df cap via partial-aggregating count + broadcast semi/anti joins
+    // (the dedupMinhashLsh rationale: a count window buffers a hot
+    // shingle's whole row set in one task before filtering; the count
+    // agg map-side combines and the over-cap shingle set is tiny)
+    val overS = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > ShingleDfCap).select("s")
+    val kept = sh.join(broadcast(overS), Seq("s"), "left_anti")
     // the pair-gen join IS the intersection count over kept shingles
     // (distinct (doc, s) rows → one row per shared kept shingle), so the
     // same shuffle yields candidates AND i_kept — no separate distinct +
@@ -312,7 +315,7 @@ object TrainOps {
     // shared shingles ABOVE the cap still count toward Jaccard (kept and
     // capped partition sh, so i = i_kept + i_capped); the capped side is
     // joined separately — tiny in distinct shingles by construction
-    val capped = withDf.filter(col("df") > ShingleDfCap).drop("df")
+    val capped = sh.join(broadcast(overS), Seq("s"), "left_semi")
     val interCapped = interKept.select(col("a"), col("b"))
       .join(capped.as("ca"), col("ca.doc_id") === col("a"))
       .join(capped.as("cb"),
@@ -535,12 +538,14 @@ object TrainOps {
       threshold: Double = EmbedCosThreshold): DataFrame = {
     import spark.implicits._
     val vecs = embVecsOf(spark, sfDir)
-    val bands = vecs.select(col("doc_id"),
+    val bands0 = vecs.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band", "bkey")))
-      .withColumn("bsz", count(lit(1)).over(
-        Window.partitionBy("band", "bkey")))
-      .filter(col("bsz") <= SrpBucketCap)
-      .drop("bsz")
+    // cap via count agg + broadcast anti-join (see dedupMinhashLsh)
+    val overB = bands0.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") > SrpBucketCap)
+      .select("band", "bkey")
+    val bands = bands0.join(broadcast(overB), Seq("band", "bkey"),
+      "left_anti")
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -555,10 +560,12 @@ object TrainOps {
       .join(vecs.as("va"), col("a") === col("va.doc_id"))
       .join(vecs.as("vb"), col("b") === col("vb.doc_id"))
       .select(col("a"), col("b"),
-        (aggregate(zip_with(col("va.vec"), col("vb.vec"), (x, y) => x * y),
-          lit(0L), (acc, x) => acc + x).cast("double") /
-          (sqrt(col("va.n2").cast("double")) *
-            sqrt(col("vb.n2").cast("double")))).as("cos"))
+        when(col("va.n2") === 0 || col("vb.n2") === 0, lit(-1.0))
+          .otherwise(
+            aggregate(zip_with(col("va.vec"), col("vb.vec"), (x, y) => x * y),
+              lit(0L), (acc, x) => acc + x).cast("double") /
+              (sqrt(col("va.n2").cast("double")) *
+                sqrt(col("vb.n2").cast("double")))).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
       .orderBy("a", "b")
@@ -578,7 +585,8 @@ object TrainOps {
     }.reduce(_ + _)
     val n2 = aggregate(emb, lit(0.0),
       (acc, x) => acc + x.cast("double") * x.cast("double"))
-    dot / (sqrt(n2) * lit(qn))
+    if (qn == 0.0) lit(-1.0)
+    else when(n2 === 0.0, lit(-1.0)).otherwise(dot / (sqrt(n2) * lit(qn)))
   }
 
   /** Brute-force cosine top-k for query vector = embedding of `queryId`.
@@ -706,7 +714,7 @@ object TrainOps {
       val dot = qv.zip(cv).map { case (a, b) => a.toDouble * b.toDouble }.sum
       val nq = math.sqrt(qv.map(x => x.toDouble * x.toDouble).sum)
       val nc = math.sqrt(cv.map(x => x.toDouble * x.toDouble).sum)
-      cid -> dot / (nq * nc)
+      cid -> (if (nq == 0.0 || nc == 0.0) -1.0 else dot / (nq * nc))
     }
     val probed = qCos.sortBy { case (cid, c) => (-c, cid) }
       .take(IvfProbes).map(_._1)
@@ -734,7 +742,12 @@ object TrainOps {
     while (i < a.length) {
       dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero-norm convention (all cosine sites + oracle mirrors agree):
+    // cos(v, 0) = -1.0, never NaN — NaN ordering differs between JVM
+    // comparisons (false), Spark SQL (NaN greatest) and DuckDB (NaN
+    // greatest), so a NaN would diverge three ways
+    if (na == 0.0 || nb == 0.0) -1.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** Cosine of an embedding column against a DOUBLE query/centroid
@@ -747,7 +760,8 @@ object TrainOps {
     }.reduce(_ + _)
     val n2 = aggregate(emb, lit(0.0),
       (acc, x) => acc + x.cast("double") * x.cast("double"))
-    dot / (sqrt(n2) * lit(qn))
+    if (qn == 0.0) lit(-1.0)
+    else when(n2 === 0.0, lit(-1.0)).otherwise(dot / (sqrt(n2) * lit(qn)))
   }
 
   /** IVF with TRAINED centroids: Lloyd k-means on the
@@ -836,7 +850,8 @@ object TrainOps {
   def tokenCounts(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir).select(
       col("doc_id"),
-      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+      size(regexp_extract_all(col("text"),
+        lit("[^ \\t\\n\\x0B\\f\\r]+"), lit(0)))
         .cast("long").as("ws_tokens"),
       size(regexp_extract_all(lower(col("text")),
         lit("[a-z]+|[0-9]|[^a-z0-9 ]"), lit(0)))

@@ -75,8 +75,13 @@ object StreamingIndexSink {
   def appendBatch(batch: DataFrame, root: String, numPartitions: Int,
       batchId: Long): Unit = {
     if (batch.isEmpty) return
+    // token scan, not startsWith: compaction rewrites a merged segment's
+    // lineage to "merged=[...] streamBatch=i streamBatch=j ..." carrying
+    // the original markers mid-string (doMerge), and the replay guard
+    // must still see them
     val already = graft.index.SegmentStore.latest(root)
-      .exists(_.segments.exists(_.lineage.startsWith(s"streamBatch=$batchId ")))
+      .exists(_.segments.exists(
+        _.lineage.split(' ').contains(s"streamBatch=$batchId")))
     if (!already)
       IndexBuilder.appendSegment(batch.sparkSession, batch, root,
         numPartitions, lineageTag = s"streamBatch=$batchId")

@@ -42,12 +42,21 @@ object TrendingTerms {
     * [[counts]] output (rank inside a window is not incrementally
     * maintainable under late data; the stream emits counts, the
     * consumer ranks closed windows). Deterministic (n desc, term asc)
-    * tie-break. */
+    * tie-break. Two-level rank (the curateTopK pattern): a window over
+    * window_start alone would funnel a whole window's vocabulary-scale
+    * term set through ONE reducer; level 1 prunes to k rows per
+    * (window, input partition) first, so the final rank sees at most
+    * k·P rows per window. */
   def topK(counts: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("window_start"))
-      .orderBy(col("n").desc, col("term").asc)
-    counts.withColumn("rank", row_number().over(w).cast("long"))
+    val ord = Seq(col("n").desc, col("term").asc)
+    val lvl1 = Window.partitionBy(col("window_start"), col("cell"))
+      .orderBy(ord: _*)
+    val pruned = counts.withColumn("cell", spark_partition_id())
+      .withColumn("r1", row_number().over(lvl1))
+      .filter(col("r1") <= k).drop("r1", "cell")
+    val w = Window.partitionBy(col("window_start")).orderBy(ord: _*)
+    pruned.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .orderBy(col("window_start"), col("rank"))
   }

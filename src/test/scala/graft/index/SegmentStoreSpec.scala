@@ -70,8 +70,14 @@ class SegmentStoreSpec extends AnyFunSuite {
     val merged = SegmentStore.open(spark, root)
     assert(merged.numDocs == before.numDocs - delDocs.size)
     assert(merged.postings.filter(col("term") === "deploy").count() == 0)
-    SegmentStore.gc(root)
+    // keepManifests=2 (default) retains the pre-merge manifest, whose
+    // delete dir must SURVIVE gc (rollback safety); keepManifests=1
+    // drops the rollback commit and with it the del_ dir
     import scala.jdk.CollectionConverters._
+    SegmentStore.gc(root)
+    assert(Files.list(Paths.get(root)).iterator().asScala
+      .exists(_.getFileName.toString.startsWith("del_")))
+    SegmentStore.gc(root, keepManifests = 1)
     assert(!Files.list(Paths.get(root)).iterator().asScala
       .exists(_.getFileName.toString.startsWith("del_")))
 
@@ -133,7 +139,11 @@ class SegmentStoreSpec extends AnyFunSuite {
 
     val merged = IndexBuilder.forceMerge(spark, root, 4).get
     assert(merged.segments.size == 1)
-    val dropped = SegmentStore.gc(root)
+    // default gc keeps 2 manifests: the retained pre-merge commit still
+    // references the old segments, so they must survive (rollback
+    // reads); pruning to 1 manifest releases them
+    assert(SegmentStore.gc(root).isEmpty)
+    val dropped = SegmentStore.gc(root, keepManifests = 1)
     assert(dropped.toSet == Set("seg_b00000", "seg_b00001", "seg_b00002",
       "seg_b00003"))
     val after = SegmentStore.open(spark, root)
