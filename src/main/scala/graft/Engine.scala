@@ -193,6 +193,7 @@ object Engine {
     val t1 = System.nanoTime()
     graft.ops.TrainOps.shingles(spark, sfDir)
     graft.ops.TrainOps.embVecsOf(spark, sfDir)
+    graft.ops.TrainOps.lshBuckets(spark, sfDir)
     flavors :+ ("tvec" -> (t1 - t0) / 1e9) :+
       ("dds" -> (System.nanoTime() - t1) / 1e9)
   }

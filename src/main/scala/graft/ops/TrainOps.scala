@@ -114,13 +114,28 @@ object TrainOps {
     * and the cap is replayed identically in the DuckDB oracle. */
   val LshBucketCap = 64
 
-  /** Band buckets: (doc_id, band, bkey). */
-  private def lshBuckets(spark: SparkSession, sfDir: String): DataFrame =
-    minhashSignatures(spark, sfDir)
-      .withColumn("band", (col("j") / BandRows).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(h60(concat_ws(",", sort_array(collect_list(
-        concat(col("j").cast("string"), lit("="), col("minh")))))).as("bkey"))
+  private val lshBucketCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Band buckets: (doc_id, band, bkey) — persisted once per corpus
+    * (the shingles discipline): the bucket-size cap reads this table
+    * for its count AND for the pass-through join, and dd_clusters
+    * re-runs the pair pipeline on top; without the pin the whole
+    * signature chain (shingle explode + 16-way minhash agg) executes
+    * once per consumer. */
+  private[graft] def lshBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    lshBucketCache.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}:$sfDir", {
+        val b = minhashSignatures(spark, sfDir)
+          .withColumn("band", (col("j") / BandRows).cast("int"))
+          .groupBy("doc_id", "band")
+          .agg(h60(concat_ws(",", sort_array(collect_list(
+            concat(col("j").cast("string"), lit("="), col("minh"))))))
+            .as("bkey"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        b.count()
+        b
+      })
 
   /** Diagnostic for the bucket cap: (total buckets, dropped buckets). */
   def lshBucketStats(spark: SparkSession, sfDir: String): (Long, Long) = {
@@ -538,8 +553,11 @@ object TrainOps {
       threshold: Double = EmbedCosThreshold): DataFrame = {
     import spark.implicits._
     val vecs = embVecsOf(spark, sfDir)
+    // lazily checkpointed: the cap's count aggregation AND both
+    // self-join branches read this exploded table (see dedupMinhashLsh)
     val bands0 = vecs.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band", "bkey")))
+      .localCheckpoint(false)
     // cap via count agg + broadcast anti-join (see dedupMinhashLsh)
     val overB = bands0.groupBy("band", "bkey")
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") > SrpBucketCap)

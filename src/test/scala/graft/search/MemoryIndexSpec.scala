@@ -55,6 +55,57 @@ class MemoryIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("reference testqueries corpus: percolation == engine membership") {
+    val base = "/root/reference/test/contrib/Memory"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(base)))
+    val raw = Seq("testqueries.txt", "testqueries2.txt").flatMap { f =>
+      scala.io.Source.fromFile(s"$base/$f", "UTF-8").getLines().toSeq
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+    }
+    // corpus built FROM the fixture vocabulary so queries match nonzero
+    // docs: every doc is a deterministic slice of the corpus terms
+    val vocab = raw.flatMap(q =>
+      graft.analysis.Analyzer.fastTokenize(q.toLowerCase).map(_.term))
+      .distinct.sorted
+    val texts = (0 until 40).map { i =>
+      (0 until 6).map(j => vocab((i * 7 + j * 3) % vocab.size))
+        .mkString(" ")
+    }
+    val turns = texts.zipWithIndex.map { case (txt, i) =>
+      graft.model.TranscriptTurn(f"c${i / 4}%03d", i % 4,
+        if (i % 2 == 0) "user" else "assistant", txt, None,
+        java.sql.Timestamp.valueOf("2025-01-01 00:00:00"))
+    }
+    import spark.implicits._
+    val idx = IndexBuilder.build(spark.createDataset(turns).toDF(), 2)
+    val sr = new Searcher(idx)
+    val docs = idx.docs.select("docid", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val mems = docs.map { case (d, text) => d -> MemoryIndex.of(text) }
+
+    var checked = 0
+    var matchedSomething = 0
+    val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+    raw.foreach { qs =>
+      try {
+        val q = QueryParser.parse(qs)
+        val engine = sr.score(q).collect().map(_.getLong(0)).toSet
+        val perc = mems.collect { case (d, m) if m.matches(q) => d }.toSet
+        assert(perc == engine, s"'$qs' ($q): percolated $perc != $engine")
+        checked += 1
+        if (engine.nonEmpty) matchedSomething += 1
+      } catch {
+        // shapes one evaluator cannot express on this schema (unknown
+        // field scopes, MatchNone) are skipped, loudly bounded below
+        case _: IllegalArgumentException | _: UnsupportedOperationException
+          | _: org.apache.spark.sql.AnalysisException => skipped += qs
+      }
+    }
+    assert(checked >= 80, s"only $checked checked; skipped: $skipped")
+    assert(matchedSomething >= 40,
+      s"only $matchedSomething queries matched any doc — vacuous sweep")
+  }
+
   test("keyword fields and unsupported shapes") {
     val m = MemoryIndex.of("the quick brown fox",
       fields = Map("role" -> "assistant"))
