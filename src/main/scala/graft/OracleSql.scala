@@ -237,6 +237,46 @@ object OracleSql {
          |   FROM scored p WHERE levenshtein(p.term, ${sq(t)}) <= $maxEdits) ${al()}
          | GROUP BY docid)""".stripMargin
 
+    case FuzzyLikeThisQ(text, maxEdits, maxNumTerms) =>
+      // mirror of Searcher's FuzzyLikeThisQ plan, candidate generation
+      // as the semantically-equal full dictionary scan (the engine's
+      // trigram/pigeonhole filter has guaranteed recall): per source
+      // term sim = 1 - dist/min-length, df_eff = the source term's df
+      // or the INTEGER average of the variants' dfs, vscore =
+      // sim² × idf(df_eff); top 50 variants per term then the globally
+      // best maxNumTerms; doc contribution = vscore × tf-norm (variant
+      // idf deliberately absent — FuzzyLikeThisQuery.cs:41-46)
+      val srcTerms =
+        graft.analysis.Analyzer.analyzeQuery(text).distinct
+      val srcVals = srcTerms.map(t => s"(${sq(t)})").mkString(", ")
+      // ordered in-aggregate sum: the per-doc fold order matches the
+      // engine's sort_array(ord) fold, so exact-tie docids stay ties in
+      // BOTH engines and rank purely by the docid tie-break (a plain
+      // parallel sum() makes near-tie ranks run-order-dependent)
+      s"""(SELECT docid, sum(contrib ORDER BY ord) AS score FROM
+         |  (SELECT p.docid, sel.src || '|' || sel.term AS ord,
+         |          sel.vscore * ((p.tf * 2.2) / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.len / st.avgdl))) AS contrib
+         |   FROM (SELECT term, src, vscore FROM
+         |          (SELECT term, src, vscore,
+         |                  row_number() OVER (ORDER BY vscore DESC, term ASC, src ASC) AS grank
+         |           FROM (SELECT term, src, n, df_eff,
+         |                        sim * sim * ln(1.0 + (CAST(n AS DOUBLE) - df_eff + 0.5) / (df_eff + 0.5)) AS vscore,
+         |                        row_number() OVER (PARTITION BY src ORDER BY sim DESC, term ASC) AS vrank
+         |                 FROM (SELECT c.term, c.src, st2.n,
+         |                              1.0 - CAST(c.dist AS DOUBLE) / CAST(least(length(c.term), length(c.src)) AS DOUBLE) AS sim,
+         |                              coalesce(max(CASE WHEN c.term = c.src THEN c.df END) OVER (PARTITION BY c.src),
+         |                                       CAST(floor(CAST(sum(c.df) OVER (PARTITION BY c.src) AS DOUBLE) / count(*) OVER (PARTITION BY c.src)) AS BIGINT)) AS df_eff
+         |                       FROM (SELECT d.term, d.df, f.src, levenshtein(d.term, f.src) AS dist
+         |                             FROM dict d CROSS JOIN (VALUES $srcVals) f(src)
+         |                             WHERE levenshtein(d.term, f.src) <= $maxEdits) c
+         |                       CROSS JOIN stats st2) x) y
+         |           WHERE vrank <= ${Searcher.MaxVariantsPerTerm}) z
+         |         WHERE grank <= $maxNumTerms) sel
+         |   JOIN postings p ON p.term = sel.term
+         |   JOIN doclens l ON l.docid = p.docid
+         |   CROSS JOIN stats st) ${al()}
+         | GROUP BY docid)""".stripMargin
+
     case MatchAllQ => "(SELECT docid, 1.0 AS score FROM docs)"
 
     case MatchNoneQ => "(SELECT docid, 1.0 AS score FROM docs WHERE FALSE)"

@@ -141,6 +141,9 @@ object SparkEntry {
     "ft_prefix_auto" -> TopK(PrefixQ("qu", AutoRewrite)),
     "ft_wildcard" -> TopK(BoolQ(must = Seq(WildcardQ("s*n"), TermQ("value")))),
     "ft_fuzzy" -> TopK(FuzzyQ("tble", 2)),
+    // FuzzyLikeThisQuery (contrib Queries): every term of the free text
+    // fuzzified, globally best 8 variants ranked by sim² × source-idf
+    "ft_fuzzy_like" -> TopK(FuzzyLikeThisQ("windoow streem tble", 2, 8)),
     "ft_term_range" -> Count(TermRangeQ(Some("query"), Some("sort"))),
 
     // --- filters / keyword + numeric fields (§2.5 Filter family) ---

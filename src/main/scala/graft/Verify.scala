@@ -6,7 +6,12 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     Jvm.reexecIfOversizedHeap("graft.Verify", args)
-    val Array(sfDir, outDir) = args
+    // optional third arg: only (re-)dump entries whose name contains it —
+    // dev-iteration fast path; the driver always passes two args
+    val (sfDir, outDir, filt) = args match {
+      case Array(s, o) => (s, o, "")
+      case Array(s, o, f) => (s, o, f)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // same managed-memory clamp as Bench: an oversized -Xmx from the
     // invoking environment must not put this guest into page-fault storms
@@ -23,6 +28,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      if (filt.isEmpty || name.contains(filt))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -130,6 +130,12 @@ object Analyzers {
     * Standard stop set — the CSV/log-line tokenizer. */
   final case class Pattern(separator: String, stops: Boolean = true)
     extends Kind
+  /** Position/PositionFilter.cs analog: the first token of the wrapped
+    * chain keeps its position; every later token advances by the fixed
+    * `increment` instead of its own (increment 0 stacks the whole
+    * stream on one position — the query-time synonym/shingle trick). */
+  final case class Positioned(increment: Int = 0, inner: Kind = Standard)
+    extends Kind
 
   /** The shared shape of every language chain: raw word tokens
     * (position = raw-token index, stop gaps preserved — the same
@@ -148,6 +154,10 @@ object Analyzers {
 
   def tokenize(kind: Kind, text: String): Vector[Token] = kind match {
     case Standard => Analyzer.fastTokenize(text)
+    case Positioned(inc, inner) =>
+      val ts = tokenize(inner, text)
+      ts.zipWithIndex.map { case (t, k) =>
+        if (k == 0) t else Token(t.term, ts.head.pos + k * inc) }
     case Reversed =>
       Analyzer.fastTokenize(text).map(t => Token(t.term.reverse, t.pos))
     case EdgeNgrams(lo, hi) =>

@@ -223,6 +223,20 @@ object Spans {
   * become a scored disjunction; the source doc is excluded. */
 final case class MoreLikeThisQ(docid: Long, topTerms: Int = 10) extends Query
 
+/** contrib FuzzyLikeThisQuery.cs:48 — FuzzyQuery × MoreLikeThis hybrid:
+  * the free text is analyzed, EVERY source term is fuzzified, and the
+  * globally best `maxNumTerms` variants (ranked by sim² × idf of the
+  * SOURCE term) form the rewritten disjunction. The reference's key
+  * scoring twist is kept: a variant scores with the source term's idf
+  * folded into its boost — NOT its own idf — so rare misspellings can't
+  * dominate (FuzzyLikeThisQuery.cs:41-46); per-doc contribution is
+  * boost × tf-norm under the active Similarity. Variant similarity uses
+  * our FuzzyQ edit-distance form (1 − dist/min-length); per-source-term
+  * candidates are capped at 50 (MAX_VARIANTS_PER_TERM,
+  * FuzzyLikeThisQuery.cs:56) before the global queue. */
+final case class FuzzyLikeThisQ(text: String, maxEdits: Int = 1,
+    maxNumTerms: Int = 24) extends Query
+
 /** contrib RegexQuery.cs:29 — regex term expansion. Pattern is anchored
   * (whole-term match), like the reference's RegexTermEnum. */
 final case class RegexQ(pattern: String,

@@ -1,6 +1,7 @@
 package graft.search
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.index.InvertedIndex
@@ -448,18 +449,7 @@ final class Searcher(idx: InvertedIndex, sim: Similarity = Bm25Sim) {
       // gram-range scan of that table (a contained piece implies its
       // first trigram is shared) instead of a full-dictionary contains()
       // scan — the 10^9-term path.
-      val pieces = Searcher.pigeonPieces(t, maxEdits)
-      val candBase = idx.trigrams match {
-        case Some(tg) if pieces.forall(_.length >= 3) =>
-          val grams = pieces.map(_.substring(0, 3)).distinct
-          tg.filter(col("gram").isin(grams: _*))
-            .select(col("term"), col("df")).distinct()
-        case _ =>
-          idx.termDict
-            .filter(pieces.map(p => col("term").contains(p)).reduce(_ || _))
-            .select(col("term"), col("df"))
-      }
-      val cand = candBase
+      val cand = fuzzyCandidates(t, maxEdits)
         .withColumn("dist", levenshtein(col("term"), lit(t)))
         .filter(col("dist") <= maxEdits)
         .select(col("term"), col("df"),
@@ -475,6 +465,57 @@ final class Searcher(idx: InvertedIndex, sim: Similarity = Bm25Sim) {
         aggregate(
           sort_array(collect_list(struct(col("ord"), col("score")))),
           lit(0.0), (acc, x) => acc + x.getField("score")).as("score"))
+
+    case FuzzyLikeThisQ(text, maxEdits, maxNumTerms) =>
+      // FuzzyLikeThisQuery.cs:190-318. Per analyzed source term:
+      // candidates within maxEdits (bounded trigram/pigeonhole scan, as
+      // FuzzyQ), similarity = 1 - dist/min-length; the source term's df
+      // (or, when absent from the dictionary, the INTEGER average of the
+      // variants' dfs — FuzzyLikeThisQuery.cs:236-240) feeds ONE shared
+      // idf, so vscore = sim² × idf(df_eff). Top 50 variants per source
+      // term, then the globally best maxNumTerms across all terms, each
+      // scoring docs as vscore × tf-norm — the variant's own idf is
+      // deliberately NOT applied (the reference's FuzzyTermQuery forces
+      // idf=1 because the source idf already sits in the boost).
+      val srcTerms =
+        graft.analysis.Analyzer.analyzeQuery(text).distinct
+      require(srcTerms.nonEmpty, "FuzzyLikeThisQ: no terms after analysis")
+      require(srcTerms.size <= Searcher.MaxClauseCount,
+        s"too many fuzzified terms (maxClauseCount=${Searcher.MaxClauseCount})")
+      val cand = srcTerms
+        .map(t => fuzzyCandidates(t, maxEdits).withColumn("src", lit(t)))
+        .reduce(_ unionByName _)
+        .withColumn("dist", levenshtein(col("term"), col("src")))
+        .filter(col("dist") <= maxEdits)
+        .withColumn("sim", lit(1.0) - col("dist").cast("double") /
+          least(length(col("term")), length(col("src"))).cast("double"))
+      // the candidate set is small (bounded per-term scans), so the
+      // per-source-term windows shuffle a tiny table, never postings
+      val bySrc = Window.partitionBy("src")
+      val sel = cand
+        .withColumn("src_df",
+          max(when(col("term") === col("src"), col("df"))).over(bySrc))
+        .withColumn("df_eff", coalesce(col("src_df"),
+          floor(sum(col("df")).over(bySrc).cast("double") /
+            count(lit(1)).over(bySrc)).cast("long")))
+        .withColumn("vscore", col("sim") * col("sim") *
+          sim.idfCol(idx.numDocs, col("df_eff")))
+        .withColumn("vrank", row_number().over(Window.partitionBy("src")
+          .orderBy(col("sim").desc, col("term").asc)))
+        .filter(col("vrank") <= Searcher.MaxVariantsPerTerm)
+        .orderBy(col("vscore").desc, col("term").asc, col("src").asc)
+        .limit(maxNumTerms)
+        .select(col("term"), col("src"), col("vscore"))
+      idx.postingsForTermSetScoring(sel.select("term").distinct())
+        .join(broadcast(sel), Seq("term"))
+        .select(col("docid"),
+          concat(col("src"), lit("|"), col("term")).as("ord"),
+          (col("vscore") *
+            sim.tfNorm(col("tf"), col("len"), idx.avgdl)).as("score"))
+        .groupBy(col("docid")).agg(
+          aggregate(
+            sort_array(collect_list(struct(col("ord"), col("score")))),
+            lit(0.0), (acc, x) => acc + x.getField("score")).as("score"))
 
     case MatchAllQ =>
       idx.docs.select(col("docid"), lit(1.0).as("score"))
@@ -646,6 +687,26 @@ final class Searcher(idx: InvertedIndex, sim: Similarity = Bm25Sim) {
           scoredOverTerms(dictPred)
         else constantOverTerms(dictPred)
     }
+
+  /** Fuzzy candidate (term, df) set for one query term — the pigeonhole
+    * filter (Navarro's partition lemma) with the persisted-trigram
+    * bounded-scan fast path; shared by FuzzyQ and FuzzyLikeThisQ. The
+    * candidate set is a SUPERSET of the true dist<=maxEdits matches (the
+    * caller applies the exact levenshtein filter), with guaranteed
+    * recall. */
+  private def fuzzyCandidates(t: String, maxEdits: Int): DataFrame = {
+    val pieces = Searcher.pigeonPieces(t, maxEdits)
+    idx.trigrams match {
+      case Some(tg) if pieces.forall(_.length >= 3) =>
+        val grams = pieces.map(_.substring(0, 3)).distinct
+        tg.filter(col("gram").isin(grams: _*))
+          .select(col("term"), col("df")).distinct()
+      case _ =>
+        idx.termDict
+          .filter(pieces.map(p => col("term").contains(p)).reduce(_ || _))
+          .select(col("term"), col("df"))
+    }
+  }
 
   /** Constant-score multi-term rewrite (MultiTermQuery.cs:84-114): match
     * the dictionary predicate, semi-join into postings, dedup docs. */
@@ -1207,6 +1268,10 @@ object Searcher {
 
   /** BooleanQuery.maxClauseCount (BooleanQuery.cs:76). */
   val MaxClauseCount = 1024
+
+  /** FuzzyLikeThisQuery.MAX_VARIANTS_PER_TERM (FuzzyLikeThisQuery.cs:56):
+    * fuzzy variants considered per source term before the global queue. */
+  val MaxVariantsPerTerm = 50
 
   /** Auto-rewrite term-count cutoff (MultiTermQuery.cs:61-79). */
   val AutoRewriteTermCap = 350

@@ -218,6 +218,23 @@ class AnalyzersSpec extends AnyFunSuite {
       "X,,the,B") == Vector(Token("x", 0), Token("the", 2), Token("b", 3)))
   }
 
+  test("positioned kind: fixed increment after the first token") {
+    import graft.analysis.Analyzer.Token
+    // increment 0: the whole stream stacks on the first kept position
+    // (note "the" is stopped at pos 0, so the chain starts at pos 1)
+    assert(Analyzers.tokenize(Analyzers.Positioned(0),
+      "the customer filter row") ==
+      Vector(Token("customer", 1), Token("filter", 1), Token("row", 1)))
+    // increment 2: spaced from the first token's position
+    assert(Analyzers.tokenize(Analyzers.Positioned(2), "spark line row") ==
+      Vector(Token("spark", 0), Token("line", 2), Token("row", 4)))
+    // wraps any inner kind
+    assert(Analyzers.tokenize(
+      Analyzers.Positioned(0, Analyzers.Whitespace), "A B") ==
+      Vector(Token("A", 0), Token("B", 0)))
+    assert(Analyzers.tokenize(Analyzers.Positioned(0), "") == Vector.empty)
+  }
+
   test("length filter min and max") {
     import graft.analysis.Analyzer.Token
     val toks = Vector(Token("a", 0), Token("spark", 1), Token("hi", 2),

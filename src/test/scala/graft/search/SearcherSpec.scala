@@ -243,6 +243,49 @@ class SearcherSpec extends AnyFunSuite {
     assert(run(PrefixQ("f")).values.toSet == Set(1.0))
   }
 
+  test("FuzzyLikeThisQ: sim²×source-idf variant ranking, shared df") {
+    // scalar replica of FuzzyLikeThisQuery.cs:190-318 over TinyCorpus:
+    // "spark" exists in the dictionary (df path), "jog" does not — its
+    // variants within 2 edits are job/dog/fox, so df_eff = the INTEGER
+    // average (2+1+2)/3 = 1; maxNumTerms=3 must drop the weakest
+    // variant (fox, sim 1/3)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def idfOfDf(dfv: Long): Double =
+      math.log(1.0 + (n - dfv + 0.5) / (dfv + 0.5))
+    def tfNorm(t: String, d: Int): Double = {
+      val f = tf(t, d)
+      (f * 2.2) / (f + 1.2 * (1 - 0.75 + 0.75 * lens(d) / avgdl))
+    }
+    val dictTerms = docs.flatten.map(_.term).distinct
+    val (text, maxEdits, maxNumTerms) = ("spark jog", 2, 3)
+    val srcTerms = Analyzer.analyzeQuery(text).distinct
+    val variants = srcTerms.flatMap { src =>
+      val cs = dictTerms.map(t => (t, lev(t, src)))
+        .filter(_._2 <= maxEdits)
+      val dfEff: Long =
+        if (cs.exists(_._1 == src)) df(src).toLong
+        else cs.map(c => df(c._1).toLong).sum / cs.size
+      cs.map { case (t, d) =>
+        val sim = 1.0 - d.toDouble / math.min(t.length, src.length)
+        (src, t, sim, sim * sim * idfOfDf(dfEff))
+      }.sortBy(c => (-c._3, c._2)).take(Searcher.MaxVariantsPerTerm)
+    }
+    val sel = variants.sortBy(v => (-v._4, v._2, v._1)).take(maxNumTerms)
+    assert(sel.map(_._2).toSet == Set("spark", "job", "dog")) // fox cut
+    val want = (0 until n).map { d =>
+      d.toLong -> sel.collect { case (_, t, _, vs) if tf(t, d) > 0 =>
+        vs * tfNorm(t, d) }.sum
+    }.filter(_._2 > 0).toMap
+    assertScores(run(FuzzyLikeThisQ(text, maxEdits, maxNumTerms)), want)
+  }
+
   test("dismax = max + tie*(sum-max)") {
     val tie = 0.3
     val terms = Seq("spark", "error")
