@@ -506,16 +506,34 @@ final class Searcher(idx: InvertedIndex, sim: Similarity = Bm25Sim) {
         .orderBy(col("vscore").desc, col("term").asc, col("src").asc)
         .limit(maxNumTerms)
         .select(col("term"), col("src"), col("vscore"))
-      idx.postingsForTermSetScoring(sel.select("term").distinct())
-        .join(broadcast(sel), Seq("term"))
-        .select(col("docid"),
-          concat(col("src"), lit("|"), col("term")).as("ord"),
-          (col("vscore") *
-            sim.tfNorm(col("tf"), col("len"), idx.avgdl)).as("score"))
-        .groupBy(col("docid")).agg(
-          aggregate(
-            sort_array(collect_list(struct(col("ord"), col("score")))),
-            lit(0.0), (acc, x) => acc + x.getField("score")).as("score"))
+      // the selection is <= maxNumTerms rows: collect it (the reference
+      // rewrite materializes the chosen variants the same way) so the
+      // final postings scan gets LITERAL term predicates — parquet
+      // pushdown + block pruning — instead of a join-filtered full
+      // block-table read. Per-(src, term) rows are kept (a term chosen
+      // for two source terms contributes twice, like the reference's
+      // separate FuzzyTermQuery instances) and the fold order (ord =
+      // src|term) is unchanged.
+      val selRows = sel.collect()
+        .map(r => (r.getString(1), r.getString(0), r.getDouble(2)))
+      if (selRows.isEmpty)
+        idx.docs.select(col("docid"), lit(1.0).as("score"))
+          .filter(lit(false))
+      else {
+        val spark = idx.docs.sparkSession
+        import spark.implicits._
+        val selDf = selRows.toSeq.toDF("src", "term", "vscore")
+        idx.postingsForScoring(selRows.map(_._2).distinct.toSeq)
+          .join(broadcast(selDf), Seq("term"))
+          .select(col("docid"),
+            concat(col("src"), lit("|"), col("term")).as("ord"),
+            (col("vscore") *
+              sim.tfNorm(col("tf"), col("len"), idx.avgdl)).as("score"))
+          .groupBy(col("docid")).agg(
+            aggregate(
+              sort_array(collect_list(struct(col("ord"), col("score")))),
+              lit(0.0), (acc, x) => acc + x.getField("score")).as("score"))
+      }
 
     case MatchAllQ =>
       idx.docs.select(col("docid"), lit(1.0).as("score"))
