@@ -40,6 +40,12 @@ object TrainOps {
   private def toks(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
 
+  /** 60-bit content fingerprint of a text column (normalized token
+    * stream → h60) — the [[fingerprint]] op's key expression, shared
+    * with [[graft.streaming.StreamingDedup]]. */
+  def fingerprintCol(text: Column): Column =
+    h60(concat_ws(" ", toks(text)))
+
   // -------------------------------------------------------------------
   // Deduplication
   // -------------------------------------------------------------------
@@ -956,7 +962,7 @@ object TrainOps {
   /** Document fingerprint: 60-bit hash of the normalized token stream. */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir).select(col("doc_id"),
-      h60(concat_ws(" ", toks(col("text")))).as("fp"))
+      fingerprintCol(col("text")).as("fp"))
       .orderBy("doc_id")
 
   /** Gopher-style repetition-quality metrics (Rae et al. 2021, public
