@@ -24,6 +24,12 @@ def fresh_con():
             c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     return c
 
+if os.path.exists(f"{OUT}/_PARTIAL_DUMP.txt"):
+    with open(f"{OUT}/_PARTIAL_DUMP.txt") as f:
+        print(f"WARNING: {OUT} was produced by a FILTERED Verify run "
+              f"({f.read().strip()}); entries outside the filter are stale "
+              f"relative to oracle_sql.json — only trust the filtered names.")
+
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 ok = fail = 0
 for name, sql in sorted(oracle.items()):

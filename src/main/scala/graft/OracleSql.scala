@@ -230,11 +230,15 @@ object OracleSql {
 
     case FuzzyQ(t, maxEdits) =>
       // the engine's pigeonhole candidate filter has guaranteed recall,
-      // so the oracle can stay the semantically-equal full scan
+      // so the oracle can stay the semantically-equal full scan; terms
+      // with boost <= 0 (dist >= min length) are EXCLUDED like the
+      // engine (FuzzyTermEnum's positive similarity threshold)
       s"""(SELECT docid, sum(boosted) AS score FROM
          |  (SELECT p.docid, p.tscore * (1.0 - CAST(levenshtein(p.term, ${sq(t)}) AS DOUBLE)
          |          / CAST(least(length(p.term), ${t.length}) AS DOUBLE)) AS boosted
-         |   FROM scored p WHERE levenshtein(p.term, ${sq(t)}) <= $maxEdits) ${al()}
+         |   FROM scored p WHERE levenshtein(p.term, ${sq(t)}) <= $maxEdits
+         |     AND 1.0 - CAST(levenshtein(p.term, ${sq(t)}) AS DOUBLE)
+         |          / CAST(least(length(p.term), ${t.length}) AS DOUBLE) > 0) ${al()}
          | GROUP BY docid)""".stripMargin
 
     case FuzzyLikeThisQ(text, maxEdits, maxNumTerms) =>
@@ -248,6 +252,9 @@ object OracleSql {
       // idf deliberately absent — FuzzyLikeThisQuery.cs:41-46)
       val srcTerms =
         graft.analysis.Analyzer.analyzeQuery(text).distinct
+      if (srcTerms.isEmpty)
+        // stopword-only / empty text: MatchNone, same as the engine
+        return "(SELECT docid, 1.0 AS score FROM docs WHERE FALSE)"
       val srcVals = srcTerms.map(t => s"(${sq(t)})").mkString(", ")
       // ordered in-aggregate sum: the per-doc fold order matches the
       // engine's sort_array(ord) fold, so exact-tie docids stay ties in
@@ -268,7 +275,9 @@ object OracleSql {
          |                                       CAST(floor(CAST(sum(c.df) OVER (PARTITION BY c.src) AS DOUBLE) / count(*) OVER (PARTITION BY c.src)) AS BIGINT)) AS df_eff
          |                       FROM (SELECT d.term, d.df, f.src, levenshtein(d.term, f.src) AS dist
          |                             FROM dict d CROSS JOIN (VALUES $srcVals) f(src)
-         |                             WHERE levenshtein(d.term, f.src) <= $maxEdits) c
+         |                             WHERE levenshtein(d.term, f.src) <= $maxEdits
+         |                               AND 1.0 - CAST(levenshtein(d.term, f.src) AS DOUBLE)
+         |                                    / CAST(least(length(d.term), length(f.src)) AS DOUBLE) > 0) c
          |                       CROSS JOIN stats st2) x) y
          |           WHERE vrank <= ${Searcher.MaxVariantsPerTerm}) z
          |         WHERE grank <= $maxNumTerms) sel

@@ -27,6 +27,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a filtered dump leaves other entries' parquet stale next to a
+    // freshly regenerated oracle_sql.json — leave a loud marker so
+    // check.py can warn that the dir mixes generations
+    val marker = Paths.get(outDir, "_PARTIAL_DUMP.txt")
+    if (filt.nonEmpty)
+      Files.write(marker, s"filter=$filt\n".getBytes("UTF-8"))
+    else Files.deleteIfExists(marker)
     SparkEntry.queries.foreach { case (name, fn) =>
       if (filt.isEmpty || name.contains(filt))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -41,15 +41,21 @@ final class Searcher(idx: InvertedIndex, sim: Similarity = Bm25Sim) {
           .as("tscore"))
   }
 
-  /** Deterministic per-doc sum: collect (ord, score) pairs, sort by ord,
-    * fold — fixed float addition order. Returns (docid, score, cnt). */
+  /** The deterministic-fold aggregate shared by every multi-part scorer:
+    * collect the group's (ord, score) pairs, sort by ord, left-fold —
+    * fixed float addition order regardless of shuffle layout, so scores
+    * are bit-stable run to run (SURVEY §7 hard-part #1). */
+  private def ordSumAgg: Column =
+    aggregate(
+      sort_array(collect_list(struct(col("ord"), col("score")))),
+      lit(0.0), (acc, x) => acc + x.getField("score"))
+
+  /** Deterministic per-doc sum over clause frames; returns
+    * (docid, score, cnt). */
   private def detSum(parts: Seq[DataFrame]): DataFrame = {
     val u = parts.reduce(_ unionByName _)
     u.groupBy(col("docid")).agg(
-      aggregate(
-        sort_array(collect_list(struct(col("ord"), col("score")))),
-        lit(0.0), (acc, x) => acc + x.getField("score")).as("score"),
-      count(lit(1)).as("cnt"))
+      ordSumAgg.as("score"), count(lit(1)).as("cnt"))
   }
 
   private def withOrd(df: DataFrame, ord: String): DataFrame =
@@ -449,22 +455,23 @@ final class Searcher(idx: InvertedIndex, sim: Similarity = Bm25Sim) {
       // gram-range scan of that table (a contained piece implies its
       // first trigram is shared) instead of a full-dictionary contains()
       // scan — the 10^9-term path.
+      // boost <= 0 (dist >= min length) means "not similar at all": the
+      // reference's FuzzyTermEnum never yields such terms (its
+      // similarity threshold is positive), so they are EXCLUDED, not
+      // scored negatively
       val cand = fuzzyCandidates(t, maxEdits)
         .withColumn("dist", levenshtein(col("term"), lit(t)))
         .filter(col("dist") <= maxEdits)
-        .select(col("term"), col("df"),
-          (lit(1.0) - col("dist").cast("double") /
-            least(length(col("term")), lit(t.length)).cast("double"))
-            .as("boost"))
+        .withColumn("boost", lit(1.0) - col("dist").cast("double") /
+          least(length(col("term")), lit(t.length)).cast("double"))
+        .filter(col("boost") > 0)
+        .select(col("term"), col("df"), col("boost"))
       val scored = idx.postingsForTermSetScoring(cand.select("term"))
         .join(broadcast(cand), Seq("term"))
         .select(col("docid"), col("term").as("ord"),
           (sim.score(idx.numDocs, idx.avgdl, col("df"), col("tf"),
             col("len")) * col("boost")).as("score"))
-      scored.groupBy(col("docid")).agg(
-        aggregate(
-          sort_array(collect_list(struct(col("ord"), col("score")))),
-          lit(0.0), (acc, x) => acc + x.getField("score")).as("score"))
+      scored.groupBy(col("docid")).agg(ordSumAgg.as("score"))
 
     case FuzzyLikeThisQ(text, maxEdits, maxNumTerms) =>
       // FuzzyLikeThisQuery.cs:190-318. Per analyzed source term:
@@ -479,9 +486,16 @@ final class Searcher(idx: InvertedIndex, sim: Similarity = Bm25Sim) {
       // idf=1 because the source idf already sits in the boost).
       val srcTerms =
         graft.analysis.Analyzer.analyzeQuery(text).distinct
-      require(srcTerms.nonEmpty, "FuzzyLikeThisQ: no terms after analysis")
+      // stopword-only / empty text matches nothing (the MatchNoneQ
+      // convention the parser uses for the same input)
+      if (srcTerms.isEmpty)
+        return idx.docs.select(col("docid"), lit(1.0).as("score"))
+          .filter(lit(false))
       require(srcTerms.size <= Searcher.MaxClauseCount,
         s"too many fuzzified terms (maxClauseCount=${Searcher.MaxClauseCount})")
+      // sim <= 0 variants are excluded (not scored): squaring would
+      // otherwise turn "maximally dissimilar" into "exact match" — and
+      // the reference's enum never yields sub-threshold terms
       val cand = srcTerms
         .map(t => fuzzyCandidates(t, maxEdits).withColumn("src", lit(t)))
         .reduce(_ unionByName _)
@@ -489,6 +503,7 @@ final class Searcher(idx: InvertedIndex, sim: Similarity = Bm25Sim) {
         .filter(col("dist") <= maxEdits)
         .withColumn("sim", lit(1.0) - col("dist").cast("double") /
           least(length(col("term")), length(col("src"))).cast("double"))
+        .filter(col("sim") > 0)
       // the candidate set is small (bounded per-term scans), so the
       // per-source-term windows shuffle a tiny table, never postings
       val bySrc = Window.partitionBy("src")
@@ -529,10 +544,7 @@ final class Searcher(idx: InvertedIndex, sim: Similarity = Bm25Sim) {
             concat(col("src"), lit("|"), col("term")).as("ord"),
             (col("vscore") *
               sim.tfNorm(col("tf"), col("len"), idx.avgdl)).as("score"))
-          .groupBy(col("docid")).agg(
-            aggregate(
-              sort_array(collect_list(struct(col("ord"), col("score")))),
-              lit(0.0), (acc, x) => acc + x.getField("score")).as("score"))
+          .groupBy(col("docid")).agg(ordSumAgg.as("score"))
       }
 
     case MatchAllQ =>
@@ -669,10 +681,7 @@ final class Searcher(idx: InvertedIndex, sim: Similarity = Bm25Sim) {
         .select(col("docid"), col("ord"),
           (col("tscore") * col("boost")).as("score"))
       rows.groupBy(col("docid")).agg(
-        max(col("score")).as("mx"),
-        aggregate(
-          sort_array(collect_list(struct(col("ord"), col("score")))),
-          lit(0.0), (acc, x) => acc + x.getField("score")).as("sm"))
+        max(col("score")).as("mx"), ordSumAgg.as("sm"))
         .select(col("docid"),
           (col("mx") + lit(tie) * (col("sm") - col("mx"))).as("score"))
 
@@ -680,10 +689,7 @@ final class Searcher(idx: InvertedIndex, sim: Similarity = Bm25Sim) {
       val u = ds.zipWithIndex.map { case (c, i) => withOrd(score(c), f"d$i%03d") }
         .reduce(_ unionByName _)
       u.groupBy(col("docid")).agg(
-        max(col("score")).as("mx"),
-        aggregate(
-          sort_array(collect_list(struct(col("ord"), col("score")))),
-          lit(0.0), (acc, x) => acc + x.getField("score")).as("sm"))
+        max(col("score")).as("mx"), ordSumAgg.as("sm"))
         .select(col("docid"),
           (col("mx") + lit(tie) * (col("sm") - col("mx"))).as("score"))
   }
@@ -743,10 +749,7 @@ final class Searcher(idx: InvertedIndex, sim: Similarity = Bm25Sim) {
       .select(col("docid"), col("term").as("ord"),
         sim.score(idx.numDocs, idx.avgdl, col("df"), col("tf"), col("len"))
           .as("score"))
-      .groupBy(col("docid")).agg(
-        aggregate(
-          sort_array(collect_list(struct(col("ord"), col("score")))),
-          lit(0.0), (acc, x) => acc + x.getField("score")).as("score"))
+      .groupBy(col("docid")).agg(ordSumAgg.as("score"))
   }
 
   /** Phrase scoring. Exact (slop=0): n-way docid join of the term posting

@@ -268,7 +268,8 @@ class SearcherSpec extends AnyFunSuite {
     val srcTerms = Analyzer.analyzeQuery(text).distinct
     val variants = srcTerms.flatMap { src =>
       val cs = dictTerms.map(t => (t, lev(t, src)))
-        .filter(_._2 <= maxEdits)
+        .filter { case (t, d) =>
+          d <= maxEdits && d < math.min(t.length, src.length) } // sim > 0
       val dfEff: Long =
         if (cs.exists(_._1 == src)) df(src).toLong
         else cs.map(c => df(c._1).toLong).sum / cs.size
