@@ -793,6 +793,13 @@ object SparkEntry {
       (s, dir) => Engine.topKOn(Engine.indexSeg(s, dir),
         FuzzyQ("warnimg", 1), 10),
       OracleSql.topK(FuzzyQ("warnimg", 1), 10)),
+    // FuzzyLikeThis through the same trigram path: both source terms'
+    // pigeonhole pieces are >= 3 chars, so candidate generation is the
+    // gram-bounded scan and the literal rewrite prunes postings blocks
+    "ft_fuzzy_like_seg" -> Raw(
+      (s, dir) => Engine.topKOn(Engine.indexSeg(s, dir),
+        FuzzyLikeThisQ("warnimg streem", 1, 8), 10),
+      OracleSql.topK(FuzzyLikeThisQ("warnimg streem", 1, 8), 10)),
     "ft_seg_prefix" -> Raw(
       (s, dir) => Engine.topKOn(Engine.indexSeg(s, dir),
         BoolQ(must = Seq(PrefixQ("sp"), TermQ("key"))), 10),
