@@ -47,17 +47,13 @@ object StreamingIndexSink {
     * ingest window). The streaming twin of the batch
     * `TrainOps.dedupExact`; duplicates farther apart than the horizon
     * are left to the out-of-band batch dedup, exactly like merges are
-    * left to the out-of-band compactor. */
+    * left to the out-of-band compactor. The dedup transform itself is
+    * [[StreamingDedup.dedup]] (shared standalone op with the batch twin
+    * and its own spec); this method is the "dedup then index" wiring. */
   def startDedup(turns: DataFrame, root: String, numPartitions: Int,
       checkpointDir: String, watermarkDelay: String = "10 minutes",
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    import org.apache.spark.sql.functions._
-    val fp = graft.ops.TrainOps.h60(concat_ws(" ",
-      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))))
-    turns.withColumn("fp", fp)
-      .withWatermark("ts", watermarkDelay)
-      .dropDuplicatesWithinWatermark("fp")
-      .drop("fp")
+    StreamingDedup.dedup(turns, watermarkDelay)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
