@@ -35,6 +35,11 @@ object Explain {
     // in-memory flavor for comparison
     dump("mem phrase", Engine.searcher(spark, sfDir)
       .topK(PhraseQ(Seq("key" -> 0, "agg" -> 1)), 10))
+    // FuzzyLikeThis on the seg store: the literal rewrite means the
+    // final postings read must show the selected terms as a pushed
+    // isin filter on the blocks scan (not a join-filtered full read)
+    dump("seg fuzzy-like-this (literal rewrite pushdown)",
+      new Searcher(seg).topK(FuzzyLikeThisQ("warnimg streem", 1, 8), 10))
     // decontamination: the bench gram table must BROADCAST (never a
     // sort-merge join), and the semi filter must precede the count agg
     dump("decontaminate", graft.ops.TrainOps.decontaminate(spark, sfDir))
