@@ -448,6 +448,10 @@ object SparkEntry {
     // language.
     "ft_stem_de" -> stemGate(StemVectors.german,
       graft.analysis.GermanStemmer.stem),
+    // the reference De chain's own (Caumanns) stemmer — vectors frozen
+    // from the reference's golden corpus (data.txt)
+    "ft_stem_de_ca" -> stemGate(StemVectors.germanCaumanns,
+      graft.analysis.CaumannsGermanStemmer.stem),
     "ft_stem_fr" -> stemGate(StemVectors.french,
       graft.analysis.FrenchStemmer.stem),
     "ft_stem_es" -> stemGate(StemVectors.spanish,

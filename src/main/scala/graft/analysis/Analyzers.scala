@@ -34,6 +34,11 @@ object Analyzers {
   /** GermanAnalyzer.cs:41 analog: Standard tokens → German stop set →
     * Snowball German stemmer. */
   case object German extends Kind
+  /** The reference De chain's OWN stemmer (GermanStemmer.cs:34, the
+    * Caumanns 1999 algorithm — golden-validated in GermanGoldenSpec);
+    * `din2` switches to the DIN-5007-2 phone-book umlaut rules
+    * (GermanDIN2Stemmer.cs:13). */
+  final case class GermanCaumanns(din2: Boolean = false) extends Kind
   /** FrenchAnalyzer.cs:46 analog: Standard tokens → elision (l'avion →
     * avion, ElisionFilter.cs:56 default article set) → French stop
     * set → Snowball French stemmer. */
@@ -189,6 +194,8 @@ object Analyzers {
         Token(PorterStemmer.stem(t.term), t.pos))
     case Folding => Analyzer.fastTokenize(foldToAscii(text))
     case German => stopStemChain(text, GermanStopWords, GermanStemmer.stem)
+    case GermanCaumanns(din2) => stopStemChain(text, GermanStopWords,
+      if (din2) CaumannsGermanStemmer.stemDin2 else CaumannsGermanStemmer.stem)
     case French =>
       stopStemChain(text, FrenchStopWords, FrenchStemmer.stem, pre = elide)
     case Spanish =>

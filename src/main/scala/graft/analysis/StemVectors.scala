@@ -9,6 +9,20 @@ package graft.analysis
   * exists there). */
 object StemVectors {
 
+  /** Caumanns-stemmer vectors: a frozen subset of the reference's OWN
+    * golden corpus (test/contrib/Analyzers/De/data.txt — the full 31
+    * pairs + DIN2 file are swept by GermanGoldenSpec; these make the
+    * behavior oracle-visible as a VALUES gate). */
+  val germanCaumanns: Seq[(String, String)] = Seq(
+    "häufig" -> "haufig", "björk" -> "bjork",
+    "abschließen" -> "abschliess", "abschließender" -> "abschliess",
+    "tische" -> "tisch", "tischen" -> "tisch",
+    "haus" -> "hau", "häuser" -> "hau",
+    "hauses" -> "hau", "häusern" -> "hau", "hauen" -> "hau",
+    "geheimtür" -> "geheimtur", "ausmaß" -> "ausmass",
+    "drama" -> "drama", "dramen" -> "dram",
+    "xxxxxetende" -> "xxxxx", "xxem" -> "xxem", "xxxnd" -> "xxxnd")
+
   val german: Seq[(String, String)] = Seq(
     // step 1 declension suffixes in R1
     "tische" -> "tisch", "tischen" -> "tisch",
