@@ -141,6 +141,16 @@ object Analyzers {
     * stream on one position — the query-time synonym/shingle trick). */
   final case class Positioned(increment: Int = 0, inner: Kind = Standard)
     extends Kind
+  /** DutchStemFilter.cs:126 SetStemDictionary + the stem-exclusion
+    * tables of the De/Fr/Nl analyzers (GermanAnalyzer.cs
+    * SetStemExclusionTable et al.), generalized over every stop+stem
+    * chain: an excluded token passes through unstemmed; an overridden
+    * token maps to its fixed stem (checked before the stemmer, like the
+    * reference — test corpus test/contrib/Analyzers/Nl/customStemDict
+    * .txt). Both apply to the chain's PRE-normalized token. */
+  final case class StemAdjusted(inner: Kind,
+      overrides: Map[String, String] = Map.empty,
+      exclusions: Set[String] = Set.empty) extends Kind
 
   /** The shared shape of every language chain: raw word tokens
     * (position = raw-token index, stop gaps preserved — the same
@@ -156,6 +166,43 @@ object Analyzers {
           t.length <= Analyzer.MaxTokenLength =>
         Token(stem(t), i)
     }.toVector
+
+  /** The (stop set, per-token pre-normalization, stemmer) triple of
+    * every stop+stem language chain — one table so [[StemAdjusted]] can
+    * wrap ANY chain's stemmer. */
+  private def stemChainOf(kind: Kind)
+      : (Set[String], String => String, String => String) = kind match {
+    case German => (GermanStopWords, identity, GermanStemmer.stem)
+    case GermanCaumanns(din2) => (GermanStopWords, identity,
+      if (din2) CaumannsGermanStemmer.stemDin2
+      else CaumannsGermanStemmer.stem)
+    case French => (FrenchStopWords, elide, FrenchStemmer.stem)
+    case Spanish => (SpanishStopWords, identity, SpanishStemmer.stem)
+    case Russian => (RussianStopWords, identity, RussianStemmer.stem)
+    case Italian => (ItalianStopWords, elideIt, ItalianStemmer.stem)
+    case Swedish => (SwedishStopWords, identity, SwedishStemmer.stem)
+    case Danish => (DanishStopWords, identity, DanishStemmer.stem)
+    case Norwegian => (NorwegianStopWords, identity, NorwegianStemmer.stem)
+    case Dutch => (DutchStopWords, identity, DutchStemmer.stem)
+    case Portuguese =>
+      (PortugueseStopWords, identity, PortugueseStemmer.stem)
+    case Finnish => (FinnishStopWords, identity, FinnishStemmer.stem)
+    case Czech => (CzechStopWords, identity, identity)
+    case Greek => (GreekStopWords, IntlAnalyzers.greekFold, identity)
+    case Persian => (PersianStopWords,
+      t => IntlAnalyzers.persianNormalize(IntlAnalyzers.arabicNormalize(t)),
+      identity)
+    // stop check on the RAW token (the reference's Arabic stop list is
+    // unnormalized), normalize+stem after
+    case Arabic => (ArabicStopWords,
+      identity,
+      t => IntlAnalyzers.arabicStem(IntlAnalyzers.arabicNormalize(t)))
+    case StemAdjusted(inner, overrides, exclusions) =>
+      val (stops, pre, stem) = stemChainOf(inner)
+      (stops, pre,
+        t => if (exclusions(t)) t else overrides.getOrElse(t, stem(t)))
+    case other => sys.error(s"$other is not a stop+stem language chain")
+  }
 
   def tokenize(kind: Kind, text: String): Vector[Token] = kind match {
     case Standard => Analyzer.fastTokenize(text)
@@ -193,45 +240,16 @@ object Analyzers {
       Analyzer.fastTokenize(text).map(t =>
         Token(PorterStemmer.stem(t.term), t.pos))
     case Folding => Analyzer.fastTokenize(foldToAscii(text))
-    case German => stopStemChain(text, GermanStopWords, GermanStemmer.stem)
-    case GermanCaumanns(din2) => stopStemChain(text, GermanStopWords,
-      if (din2) CaumannsGermanStemmer.stemDin2 else CaumannsGermanStemmer.stem)
-    case French =>
-      stopStemChain(text, FrenchStopWords, FrenchStemmer.stem, pre = elide)
-    case Spanish =>
-      stopStemChain(text, SpanishStopWords, SpanishStemmer.stem)
-    case Russian =>
-      stopStemChain(text, RussianStopWords, RussianStemmer.stem)
-    case Italian =>
-      stopStemChain(text, ItalianStopWords, ItalianStemmer.stem,
-        pre = elideIt)
-    case Swedish =>
-      stopStemChain(text, SwedishStopWords, SwedishStemmer.stem)
-    case Danish => stopStemChain(text, DanishStopWords, DanishStemmer.stem)
-    case Norwegian =>
-      stopStemChain(text, NorwegianStopWords, NorwegianStemmer.stem)
-    case Dutch => stopStemChain(text, DutchStopWords, DutchStemmer.stem)
-    case Portuguese =>
-      stopStemChain(text, PortugueseStopWords, PortugueseStemmer.stem)
-    case Finnish =>
-      stopStemChain(text, FinnishStopWords, FinnishStemmer.stem)
+    case k @ (German | GermanCaumanns(_) | French | Spanish | Russian |
+        Italian | Swedish | Danish | Norwegian | Dutch | Portuguese |
+        Finnish | Czech | Greek | Persian | Arabic |
+        StemAdjusted(_, _, _)) =>
+      val (stops, pre, stem) = stemChainOf(k)
+      stopStemChain(text, stops, stem, pre)
     case Cjk =>
       IntlAnalyzers.cjkBigrams(text).filter(t => !Analyzer.StopWords(t.term))
     case Chinese => IntlAnalyzers.chineseTokens(text)
-    case Czech => stopStemChain(text, CzechStopWords, identity)
-    case Greek =>
-      stopStemChain(text, GreekStopWords, identity,
-        pre = IntlAnalyzers.greekFold)
-    case Persian =>
-      stopStemChain(text, PersianStopWords, identity,
-        pre = t => IntlAnalyzers.persianNormalize(
-          IntlAnalyzers.arabicNormalize(t)))
     case Thai => IntlAnalyzers.thaiTokens(text)
-    case Arabic =>
-      // stop check on the RAW token (the reference's Arabic stop list is
-      // unnormalized), normalize+stem after
-      stopStemChain(text, ArabicStopWords,
-        t => IntlAnalyzers.arabicStem(IntlAnalyzers.arabicNormalize(t)))
     case Shingles(n, keepUnigrams) => shingles(text, n, keepUnigrams)
     case Decompound(dict, minWord, minSub, maxSub, longest) =>
       decompound(Analyzer.fastTokenize(text), dict, minWord, minSub,

@@ -218,6 +218,37 @@ class AnalyzersSpec extends AnyFunSuite {
       "X,,the,B") == Vector(Token("x", 0), Token("the", 2), Token("b", 3)))
   }
 
+  test("stem-adjusted chain: overrides and exclusions intercept the stemmer") {
+    import graft.analysis.Analyzer.Token
+    // exclusion passes through unstemmed; override wins over the stemmer
+    val k = Analyzers.StemAdjusted(Analyzers.German,
+      overrides = Map("tische" -> "fixedstem"),
+      exclusions = Set("tischen"))
+    assert(Analyzers.tokenize(k, "tische tischen häuser") ==
+      Vector(Token("fixedstem", 0), Token("tischen", 1), Token("haus", 2)))
+    // unadjusted chain for comparison
+    assert(Analyzers.tokenize(Analyzers.German, "tische tischen") ==
+      Vector(Token("tisch", 0), Token("tisch", 1)))
+  }
+
+  test("Dutch stem-dictionary override matches the reference fixture") {
+    // EXTERNAL fixture: test/contrib/Analyzers/Nl/customStemDict.txt
+    // (DutchAnalyzer.SetStemDictionary) — tab-separated word/stem pairs
+    val p = java.nio.file.Paths.get(
+      "/root/reference/test/contrib/Analyzers/Nl/customStemDict.txt")
+    assume(java.nio.file.Files.exists(p))
+    val dict = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .replace("﻿", "").split('\n').toSeq.map(_.trim)
+      .filter(_.nonEmpty)
+      .map { l => val Array(w, s) = l.split('\t'); (w.trim, s.trim) }
+      .toMap
+    assert(dict.size == 3)
+    val k = Analyzers.StemAdjusted(Analyzers.Dutch, overrides = dict)
+    for ((w, s) <- dict)
+      assert(Analyzers.tokenize(k, w) == Vector(Token(s, 0)),
+        s"$w should map to $s")
+  }
+
   test("positioned kind: fixed increment after the first token") {
     import graft.analysis.Analyzer.Token
     // increment 0: the whole stream stacks on the first kept position
