@@ -151,6 +151,14 @@ object Analyzers {
   final case class StemAdjusted(inner: Kind,
       overrides: Map[String, String] = Map.empty,
       exclusions: Set[String] = Set.empty) extends Kind
+  /** The custom-stop-set constructor every reference analyzer exposes
+    * (e.g. StandardAnalyzer(stopWords), CzechAnalyzer + its custom
+    * stop-word file — WordlistLoader.cs:25 loads the set,
+    * [[WordLists.wordSet]] here). For a stop+stem chain the set
+    * REPLACES the language's own; for any other chain the listed terms
+    * are filtered out of its output (position gaps preserved). */
+  final case class CustomStops(stops: Set[String], inner: Kind = Standard)
+    extends Kind
 
   /** The shared shape of every language chain: raw word tokens
     * (position = raw-token index, stop gaps preserved — the same
@@ -201,7 +209,20 @@ object Analyzers {
       val (stops, pre, stem) = stemChainOf(inner)
       (stops, pre,
         t => if (exclusions(t)) t else overrides.getOrElse(t, stem(t)))
+    case CustomStops(stops, inner) =>
+      val (_, pre, stem) = stemChainOf(inner)
+      (stops, pre, stem)
     case other => sys.error(s"$other is not a stop+stem language chain")
+  }
+
+  /** True iff the kind resolves through [[stemChainOf]]. */
+  private def isStemChain(kind: Kind): Boolean = kind match {
+    case German | GermanCaumanns(_) | French | Spanish | Russian |
+        Italian | Swedish | Danish | Norwegian | Dutch | Portuguese |
+        Finnish | Czech | Greek | Persian | Arabic => true
+    case StemAdjusted(inner, _, _) => isStemChain(inner)
+    case CustomStops(_, inner) => isStemChain(inner)
+    case _ => false
   }
 
   def tokenize(kind: Kind, text: String): Vector[Token] = kind match {
@@ -240,12 +261,15 @@ object Analyzers {
       Analyzer.fastTokenize(text).map(t =>
         Token(PorterStemmer.stem(t.term), t.pos))
     case Folding => Analyzer.fastTokenize(foldToAscii(text))
-    case k @ (German | GermanCaumanns(_) | French | Spanish | Russian |
-        Italian | Swedish | Danish | Norwegian | Dutch | Portuguese |
-        Finnish | Czech | Greek | Persian | Arabic |
-        StemAdjusted(_, _, _)) =>
+    case k if isStemChain(k) =>
       val (stops, pre, stem) = stemChainOf(k)
       stopStemChain(text, stops, stem, pre)
+    case CustomStops(stops, inner) =>
+      // non-chain inner (Standard, Whitespace, …): filter the listed
+      // terms out of its output; raw-index positions keep the gaps
+      tokenize(inner, text).filter(t => !stops(t.term))
+    case StemAdjusted(inner, _, _) =>
+      sys.error(s"StemAdjusted needs a stop+stem chain, got $inner")
     case Cjk =>
       IntlAnalyzers.cjkBigrams(text).filter(t => !Analyzer.StopWords(t.term))
     case Chinese => IntlAnalyzers.chineseTokens(text)

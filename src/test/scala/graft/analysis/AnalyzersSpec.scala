@@ -237,16 +237,36 @@ class AnalyzersSpec extends AnyFunSuite {
     val p = java.nio.file.Paths.get(
       "/root/reference/test/contrib/Analyzers/Nl/customStemDict.txt")
     assume(java.nio.file.Files.exists(p))
-    val dict = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-      .replace("﻿", "").split('\n').toSeq.map(_.trim)
-      .filter(_.nonEmpty)
-      .map { l => val Array(w, s) = l.split('\t'); (w.trim, s.trim) }
-      .toMap
+    val dict = WordLists.stemDict(
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
     assert(dict.size == 3)
     val k = Analyzers.StemAdjusted(Analyzers.Dutch, overrides = dict)
     for ((w, s) <- dict)
       assert(Analyzers.tokenize(k, w) == Vector(Token(s, 0)),
         s"$w should map to $s")
+  }
+
+  test("custom stop set replaces a chain's own; filters other kinds") {
+    import graft.analysis.Analyzer.Token
+    // EXTERNAL fixture: the Czech custom stop-word file (WordlistLoader
+    // shape) REPLACES the Czech chain's stop set — "republika" becomes
+    // a stop word, while default Czech stops (e.g. "je") pass through
+    val p = java.nio.file.Paths.get(
+      "/root/reference/test/contrib/Analyzers/Cz/customStopWordFile.txt")
+    assume(java.nio.file.Files.exists(p))
+    val stops = WordLists.wordSet(
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+    assert(stops == Set("examplestopword", "anotherexamplestopword",
+      "republika"))
+    val k = Analyzers.CustomStops(stops, Analyzers.Czech)
+    assert(Analyzers.tokenize(k, "je republika demokracie") ==
+      Vector(Token("je", 0), Token("demokracie", 2)))
+    assert(Analyzers.tokenize(Analyzers.Czech, "je republika") ==
+      Vector(Token("republika", 1))) // unmodified chain for contrast
+    // non-chain inner: listed terms filtered from Standard output
+    assert(Analyzers.tokenize(
+      Analyzers.CustomStops(Set("spark"), Analyzers.Standard),
+      "spark line row") == Vector(Token("line", 1), Token("row", 2)))
   }
 
   test("positioned kind: fixed increment after the first token") {
