@@ -74,7 +74,12 @@ final case class MemoryIndex(terms: Map[String, Vector[Int]],
           hi.forall(h => if (incHi) t <= h else t < h)
       }
     case FuzzyQ(t, maxEdits) =>
-      terms.keysIterator.exists(c => editDistance(t, c) <= maxEdits)
+      // the Searcher's positive-similarity exclusion mirrored: a term
+      // whose distance reaches min length (sim <= 0) never matches
+      terms.keysIterator.exists { c =>
+        val d = editDistance(t, c)
+        d <= maxEdits && d < math.min(c.length, t.length)
+      }
     case KeywordQ(f, v) => fields.get(f).contains(v)
     case SpanNearQ(a, b, slop, inOrder) =>
       val pa = terms.getOrElse(a, Vector.empty)

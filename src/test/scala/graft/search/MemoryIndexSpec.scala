@@ -118,4 +118,58 @@ class MemoryIndexSpec extends AnyFunSuite {
       m.matches(PayloadTermQ("quick"))
     }
   }
+
+  test("random query trees: percolation == engine membership (property)") {
+    import org.scalacheck.{Gen, rng}
+    val t = Transcripts.synthetic(spark, 60, seed = 7L, partitions = 2)
+    val idx = IndexBuilder.build(t, 2)
+    val sr = new Searcher(idx)
+    val docs = idx.docs.select("docid", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val mems = docs.map { case (d, text) => d -> MemoryIndex.of(text) }
+    val vocab = docs.flatMap { case (_, text) =>
+      graft.analysis.Analyzer.fastTokenize(text).map(_.term)
+    }.distinct.sorted.toVector
+
+    val term: Gen[Query] = Gen.oneOf(vocab).map(TermQ(_))
+    def leaf: Gen[Query] = Gen.frequency(
+      5 -> term,
+      1 -> Gen.oneOf(vocab).map(t => PrefixQ(t.take(3))),
+      1 -> Gen.oneOf(vocab).map(t => FuzzyQ(t.dropRight(1) + "x", 2)),
+      1 -> Gen.oneOf(vocab).map(t =>
+        TermRangeQ(Some(t), Some(t + "zz"))),
+      1 -> (for (a <- Gen.oneOf(vocab); b <- Gen.oneOf(vocab);
+        s <- Gen.chooseNum(0, 4)) yield PhraseQ(Seq(a -> 0, b -> 1), s)))
+    def tree(depth: Int): Gen[Query] =
+      if (depth == 0) leaf
+      else Gen.frequency(
+        2 -> leaf,
+        3 -> (for {
+          nm <- Gen.chooseNum(0, 2); ns <- Gen.chooseNum(0, 3)
+          if nm + ns > 0
+          m <- Gen.listOfN(nm, tree(depth - 1))
+          s <- Gen.listOfN(ns, tree(depth - 1))
+          nn <- Gen.chooseNum(0, 1)
+          n <- Gen.listOfN(nn, tree(depth - 1))
+          msm <- if (ns == 0) Gen.const(0) else Gen.chooseNum(0, ns)
+        } yield BoolQ(m, s, n, msm)),
+        1 -> Gen.listOfN(2, tree(depth - 1)).map(DisMaxQ(_)))
+
+    // deterministic draws (CodecSpec's pureApply pattern) — retryUntil
+    // inside Gen.frequency can fail a draw; just resample on None
+    val queries = (0 until 40).flatMap { i =>
+      tree(2).apply(Gen.Parameters.default,
+        rng.Seed(i.toLong))
+    }
+    assert(queries.size >= 25, s"only ${queries.size} query trees drawn")
+    var nonEmpty = 0
+    queries.foreach { q =>
+      val engine = sr.score(q).collect().map(_.getLong(0)).toSet
+      val perc = mems.collect { case (d, m) if m.matches(q) => d }.toSet
+      assert(perc == engine, s"query $q: percolated $perc != engine $engine")
+      if (engine.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty >= 10,
+      s"only $nonEmpty of ${queries.size} random trees matched any doc")
+  }
 }
