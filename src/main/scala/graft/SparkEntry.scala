@@ -452,6 +452,21 @@ object SparkEntry {
     // from the reference's golden corpus (data.txt)
     "ft_stem_de_ca" -> stemGate(StemVectors.germanCaumanns,
       graft.analysis.CaumannsGermanStemmer.stem),
+    // stem-dictionary override + exclusion (DutchStemFilter shape) over
+    // the Dutch chain: overrides from the reference's customStemDict
+    // fixture, one excluded word, one normally-stemmed word
+    "ft_stem_adjust" -> stemGate(
+      Seq("lichamelijk" -> "somethingentirelydifferent",
+        "lichamelijke" -> "licham", "lichamelijkheden" -> "licham",
+        "uitgezonderd" -> "uitgezonderd", "lichamen" -> "licham"),
+      w => {
+        val overrides = Map(
+          "lichamelijk" -> "somethingentirelydifferent",
+          "lichamelijke" -> "licham", "lichamelijkheden" -> "licham")
+        val excl = Set("uitgezonderd")
+        if (excl(w)) w
+        else overrides.getOrElse(w, graft.analysis.DutchStemmer.stem(w))
+      }),
     "ft_stem_fr" -> stemGate(StemVectors.french,
       graft.analysis.FrenchStemmer.stem),
     "ft_stem_es" -> stemGate(StemVectors.spanish,
