@@ -460,12 +460,16 @@ object SparkEntry {
         "lichamelijke" -> "licham", "lichamelijkheden" -> "licham",
         "uitgezonderd" -> "uitgezonderd", "lichamen" -> "licham"),
       w => {
-        val overrides = Map(
-          "lichamelijk" -> "somethingentirelydifferent",
-          "lichamelijke" -> "licham", "lichamelijkheden" -> "licham")
-        val excl = Set("uitgezonderd")
-        if (excl(w)) w
-        else overrides.getOrElse(w, graft.analysis.DutchStemmer.stem(w))
+        // drive the REAL StemAdjusted chain (not a re-implementation,
+        // so a regression in Analyzers.stemChainOf fails this gate)
+        val k = graft.analysis.Analyzers.StemAdjusted(
+          graft.analysis.Analyzers.Dutch,
+          overrides = Map(
+            "lichamelijk" -> "somethingentirelydifferent",
+            "lichamelijke" -> "licham", "lichamelijkheden" -> "licham"),
+          exclusions = Set("uitgezonderd"))
+        graft.analysis.Analyzers.tokenize(k, w)
+          .headOption.map(_.term).getOrElse(w)
       }),
     "ft_stem_fr" -> stemGate(StemVectors.french,
       graft.analysis.FrenchStemmer.stem),

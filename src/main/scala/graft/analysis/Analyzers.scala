@@ -154,9 +154,11 @@ object Analyzers {
   /** The custom-stop-set constructor every reference analyzer exposes
     * (e.g. StandardAnalyzer(stopWords), CzechAnalyzer + its custom
     * stop-word file — WordlistLoader.cs:25 loads the set,
-    * [[WordLists.wordSet]] here). For a stop+stem chain the set
-    * REPLACES the language's own; for any other chain the listed terms
-    * are filtered out of its output (position gaps preserved). */
+    * [[WordLists.wordSet]] here). The set REPLACES the wrapped kind's
+    * own stop set (Standard/Stop/Pattern/Cjk and every stop+stem
+    * chain); kinds with no built-in set just have the listed terms
+    * filtered out, which is the same thing (position gaps preserved
+    * either way). */
   final case class CustomStops(stops: Set[String], inner: Kind = Standard)
     extends Kind
 
@@ -176,53 +178,56 @@ object Analyzers {
     }.toVector
 
   /** The (stop set, per-token pre-normalization, stemmer) triple of
-    * every stop+stem language chain — one table so [[StemAdjusted]] can
-    * wrap ANY chain's stemmer. */
+    * every stop+stem language chain — one table so [[StemAdjusted]] and
+    * [[CustomStops]] can wrap ANY chain's stemmer, and the ONLY list of
+    * chain kinds (tokenize dispatches on "returns Some", so a language
+    * added here is automatically routed — no second kind list to
+    * drift). Standard resolves too (identity stem): the raw-token
+    * chain IS Standard's tokenizer, which is what lets CustomStops
+    * REPLACE Standard's stop set like StandardAnalyzer(stopWords). */
   private def stemChainOf(kind: Kind)
-      : (Set[String], String => String, String => String) = kind match {
-    case German => (GermanStopWords, identity, GermanStemmer.stem)
-    case GermanCaumanns(din2) => (GermanStopWords, identity,
+      : Option[(Set[String], String => String, String => String)] =
+    kind match {
+    case Standard =>
+      // Standard IS the raw-token chain with the English stop set and
+      // no stemmer (tokenize uses fastTokenize for speed; the triple
+      // exists so CustomStops can REPLACE the set)
+      Some((Analyzer.StopWords, identity[String] _, identity[String] _))
+    case German => Some((GermanStopWords, identity, GermanStemmer.stem))
+    case GermanCaumanns(din2) => Some((GermanStopWords, identity,
       if (din2) CaumannsGermanStemmer.stemDin2
-      else CaumannsGermanStemmer.stem)
-    case French => (FrenchStopWords, elide, FrenchStemmer.stem)
-    case Spanish => (SpanishStopWords, identity, SpanishStemmer.stem)
-    case Russian => (RussianStopWords, identity, RussianStemmer.stem)
-    case Italian => (ItalianStopWords, elideIt, ItalianStemmer.stem)
-    case Swedish => (SwedishStopWords, identity, SwedishStemmer.stem)
-    case Danish => (DanishStopWords, identity, DanishStemmer.stem)
-    case Norwegian => (NorwegianStopWords, identity, NorwegianStemmer.stem)
-    case Dutch => (DutchStopWords, identity, DutchStemmer.stem)
+      else CaumannsGermanStemmer.stem))
+    case French => Some((FrenchStopWords, elide, FrenchStemmer.stem))
+    case Spanish => Some((SpanishStopWords, identity, SpanishStemmer.stem))
+    case Russian => Some((RussianStopWords, identity, RussianStemmer.stem))
+    case Italian => Some((ItalianStopWords, elideIt, ItalianStemmer.stem))
+    case Swedish => Some((SwedishStopWords, identity, SwedishStemmer.stem))
+    case Danish => Some((DanishStopWords, identity, DanishStemmer.stem))
+    case Norwegian =>
+      Some((NorwegianStopWords, identity, NorwegianStemmer.stem))
+    case Dutch => Some((DutchStopWords, identity, DutchStemmer.stem))
     case Portuguese =>
-      (PortugueseStopWords, identity, PortugueseStemmer.stem)
-    case Finnish => (FinnishStopWords, identity, FinnishStemmer.stem)
-    case Czech => (CzechStopWords, identity, identity)
-    case Greek => (GreekStopWords, IntlAnalyzers.greekFold, identity)
-    case Persian => (PersianStopWords,
+      Some((PortugueseStopWords, identity, PortugueseStemmer.stem))
+    case Finnish => Some((FinnishStopWords, identity, FinnishStemmer.stem))
+    case Czech => Some((CzechStopWords, identity, identity))
+    case Greek => Some((GreekStopWords, IntlAnalyzers.greekFold, identity))
+    case Persian => Some((PersianStopWords,
       t => IntlAnalyzers.persianNormalize(IntlAnalyzers.arabicNormalize(t)),
-      identity)
+      identity))
     // stop check on the RAW token (the reference's Arabic stop list is
     // unnormalized), normalize+stem after
-    case Arabic => (ArabicStopWords,
+    case Arabic => Some((ArabicStopWords,
       identity,
-      t => IntlAnalyzers.arabicStem(IntlAnalyzers.arabicNormalize(t)))
+      t => IntlAnalyzers.arabicStem(IntlAnalyzers.arabicNormalize(t))))
     case StemAdjusted(inner, overrides, exclusions) =>
-      val (stops, pre, stem) = stemChainOf(inner)
-      (stops, pre,
-        t => if (exclusions(t)) t else overrides.getOrElse(t, stem(t)))
+      stemChainOf(inner).map { case (stops, pre, stem) =>
+        (stops, pre,
+          (t: String) =>
+            if (exclusions(t)) t else overrides.getOrElse(t, stem(t)))
+      }
     case CustomStops(stops, inner) =>
-      val (_, pre, stem) = stemChainOf(inner)
-      (stops, pre, stem)
-    case other => sys.error(s"$other is not a stop+stem language chain")
-  }
-
-  /** True iff the kind resolves through [[stemChainOf]]. */
-  private def isStemChain(kind: Kind): Boolean = kind match {
-    case German | GermanCaumanns(_) | French | Spanish | Russian |
-        Italian | Swedish | Danish | Norwegian | Dutch | Portuguese |
-        Finnish | Czech | Greek | Persian | Arabic => true
-    case StemAdjusted(inner, _, _) => isStemChain(inner)
-    case CustomStops(_, inner) => isStemChain(inner)
-    case _ => false
+      stemChainOf(inner).map { case (_, pre, stem) => (stops, pre, stem) }
+    case _ => None
   }
 
   def tokenize(kind: Kind, text: String): Vector[Token] = kind match {
@@ -261,12 +266,23 @@ object Analyzers {
       Analyzer.fastTokenize(text).map(t =>
         Token(PorterStemmer.stem(t.term), t.pos))
     case Folding => Analyzer.fastTokenize(foldToAscii(text))
-    case k if isStemChain(k) =>
-      val (stops, pre, stem) = stemChainOf(k)
+    case k if stemChainOf(k).isDefined =>
+      val (stops, pre, stem) = stemChainOf(k).get
       stopStemChain(text, stops, stem, pre)
+    case CustomStops(stops, Stop) =>
+      // StopAnalyzer(stopWords): letter runs with the REPLACED set
+      letterRuns(text).zipWithIndex.collect {
+        case (t, i) if !stops(t) => Token(t, i)
+      }
+    case CustomStops(stops, Pattern(sep, _)) =>
+      tokenize(Pattern(sep, stops = false), text)
+        .filter(t => !stops(t.term))
+    case CustomStops(stops, Cjk) =>
+      IntlAnalyzers.cjkBigrams(text).filter(t => !stops(t.term))
     case CustomStops(stops, inner) =>
-      // non-chain inner (Standard, Whitespace, …): filter the listed
-      // terms out of its output; raw-index positions keep the gaps
+      // remaining kinds carry no built-in stop set (Whitespace, Simple,
+      // Keyword, EdgeNgrams, …), so filtering IS replacement; raw-index
+      // positions keep the gaps
       tokenize(inner, text).filter(t => !stops(t.term))
     case StemAdjusted(inner, _, _) =>
       sys.error(s"StemAdjusted needs a stop+stem chain, got $inner")

@@ -19,11 +19,12 @@ object WordLists {
       .filter(l => comment.isEmpty || !l.startsWith(comment))
       .toSet
 
-  /** TAB-separated word/stem pairs, first tab splits (GetStemDict). */
+  /** TAB-separated word/stem pairs; only the FIRST tab splits, so a
+    * stem containing tabs survives intact (GetStemDict's 2-limit). */
   def stemDict(content: String): Map[String, String] =
     lines(content).flatMap { l =>
-      l.split('\t') match {
-        case Array(w, s, _*) => Some(w.trim -> s.trim)
+      l.split("\t", 2) match {
+        case Array(w, s) => Some(w.trim -> s.trim)
         case _ => None
       }
     }.toMap

@@ -263,10 +263,16 @@ class AnalyzersSpec extends AnyFunSuite {
       Vector(Token("je", 0), Token("demokracie", 2)))
     assert(Analyzers.tokenize(Analyzers.Czech, "je republika") ==
       Vector(Token("republika", 1))) // unmodified chain for contrast
-    // non-chain inner: listed terms filtered from Standard output
+    // Standard inner: the custom set REPLACES the default 33-word
+    // English set (StandardAnalyzer(stopWords) semantics) — "the" is
+    // KEPT because it is not in the replacement set
     assert(Analyzers.tokenize(
       Analyzers.CustomStops(Set("spark"), Analyzers.Standard),
-      "spark line row") == Vector(Token("line", 1), Token("row", 2)))
+      "the spark row") == Vector(Token("the", 0), Token("row", 2)))
+    // Stop inner: letter runs with the replaced set
+    assert(Analyzers.tokenize(
+      Analyzers.CustomStops(Set("fox"), Analyzers.Stop),
+      "the fox runs") == Vector(Token("the", 0), Token("runs", 2)))
   }
 
   test("positioned kind: fixed increment after the first token") {
