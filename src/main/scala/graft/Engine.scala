@@ -178,6 +178,8 @@ object Engine {
       t("pys")(indexPaySeg(spark, sfDir)),
       t("shg")(indexAnalyzed(spark, sfDir,
         graft.analysis.Analyzers.Shingles(2))),
+      t("rev")(indexAnalyzed(spark, sfDir,
+        graft.analysis.Analyzers.Reversed)),
       t("seg")(indexSeg(spark, sfDir)),
       t("cmp")(indexCompacted(spark, sfDir)),
       t("app")(indexAppended(spark, sfDir)),
