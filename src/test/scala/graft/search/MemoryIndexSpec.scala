@@ -162,11 +162,27 @@ class MemoryIndexSpec extends AnyFunSuite {
         rng.Seed(i.toLong))
     }
     assert(queries.size >= 25, s"only ${queries.size} query trees drawn")
+    // storage invisibility under the same random trees: the persisted
+    // block SegmentStore must score EXACTLY like the in-memory flavor
+    // (docids and doubles — same plans, different physical source)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_prop_seg_").toString
+    IndexBuilder.buildSegments(spark, t, root, numBatches = 3, 2)
+    val segSr = new Searcher(graft.index.SegmentStore.open(spark, root))
+
     var nonEmpty = 0
     queries.foreach { q =>
-      val engine = sr.score(q).collect().map(_.getLong(0)).toSet
+      val engine = sr.score(q).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
       val perc = mems.collect { case (d, m) if m.matches(q) => d }.toSet
-      assert(perc == engine, s"query $q: percolated $perc != engine $engine")
+      assert(perc == engine.keySet,
+        s"query $q: percolated $perc != engine ${engine.keySet}")
+      val seg = segSr.score(q).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(seg.keySet == engine.keySet, s"query $q: seg docids differ")
+      engine.foreach { case (d, s) =>
+        assert(math.abs(seg(d) - s) < 1e-9, s"query $q doc $d: seg ${seg(d)} != mem $s")
+      }
       if (engine.nonEmpty) nonEmpty += 1
     }
     assert(nonEmpty >= 10,
