@@ -201,6 +201,26 @@ object TrainEntries {
          |WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5
          |ORDER BY a, b""".stripMargin),
 
+    // top-k overlap join: same candidate rule + exact counts, ordered by
+    // shared-shingle count (integer — no float-hash concerns) with the
+    // deterministic (overlap desc, a, b) tie-break
+    ("dd_topk_overlap",
+      (s, d) => TrainOps.topkOverlap(s, d),
+      s"""WITH $shingleCte,
+         |kept AS (SELECT sh.* FROM sh
+         |         JOIN (SELECT s FROM sh GROUP BY s
+         |               HAVING count(*) <= ${TrainOps.ShingleDfCap}) ok
+         |           USING (s)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM kept x JOIN kept y ON x.s = y.s
+         |              AND x.doc_id < y.doc_id),
+         |inter AS (SELECT cand.a, cand.b, count(*) AS i
+         |          FROM cand JOIN sh sa ON sa.doc_id = cand.a
+         |               JOIN sh sb ON sb.doc_id = cand.b AND sa.s = sb.s
+         |          GROUP BY cand.a, cand.b)
+         |SELECT a, b, i AS overlap FROM inter
+         |ORDER BY overlap DESC, a, b LIMIT 10""".stripMargin),
+
     ("dd_embed",
       (s, d) => TrainOps.dedupEmbedCosine(s, d),
       s"""WITH $shingleCte,

@@ -316,7 +316,28 @@ object TrainOps {
     * explode + self-join on the shingle key are uniform hash shuffles;
     * the df cap bounds the within-key quadratic pair-gen. */
   def dedupNgramJaccard(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5): DataFrame =
+    jaccardFromInter(spark, sfDir, pairOverlaps(spark, sfDir), threshold)
+
+  /** Top-k overlap set-similarity join (the "Adaptive Top-k Overlap Set
+    * Similarity Joins" [ICDE 2020] problem, one non-adaptive round): the
+    * k document pairs sharing the MOST shingles, no threshold. The
+    * df-cap doubles as the paper's prefix-filter: a top-k pair shares
+    * far more than one below-cap shingle, so candidate recall is not the
+    * binding constraint (the adaptive prefix-growing refinement is the
+    * at-scale follow-up). Exact integer overlaps, deterministic
+    * (overlap desc, a, b) order → TakeOrderedAndProject. */
+  def topkOverlap(spark: SparkSession, sfDir: String,
+      k: Int = 10): DataFrame =
+    pairOverlaps(spark, sfDir)
+      .select(col("a"), col("b"), col("i").as("overlap"))
+      .orderBy(col("overlap").desc, col("a").asc, col("b").asc)
+      .limit(k)
+
+  /** Exact shared-shingle counts (a, b, i) for every candidate pair —
+    * the shared first half of [[dedupNgramJaccard]] and
+    * [[topkOverlap]]. */
+  private def pairOverlaps(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingles(spark, sfDir)
     // df cap via partial-aggregating count + broadcast semi/anti joins
     // (the dedupMinhashLsh rationale: a count window buffers a hot
@@ -342,10 +363,9 @@ object TrainOps {
       .join(capped.as("cb"),
         col("cb.doc_id") === col("b") && col("ca.s") === col("cb.s"))
       .groupBy("a", "b").agg(count(lit(1)).as("ic"))
-    val inter = interKept.join(interCapped, Seq("a", "b"), "left")
+    interKept.join(interCapped, Seq("a", "b"), "left")
       .select(col("a"), col("b"),
         (col("ik") + coalesce(col("ic"), lit(0L))).as("i"))
-    jaccardFromInter(spark, sfDir, inter, threshold)
   }
 
   // -------------------------------------------------------------------
