@@ -137,6 +137,33 @@ class QueryParserSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](QueryParser.parse("(spark table"))
   }
 
+  test("fuzz: random syntax strings parse cleanly or fail cleanly") {
+    // the user-facing contract: ANY input yields a Query or an
+    // IllegalArgumentException — never another exception type, a hang,
+    // or a stack overflow. Deterministic draws (CodecSpec pattern).
+    import org.scalacheck.{Gen, rng}
+    val atoms = Gen.frequency(
+      6 -> Gen.oneOf("spark", "table", "merge", "role:assistant",
+        "a?c", "sp*", "tble~2", "\"key agg\"~2", "[aa TO zz]",
+        "{aa TO zz}", "term^2.5", "+must", "-not"),
+      4 -> Gen.oneOf("(", ")", "\"", "~", "^", ":", "*", "?", "[", "]",
+        "{", "}", "TO", "AND", "OR", "NOT", "&&", "||", "!", "\\", "+",
+        "-", "^1.x", "~-1", ""))
+    val queryStr = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, atoms).map(_.mkString(" ")))
+    val inputs = (0 until 300).flatMap(i =>
+      queryStr.apply(Gen.Parameters.default, rng.Seed(i.toLong)))
+    assert(inputs.size >= 250)
+    var parsed = 0
+    inputs.foreach { s =>
+      try { QueryParser.parse(s); parsed += 1 }
+      catch { case _: IllegalArgumentException => () }
+    }
+    // the generator mixes valid atoms, so a healthy share must PARSE —
+    // guards against a fuzz pass that only ever exercises the error path
+    assert(parsed >= 50, s"only $parsed of ${inputs.size} parsed")
+  }
+
   test("similarQuery dedups in first-occurrence order, stops, caps") {
     assert(QueryAst.similarQuery("sort the Row by column SORT row") ==
       BoolQ(should = Seq(TermQ("sort"), TermQ("row"), TermQ("column"))))
