@@ -147,7 +147,10 @@ object Analyzers {
     * chain: an excluded token passes through unstemmed; an overridden
     * token maps to its fixed stem (checked before the stemmer, like the
     * reference — test corpus test/contrib/Analyzers/Nl/customStemDict
-    * .txt). Both apply to the chain's PRE-normalized token. */
+    * .txt). Both apply to the chain's PRE-normalized token. Wrapping
+    * Standard (identity stem) is legal and acts as a pure
+    * StemmerOverrideFilter: overrides rewrite listed terms, exclusions
+    * are no-ops. */
   final case class StemAdjusted(inner: Kind,
       overrides: Map[String, String] = Map.empty,
       exclusions: Set[String] = Set.empty) extends Kind
@@ -155,10 +158,12 @@ object Analyzers {
     * (e.g. StandardAnalyzer(stopWords), CzechAnalyzer + its custom
     * stop-word file — WordlistLoader.cs:25 loads the set,
     * [[WordLists.wordSet]] here). The set REPLACES the wrapped kind's
-    * own stop set (Standard/Stop/Pattern/Cjk and every stop+stem
-    * chain); kinds with no built-in set just have the listed terms
-    * filtered out, which is the same thing (position gaps preserved
-    * either way). */
+    * own stop set for word-token kinds (Standard/Stop/Pattern/Cjk,
+    * English, and every stop+stem chain); for stop-free kinds
+    * (Whitespace/Simple/Keyword) filtering is the same thing; for
+    * derived-token kinds (Reversed/EdgeNgrams/Shingles/…) the listed
+    * terms are filtered from the DERIVED output on top of the inner
+    * chain's own stops. Position gaps preserved in every case. */
   final case class CustomStops(stops: Set[String], inner: Kind = Standard)
     extends Kind
 
@@ -185,14 +190,30 @@ object Analyzers {
     * drift). Standard resolves too (identity stem): the raw-token
     * chain IS Standard's tokenizer, which is what lets CustomStops
     * REPLACE Standard's stop set like StandardAnalyzer(stopWords). */
+  private val chainMemo = new scala.collection.concurrent.TrieMap[
+    Kind, Option[(Set[String], String => String, String => String)]]()
+
+  /** Memoized — tokenize consults this per document row (twice: guard +
+    * body), so the triple is built once per Kind, not per row. Kinds
+    * are case values, so they are stable map keys; recursion into a
+    * wrapper's inner kind hits a different key (getOrElseUpdate is
+    * re-entrant safe for that, at worst computing a triple twice). */
   private def stemChainOf(kind: Kind)
+      : Option[(Set[String], String => String, String => String)] =
+    chainMemo.getOrElseUpdate(kind, computeStemChain(kind))
+
+  private def computeStemChain(kind: Kind)
       : Option[(Set[String], String => String, String => String)] =
     kind match {
     case Standard =>
       // Standard IS the raw-token chain with the English stop set and
       // no stemmer (tokenize uses fastTokenize for speed; the triple
-      // exists so CustomStops can REPLACE the set)
+      // exists so CustomStops can REPLACE the set, and so
+      // StemAdjusted(Standard, overrides) acts as a
+      // StemmerOverrideFilter over the plain chain)
       Some((Analyzer.StopWords, identity[String] _, identity[String] _))
+    case English =>
+      Some((Analyzer.StopWords, identity[String] _, PorterStemmer.stem _))
     case German => Some((GermanStopWords, identity, GermanStemmer.stem))
     case GermanCaumanns(din2) => Some((GermanStopWords, identity,
       if (din2) CaumannsGermanStemmer.stemDin2
@@ -280,12 +301,18 @@ object Analyzers {
     case CustomStops(stops, Cjk) =>
       IntlAnalyzers.cjkBigrams(text).filter(t => !stops(t.term))
     case CustomStops(stops, inner) =>
-      // remaining kinds carry no built-in stop set (Whitespace, Simple,
-      // Keyword, EdgeNgrams, …), so filtering IS replacement; raw-index
-      // positions keep the gaps
+      // remaining kinds: the listed terms are filtered OUT OF the
+      // inner's output. For stop-free kinds (Whitespace, Simple,
+      // Keyword) that is replacement; for derived-token kinds whose
+      // tokenizer embeds the Standard set (Reversed, EdgeNgrams,
+      // Shingles, Folding, Thai, Chinese, Decompound) it is
+      // documented as FILTER-ON-TOP — the derived tokens (reversed
+      // strings, n-grams, bigrams) are not the words a replacement set
+      // names, so add-only is the semantically coherent reading
       tokenize(inner, text).filter(t => !stops(t.term))
     case StemAdjusted(inner, _, _) =>
-      sys.error(s"StemAdjusted needs a stop+stem chain, got $inner")
+      sys.error(s"StemAdjusted needs a stop+stem chain (or Standard), " +
+        s"got $inner")
     case Cjk =>
       IntlAnalyzers.cjkBigrams(text).filter(t => !Analyzer.StopWords(t.term))
     case Chinese => IntlAnalyzers.chineseTokens(text)

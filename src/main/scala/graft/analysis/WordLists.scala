@@ -20,11 +20,13 @@ object WordLists {
       .toSet
 
   /** TAB-separated word/stem pairs; only the FIRST tab splits, so a
-    * stem containing tabs survives intact (GetStemDict's 2-limit). */
+    * stem containing tabs survives intact (GetStemDict's 2-limit). A
+    * line with an EMPTY stem (trailing tab) is dropped — an
+    * empty-string override would emit empty index terms downstream. */
   def stemDict(content: String): Map[String, String] =
     lines(content).flatMap { l =>
       l.split("\t", 2) match {
-        case Array(w, s) => Some(w.trim -> s.trim)
+        case Array(w, s) if s.trim.nonEmpty => Some(w.trim -> s.trim)
         case _ => None
       }
     }.toMap

@@ -100,6 +100,23 @@ object TrainEntries {
        |       FROM (SELECT doc_id, tk, unnest(generate_series(0, len(tk)-3)) AS i
        |             FROM tokt WHERE len(tk) >= 3) z)""".stripMargin
 
+  /** The df-capped candidate + exact-intersection CTEs shared by the
+    * dd_ngram and dd_topk_overlap oracles (mirrors
+    * TrainOps.pairOverlaps: candidates from below-cap shingles, counts
+    * over ALL shared shingles). */
+  private val pairOverlapCte =
+    s"""kept AS (SELECT sh.* FROM sh
+       |         JOIN (SELECT s FROM sh GROUP BY s
+       |               HAVING count(*) <= ${TrainOps.ShingleDfCap}) ok
+       |           USING (s)),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |         FROM kept x JOIN kept y ON x.s = y.s
+       |              AND x.doc_id < y.doc_id),
+       |inter AS (SELECT cand.a, cand.b, count(*) AS i
+       |          FROM cand JOIN sh sa ON sa.doc_id = cand.a
+       |               JOIN sh sb ON sb.doc_id = cand.b AND sa.s = sb.s
+       |          GROUP BY cand.a, cand.b)""".stripMargin
+
   private val minhashCte =
     s"""$shingleCte,
        |mh AS (SELECT doc_id, j,
@@ -184,18 +201,8 @@ object TrainEntries {
     ("dd_ngram",
       (s, d) => TrainOps.dedupNgramJaccard(s, d),
       s"""WITH $shingleCte,
-         |kept AS (SELECT sh.* FROM sh
-         |         JOIN (SELECT s FROM sh GROUP BY s
-         |               HAVING count(*) <= ${TrainOps.ShingleDfCap}) ok
-         |           USING (s)),
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |         FROM kept x JOIN kept y ON x.s = y.s
-         |              AND x.doc_id < y.doc_id),
-         |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
-         |inter AS (SELECT cand.a, cand.b, count(*) AS i
-         |          FROM cand JOIN sh sa ON sa.doc_id = cand.a
-         |               JOIN sh sb ON sb.doc_id = cand.b AND sa.s = sb.s
-         |          GROUP BY cand.a, cand.b)
+         |$pairOverlapCte,
+         |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id)
          |SELECT a, b, round(CAST(i AS DOUBLE) / (ca.c + cb.c - i), 4) AS jac
          |FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
          |WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5
@@ -207,17 +214,7 @@ object TrainEntries {
     ("dd_topk_overlap",
       (s, d) => TrainOps.topkOverlap(s, d),
       s"""WITH $shingleCte,
-         |kept AS (SELECT sh.* FROM sh
-         |         JOIN (SELECT s FROM sh GROUP BY s
-         |               HAVING count(*) <= ${TrainOps.ShingleDfCap}) ok
-         |           USING (s)),
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |         FROM kept x JOIN kept y ON x.s = y.s
-         |              AND x.doc_id < y.doc_id),
-         |inter AS (SELECT cand.a, cand.b, count(*) AS i
-         |          FROM cand JOIN sh sa ON sa.doc_id = cand.a
-         |               JOIN sh sb ON sb.doc_id = cand.b AND sa.s = sb.s
-         |          GROUP BY cand.a, cand.b)
+         |$pairOverlapCte
          |SELECT a, b, i AS overlap FROM inter
          |ORDER BY overlap DESC, a, b LIMIT 10""".stripMargin),
 
