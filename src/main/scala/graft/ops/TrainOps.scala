@@ -335,9 +335,25 @@ object TrainOps {
       .limit(k)
 
   /** Exact shared-shingle counts (a, b, i) for every candidate pair —
-    * the shared first half of [[dedupNgramJaccard]] and
-    * [[topkOverlap]]. */
-  private def pairOverlaps(spark: SparkSession, sfDir: String): DataFrame = {
+    * the shared first half of [[dedupNgramJaccard]] and [[topkOverlap]],
+    * persisted once per corpus (the [[shingles]] discipline: two
+    * consumers, and the pair-gen join is the family's most expensive
+    * shuffle — at 100 TB you materialize the pair table once per dedup
+    * pass, not per query). MEMORY_AND_DISK: spills, never recomputes. */
+  private def pairOverlaps(spark: SparkSession, sfDir: String): DataFrame =
+    pairOverlapCache.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}:$sfDir", {
+        val p = pairOverlapsPlan(spark, sfDir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        p
+      })
+
+  private val pairOverlapCache =
+    new scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  private def pairOverlapsPlan(spark: SparkSession, sfDir: String)
+      : DataFrame = {
     val sh = shingles(spark, sfDir)
     // df cap via partial-aggregating count + broadcast semi/anti joins
     // (the dedupMinhashLsh rationale: a count window buffers a hot
