@@ -158,7 +158,27 @@ object TrainOps {
     * hash shuffle on uniform keys; giant buckets are dropped by
     * [[LshBucketCap]] (inspect with [[lshBucketStats]]). */
   def dedupMinhashLsh(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5): DataFrame =
+    minhashPairCache.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}:$sfDir:$threshold", {
+        val p = dedupMinhashLshPlan(spark, sfDir, threshold)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        p
+      })
+
+  /** Verified-pair pin (the [[shingles]] discipline): the MinHash family
+    * has two consumers — the pair gate itself and [[dedupClusters]]'s
+    * transitive closure — and the verify join is its most expensive
+    * shuffle; without the pin the bucket-join + exact-Jaccard pipeline
+    * executes once per consumer. At 100 TB the verified pair table is
+    * what a dedup pass materializes once and every downstream step
+    * (clustering, keep-list, reporting) reads. */
+  private val minhashPairCache =
+    new scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  private def dedupMinhashLshPlan(spark: SparkSession, sfDir: String,
+      threshold: Double): DataFrame = {
     val sig = lshBuckets(spark, sfDir)
     // cap via a partial-aggregating count + broadcast anti-join, NOT a
     // count window: WindowExec must co-locate, sort, and buffer EVERY
