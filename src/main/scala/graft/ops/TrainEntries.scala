@@ -218,6 +218,20 @@ object TrainEntries {
          |SELECT a, b, i AS overlap FROM inter
          |ORDER BY overlap DESC, a, b LIMIT 10""".stripMargin),
 
+    // adaptive prefix-growing top-k: the engine side early-terminates
+    // with a certificate; the oracle brute-forces the SAME exact
+    // (uncapped) answer — the strongest check an adaptive algorithm can
+    // get, since any recall loss from the prefix filter would surface
+    ("dd_topk_adaptive",
+      (s, d) => TrainOps.topkOverlapAdaptive(s, d),
+      s"""WITH $shingleCte,
+         |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+         |          FROM sh x JOIN sh y
+         |            ON x.s = y.s AND x.doc_id < y.doc_id
+         |          GROUP BY x.doc_id, y.doc_id)
+         |SELECT a, b, i AS overlap FROM inter
+         |ORDER BY overlap DESC, a, b LIMIT 10""".stripMargin),
+
     ("dd_embed",
       (s, d) => TrainOps.dedupEmbedCosine(s, d),
       s"""WITH $shingleCte,

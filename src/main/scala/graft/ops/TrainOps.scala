@@ -354,6 +354,84 @@ object TrainOps {
       .orderBy(col("overlap").desc, col("a").asc, col("b").asc)
       .limit(k)
 
+  /** Adaptive prefix-growing top-k overlap join — the at-scale follow-up
+    * [[topkOverlap]]'s scaladoc names, here as the EXACT (uncapped)
+    * variant: the true k most-overlapping pairs over ALL shingles, found
+    * without ever materializing the full pair table.
+    *
+    * Algorithm (the "Adaptive Top-k Overlap Set Similarity Joins"
+    * [ICDE 2020] driver loop, threshold-halving schedule): order each
+    * doc's shingles by a global total order (df asc, then shingle — rare
+    * first, so boilerplate shingles sit at the END of every prefix
+    * order); for an overlap threshold t, the classic prefix-filter lemma
+    * says any pair with overlap ≥ t shares its globally-smallest common
+    * shingle within both docs' first (len − t + 1) positions. Each round
+    * joins only the prefix DELTA (positions opened since the previous
+    * threshold) against the current prefixes, verifies the new candidate
+    * pairs exactly (tiny join: candidates × their own shingle sets), and
+    * stops with a certificate the moment ≥ k verified pairs reach
+    * overlap ≥ t — every pair NOT yet generated has overlap < t ≤ the
+    * kth best, so the verified set provably contains the global top-k
+    * (ties included: every pair at the kth value was generated).
+    *
+    * Scale shape: the quadratic hot-shingle blowup the df-cap guards
+    * against in [[pairOverlaps]] lives at ranks near len — prefixes only
+    * reach it as t → 1, and on any corpus with real duplication the
+    * certificate fires orders of magnitude earlier; per round the work
+    * is one prefix self-join on uniform (rare) shingle keys plus a
+    * verify join sized by NEW candidates only. The per-doc rank window
+    * partitions by doc_id — no global sort. Driver holds only t and the
+    * round count; the verified-pair accumulator is localCheckpoint-ed
+    * per round (the [[connectedComponents]] lineage discipline). */
+  def topkOverlapAdaptive(spark: SparkSession, sfDir: String,
+      k: Int = 10): DataFrame = {
+    val sh = shingles(spark, sfDir)
+    val dfs = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfs, "s")
+      .select(col("doc_id"), col("s"),
+        row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("df"), col("s"))).as("r"),
+        count(lit(1)).over(Window.partitionBy("doc_id")).as("len"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val maxLen = Option(ranked.agg(max("len")).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(1L)
+    var t = maxLen
+    var tPrev = maxLen + 1 // empty previous prefix: delta = whole prefix
+    var verified: DataFrame = null
+    var done = false
+    while (!done) {
+      val prefAll = ranked.filter(col("r") <= col("len") - t + 1)
+      val prefNew = ranked.filter(col("r") > col("len") - tPrev + 1 &&
+        col("r") <= col("len") - t + 1)
+      // pairs whose common shingle fell inside both prefixes for the
+      // first time this round: at least one side's entry is in the new
+      // zone (both-old pairs were generated in an earlier round)
+      val gen = prefNew.as("x").join(prefAll.as("y"),
+          col("x.s") === col("y.s") && col("x.doc_id") =!= col("y.doc_id"))
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
+        .distinct()
+      val cand =
+        if (verified == null) gen
+        else gen.join(verified.select("a", "b"), Seq("a", "b"), "left_anti")
+      val newly = cand.join(sh.as("sa"), col("sa.doc_id") === col("a"))
+        .join(sh.as("sb"),
+          col("sb.doc_id") === col("b") && col("sa.s") === col("sb.s"))
+        .groupBy("a", "b").agg(count(lit(1)).as("i"))
+      verified = (if (verified == null) newly
+        else verified.unionByName(newly)).localCheckpoint(true)
+      // certificate: candidates at threshold t are COMPLETE (lemma), so
+      // ≥ k verified pairs at overlap ≥ t pins the global top-k
+      val enough = verified.filter(col("i") >= t).limit(k).count() == k
+      if (enough || t == 1L) done = true
+      else { tPrev = t; t = math.max(1L, t / 2) }
+    }
+    ranked.unpersist()
+    verified.select(col("a"), col("b"), col("i").as("overlap"))
+      .orderBy(col("overlap").desc, col("a").asc, col("b").asc)
+      .limit(k)
+  }
+
   /** Exact shared-shingle counts (a, b, i) for every candidate pair —
     * the shared first half of [[dedupNgramJaccard]] and [[topkOverlap]],
     * persisted once per corpus (the [[shingles]] discipline: two

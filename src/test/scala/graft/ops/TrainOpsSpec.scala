@@ -68,6 +68,68 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b, _) => a <= 3 && b <= 3 })
   }
 
+  /** In-JVM exact top-k overlap mirror: all pair intersections over the
+    * per-doc distinct-shingle sets, (overlap desc, a, b) order. */
+  private def bruteTopk(docs: Seq[(Long, String)], k: Int)
+      : Seq[(Long, Long, Long)] = {
+    val sets = docs.map { case (id, t) =>
+      id -> TrainOps.toksJvm(t).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty).sortBy(_._1)
+    (for {
+      i <- sets.indices; j <- (i + 1) until sets.size
+      ov = sets(i)._2.intersect(sets(j)._2).size if ov > 0
+    } yield (sets(i)._1, sets(j)._1, ov.toLong))
+      .sortBy { case (a, b, ov) => (-ov, a, b) }.take(k)
+  }
+
+  private def adaptiveTopk(dir: String, k: Int): Seq[(Long, Long, Long)] =
+    TrainOps.topkOverlapAdaptive(SparkFixture.spark, dir, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("topkOverlapAdaptive is exact through hot (over-cap) shingles") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    // 70 docs share a boilerplate opening whose shingles are over the
+    // df-cap: the capped topkOverlap candidate rule cannot pair
+    // boilerplate-only docs, but the EXACT top-k includes them — the
+    // adaptive path must rank them correctly anyway
+    val boiler = "standard header boilerplate applies to this record"
+    val near = boiler + " alpha beta gamma delta epsilon zeta eta theta"
+    val docs = (100L to 169L).map(i =>
+      (i, s"$boiler filler$i unique$i only$i")) ++ Seq(
+      (200L, near), (201L, near + " iota"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-adtopk").toString
+    docs.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val exp = bruteTopk(docs, 10)
+    assert(adaptiveTopk(dir, 10) == exp)
+    // sanity on the plant itself: the near-dup pair leads, a
+    // boilerplate-only pair is in the k — proof the hot path matters
+    assert(exp.head._1 == 200L && exp.head._2 == 201L)
+    assert(exp.tail.forall { case (a, b, _) => a < 200L && b < 200L })
+  }
+
+  test("topkOverlapAdaptive matches brute force on a random corpus") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector.tabulate(30)(i => s"w$i")
+    val docs = (1L to 40L).map { i =>
+      val n = 5 + rnd.nextInt(25)
+      (i, Vector.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-adrnd").toString
+    docs.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(adaptiveTopk(dir, 10) == bruteTopk(docs, 10))
+    assert(adaptiveTopk(dir, 25) == bruteTopk(docs, 25))
+    // k beyond the total pair count: the loop devolves to t=1 (full
+    // prefixes — every overlapping pair generated) and returns them all
+    val all = bruteTopk(docs, Int.MaxValue)
+    assert(adaptiveTopk(dir, all.size + 100) == all)
+  }
+
   test("docEmbed is integer-valued and bounded to EmbedDim") {
     val spark = SparkFixture.spark
     val emb = TrainOps.docEmbed(spark, plantedDir).collect()
