@@ -575,6 +575,8 @@ object SparkEntry {
         "(3, 'fahrt'), (3, 'schiff')) AS t(pos, term) ORDER BY pos, term"),
     "ft_stem_pt" -> stemGate(StemVectors.portuguese,
       graft.analysis.PortugueseStemmer.stem),
+    "ft_stem_br" -> stemGate(StemVectors.brazilian,
+      graft.analysis.BrazilianStemmer.stem),
     "ft_stem_fi" -> stemGate(StemVectors.finnish,
       graft.analysis.FinnishStemmer.stem),
     "ft_stem_ru" -> stemGate(StemVectors.russian,

@@ -79,6 +79,12 @@ object Analyzers {
     * stop set (core of the published Snowball list) → Snowball
     * Portuguese stemmer. */
   case object Portuguese extends Kind
+  /** BrazilianAnalyzer.cs:202-210 analog: Standard tokens → the
+    * reference's own (unaccented) Brazilian stop set → the BR chain's
+    * OWN accent-folding stemmer ([[BrazilianStemmer]], golden-validated
+    * in BrazilianGoldenSpec) — NOT the Snowball Portuguese algorithm
+    * of [[Portuguese]]: stems come out unaccented. */
+  case object Brazilian extends Kind
   /** SnowballAnalyzer("Finnish") analog (SnowballAnalyzer.cs:39 wraps
     * Ext/FinnishStemmer.cs:11): Standard tokens → Finnish stop set
     * (core of the published Snowball list) → Snowball Finnish
@@ -229,6 +235,8 @@ object Analyzers {
     case Dutch => Some((DutchStopWords, identity, DutchStemmer.stem))
     case Portuguese =>
       Some((PortugueseStopWords, identity, PortugueseStemmer.stem))
+    case Brazilian =>
+      Some((BrazilianStopWords, identity, BrazilianStemmer.stem))
     case Finnish => Some((FinnishStopWords, identity, FinnishStemmer.stem))
     case Czech => Some((CzechStopWords, identity, identity))
     case Greek => Some((GreekStopWords, IntlAnalyzers.greekFold, identity))
@@ -424,6 +432,30 @@ object Analyzers {
     "aquela", "aqueles", "aquelas", "isto", "aquilo", "é", "são",
     "era", "foi", "ser", "está", "estão", "tem", "têm", "tinha",
     "foram", "há", "estou", "estava")
+
+  /** The reference BR chain's own stop list
+    * (BrazilianAnalyzer.cs:41-62) — NOTE it is written WITHOUT accents
+    * ("nao", "entao", "apos"), so accented forms in text are NOT
+    * stopped; they reach the stemmer, which folds them. Preserved
+    * as-is, including the reference's "propios" typo. */
+  val BrazilianStopWords: Set[String] = Set(
+    "a", "ainda", "alem", "ambas", "ambos", "antes", "ao", "aonde",
+    "aos", "apos", "aquele", "aqueles", "as", "assim", "com", "como",
+    "contra", "contudo", "cuja", "cujas", "cujo", "cujos", "da",
+    "das", "de", "dela", "dele", "deles", "demais", "depois", "desde",
+    "desta", "deste", "dispoe", "dispoem", "diversa", "diversas",
+    "diversos", "do", "dos", "durante", "e", "ela", "elas", "ele",
+    "eles", "em", "entao", "entre", "essa", "essas", "esse", "esses",
+    "esta", "estas", "este", "estes", "ha", "isso", "isto", "logo",
+    "mais", "mas", "mediante", "menos", "mesma", "mesmas", "mesmo",
+    "mesmos", "na", "nas", "nao", "nem", "nesse", "neste", "nos", "o",
+    "os", "ou", "outra", "outras", "outro", "outros", "pelas", "pelo",
+    "pelos", "perante", "pois", "por", "porque", "portanto",
+    "proprio", "propios", "quais", "qual", "qualquer", "quando",
+    "quanto", "que", "quem", "quer", "se", "seja", "sem", "sendo",
+    "seu", "seus", "sob", "sobre", "sua", "suas", "tal", "tambem",
+    "teu", "teus", "toda", "todas", "todo", "todos", "tua", "tuas",
+    "tudo", "um", "uma", "umas", "uns")
 
   /** Core of the published Snowball Finnish stop list (pronouns,
     * olla/ei forms, conjunctions). */

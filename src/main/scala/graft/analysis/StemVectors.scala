@@ -242,6 +242,29 @@ object StemVectors {
     "irmão" -> "irmã",
     "gatos" -> "gat")
 
+  /** Brazilian (the reference BR chain's own accent-folding stemmer,
+    * NOT Snowball Portuguese): a frozen subset of the reference's own
+    * golden vectors (test/contrib/Analyzers/Br/TestBrazilianStemmer.cs
+    * — the full set is swept by BrazilianGoldenSpec; these make the
+    * behavior oracle-visible as a VALUES gate). */
+  val brazilian: Seq[(String, String)] = Seq(
+    // accent folds baked into the stem (unlike Snowball Portuguese)
+    "bôas" -> "boas", "bobalhões" -> "bobalho",
+    "bocaiúva" -> "bocaiuv", "boçal" -> "bocal",
+    "quilométricas" -> "quilometr", "quimioterápicos" -> "quimioterap",
+    "quinhão" -> "quinha", "quintão" -> "quinta",
+    // standard / verb / residual steps
+    "boataria" -> "boat", "bobeira" -> "bobeir",
+    "bocadinho" -> "bocadinh", "boiando" -> "boi",
+    "quintessência" -> "quintessente", "quintuplicou" -> "quintuplic",
+    "quinhentos" -> "quinhent", "quiosque" -> "quiosqu",
+    // untouched shapes: no matching suffix, foreign words, RV/R2 null
+    "bobagens" -> "bobagens", "bobs" -> "bobs",
+    "body" -> "body", "quickly" -> "quickly", "quintal" -> "quintal",
+    // abstain (length ≤ 2 after folding) keeps the accents; length 3
+    // is stemmable and folds
+    "áá" -> "áá", "ááá" -> "aaa")
+
   val finnish: Seq[(String, String)] = Seq(
     // particle (kin after a vowel), then case ssa, then plural i
     "koirissakin" -> "koir",
