@@ -573,6 +573,26 @@ object SparkEntry {
       "SELECT * FROM (VALUES (1, 'fleisch'), (1, 'rind'), " +
         "(1, 'rindfleisch'), (3, 'dampf'), (3, 'dampfschiffahrt'), " +
         "(3, 'fahrt'), (3, 'schiff')) AS t(pos, term) ORDER BY pos, term"),
+    // hyphenation decompounder (contrib Compound, Knuth–Liang): spans
+    // between hyphenation points only, with the genitive-s retry —
+    // "arbeits" misses the dictionary, "arbeit" (one char shorter)
+    // hits; 5|10|11 points on the old-orthography ff compound
+    "ft_decompound_hyph" -> Raw(
+      (s, dir) => {
+        import s.implicits._
+        val kind = graft.analysis.Analyzers.HyphenDecompound(
+          patterns = Seq("f1s", "f1f", "ff1a", "s1p"),
+          dict = Set("dampf", "schiff", "fahrt", "dampfschiff",
+            "arbeit", "platz"))
+        Seq("the dampfschiffahrt and arbeitsplatz").toDF("input")
+          .flatMap(r => graft.analysis.Analyzers.tokenize(
+            kind, r.getString(0)).map(t => (t.pos, t.term)))
+          .toDF("pos", "term").orderBy("pos", "term")
+      },
+      "SELECT * FROM (VALUES (1, 'dampf'), (1, 'dampfschiff'), " +
+        "(1, 'dampfschiffahrt'), (1, 'fahrt'), (1, 'schiff'), " +
+        "(3, 'arbeit'), (3, 'arbeitsplatz'), (3, 'platz')) " +
+        "AS t(pos, term) ORDER BY pos, term"),
     "ft_stem_pt" -> stemGate(StemVectors.portuguese,
       graft.analysis.PortugueseStemmer.stem),
     "ft_stem_br" -> stemGate(StemVectors.brazilian,

@@ -126,6 +126,19 @@ object Analyzers {
   final case class Decompound(dict: Set[String],
       minWordSize: Int = 5, minSubword: Int = 2, maxSubword: Int = 15,
       onlyLongestMatch: Boolean = false) extends Kind
+  /** HyphenationCompoundWordTokenFilter analog (contrib Compound; the
+    * reference file's body is a commented-out unfinished port — these
+    * are its documented semantics): Standard chain, then each long
+    * token's Knuth–Liang hyphenation points ([[Hyphenator]]) bound the
+    * candidate subwords — only spans between two hyphenation points
+    * are dictionary-checked, unlike [[Decompound]]'s every-offset
+    * scan — with the reference's last-char-dropped retry (so
+    * genitive-s compounds like "arbeitsplatz" still yield "arbeit").
+    * Subwords are emitted at the compound's position. */
+  final case class HyphenDecompound(patterns: Seq[String],
+      dict: Set[String], exceptions: Seq[String] = Nil,
+      minWordSize: Int = 5, minSubword: Int = 2, maxSubword: Int = 15,
+      onlyLongestMatch: Boolean = false) extends Kind
   /** Reverse/ReverseStringFilter.cs analog: every kept Standard token
     * reversed in place. The reference's leading-wildcard mechanism —
     * index a reversed twin field and `*suffix` becomes a PREFIX scan
@@ -329,7 +342,65 @@ object Analyzers {
     case Decompound(dict, minWord, minSub, maxSub, longest) =>
       decompound(Analyzer.fastTokenize(text), dict, minWord, minSub,
         maxSub, longest)
+    case hd: HyphenDecompound =>
+      // the parsed pattern index is per-Kind state, not per-row work
+      val hyph = hyphMemo.getOrElseUpdate(hd,
+        new Hyphenator(hd.patterns, hd.exceptions))
+      hyphenDecompound(Analyzer.fastTokenize(text), hyph, hd)
   }
+
+  private val hyphMemo =
+    new scala.collection.concurrent.TrieMap[Kind, Hyphenator]()
+
+  /** The reference DecomposeInternal loop (HyphenationCompoundWord
+    * TokenFilter.cs:161-230): original token always kept; for each
+    * hyphenation point, candidate spans to every later point — longer
+    * than maxSubword ends the round, shorter than minSubword is
+    * skipped; a dictionary hit emits the span, otherwise the span
+    * minus its LAST char is retried (genitive-s / binding chars);
+    * onlyLongestMatch keeps one winner per start point. */
+  def hyphenDecompound(toks: Vector[Token], hyph: Hyphenator,
+      cfg: HyphenDecompound): Vector[Token] =
+    toks.flatMap { t =>
+      val out = Vector.newBuilder[Token]
+      out += t
+      val w = t.term
+      val hyp: Vector[Int] =
+        if (w.length >= cfg.minWordSize)
+          hyph.hyphenate(w).getOrElse(Vector.empty)
+        else Vector.empty
+      var i = 0
+      while (i < hyp.length) {
+        val start = hyp(i)
+        var bestLen = -1
+        var j = 1
+        var done = false
+        while (!done && j < hyp.length - i) {
+          val partLen = hyp(i + j) - start
+          if (partLen > cfg.maxSubword) done = true
+          else {
+            if (partLen >= cfg.minSubword) {
+              val part = w.substring(start, start + partLen)
+              val hitLen =
+                if (cfg.dict(part)) partLen
+                else if (cfg.dict(part.dropRight(1))) partLen - 1
+                else -1
+              if (hitLen > 0) {
+                if (cfg.onlyLongestMatch) {
+                  if (hitLen > bestLen) bestLen = hitLen
+                } else out += Token(w.substring(start, start + hitLen),
+                  t.pos)
+              }
+            }
+            j += 1
+          }
+        }
+        if (cfg.onlyLongestMatch && bestLen > 0)
+          out += Token(w.substring(start, start + bestLen), t.pos)
+        i += 1
+      }
+      out.result()
+    }
 
   /** Emit each token plus its dictionary subwords (all at the
     * compound's position — the reference keeps the original token
