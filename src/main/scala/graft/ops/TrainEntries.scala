@@ -290,6 +290,48 @@ object TrainEntries {
          |ORDER BY a, b""".stripMargin),
 
     // ---- similarity search ----
+    // hybrid lexical+vector query-by-example fused by RRF: fusion is
+    // rank arithmetic (1/(60+rank)), so no float comparison crosses
+    // engines; the lexical per-doc sum folds in term order on BOTH
+    // sides (the ft_fuzzy_like lesson)
+    ("ann_hybrid_rrf",
+      (s, d) => TrainOps.hybridRrf(s, d),
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+         |              FROM documents),
+         |tok AS (SELECT * FROM toks WHERE term != ''),
+         |lens AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+         |qdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+         |        WHERE term IN ('merge', 'sort', 'dup') GROUP BY term),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |       WHERE term IN ('merge', 'sort', 'dup') AND doc_id != 0
+         |       GROUP BY doc_id, term),
+         |contrib AS (SELECT t.doc_id, t.term,
+         |    ln(1.0 + (CAST(s.n AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+         |      * ((t.tf * 2.2) / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))) AS c
+         |  FROM tf t JOIN qdf d USING (term) JOIN lens l USING (doc_id)
+         |       CROSS JOIN stats s),
+         |lex AS (SELECT doc_id, sum(c ORDER BY term) AS score
+         |        FROM contrib GROUP BY doc_id),
+         |lextop AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+         |  FROM lex ORDER BY score DESC, doc_id LIMIT 20),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |cosd AS (SELECT e.vec_id AS doc_id, ${cosSql("e.embedding", "q.qv")} AS cos
+         |         FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0),
+         |vectop AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS vec_rank
+         |  FROM cosd ORDER BY cos DESC, doc_id LIMIT 20),
+         |fused AS (SELECT doc_id, coalesce(lex_rank, 0) AS lex_rank,
+         |                 coalesce(vec_rank, 0) AS vec_rank
+         |          FROM lextop FULL OUTER JOIN vectop USING (doc_id)),
+         |rrfd AS (SELECT doc_id, lex_rank, vec_rank,
+         |    (CASE WHEN lex_rank > 0 THEN 1.0 / (60.0 + lex_rank) ELSE 0.0 END)
+         |  + (CASE WHEN vec_rank > 0 THEN 1.0 / (60.0 + vec_rank) ELSE 0.0 END) AS rrf
+         |  FROM fused)
+         |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
+         |       doc_id, round(rrf, 6) AS rrf, lex_rank, vec_rank
+         |FROM rrfd ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin),
     ("ann_brute",
       (s, d) => TrainOps.annBruteForce(s, d),
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -747,6 +747,70 @@ object TrainOps {
     else when(n2 === 0.0, lit(-1.0)).otherwise(dot / (sqrt(n2) * lit(qn)))
   }
 
+  /** Hybrid lexical+vector retrieval fused by reciprocal-rank fusion
+    * (RRF, Cormack/Clarke/Buettcher SIGIR'09: score = Σ 1/(k₀+rank)) —
+    * the query is document `queryId` by example: its embedding on the
+    * vector side, hand-picked salient terms on the lexical side, the
+    * example itself excluded from both candidate sets.
+    *
+    * Lexical side: whitespace-token BM25 (the engine [[graft.search
+    * .Bm25]] expressions; per-doc contributions folded in TERM order so
+    * the oracle's `sum(c ORDER BY term)` reproduces the double
+    * exactly). Vector side: exact cosine (the [[annBruteForce]] shape).
+    * Fusion is rank-arithmetic only — no float comparisons cross
+    * engines — and joins two ≤kEach-row frames, so at 100 TB the cost
+    * is the two top-k scans; the fusion is driver-trivial. */
+  def hybridRrf(spark: SparkSession, sfDir: String,
+      queryTerms: Seq[String] = Seq("merge", "sort", "dup"),
+      queryId: Long = 0L, kEach: Int = 20, k: Int = 10,
+      k0: Int = 60): DataFrame = {
+    val d = docs(spark, sfDir)
+    val toks = d.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val lens = toks.groupBy("doc_id").agg(count("*").as("dl"))
+    // collection stats over the FULL corpus (the example doc is only
+    // excluded as a candidate); integer sums → exact avgdl both sides
+    val statsRow = lens.agg(count("*"), avg("dl")).collect()(0)
+    val (n, avgdl) = (statsRow.getLong(0), statsRow.getDouble(1))
+    val qtoks = toks.filter(col("term").isin(queryTerms: _*))
+    val qdf = qtoks.groupBy("term")
+      .agg(countDistinct("doc_id").as("df"))
+    val contrib = qtoks.filter(col("doc_id") =!= queryId)
+      .groupBy("doc_id", "term").agg(count("*").as("tf"))
+      .join(qdf, "term").join(lens, "doc_id")
+      .withColumn("c", graft.search.Bm25.score(n, avgdl,
+        col("df"), col("tf"), col("dl")))
+    val lex = contrib.groupBy("doc_id")
+      .agg(aggregate(sort_array(collect_list(struct(col("term"),
+        col("c")))), lit(0.0), (acc, x) => acc + x("c")).as("score"))
+    val lexTop = lex.orderBy(col("score").desc, col("doc_id")).limit(kEach)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "lex_rank")
+    val e = embeddings(spark, sfDir)
+    val qv = e.filter(col("vec_id") === queryId)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    val vecTop = e.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id").as("doc_id"),
+        cosToQuery(col("embedding"), qv).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(kEach)
+      .withColumn("vec_rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "vec_rank")
+    def part(rank: Column): Column =
+      when(rank > 0, lit(1.0) / (lit(k0.toDouble) + rank)).otherwise(0.0)
+    lexTop.join(vecTop, Seq("doc_id"), "full_outer")
+      .withColumn("lex_rank", coalesce(col("lex_rank"), lit(0L)))
+      .withColumn("vec_rank", coalesce(col("vec_rank"), lit(0L)))
+      .withColumn("rrf", part(col("lex_rank")) + part(col("vec_rank")))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), round(col("rrf"), 6).as("rrf"),
+        col("lex_rank"), col("vec_rank"))
+  }
+
   /** Brute-force cosine top-k for query vector = embedding of `queryId`.
     * The baseline: one scan + TakeOrderedAndProject; at 100 TB this is
     * the exhaustive pass you run to measure ANN recall. */

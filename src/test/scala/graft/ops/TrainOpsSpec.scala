@@ -332,4 +332,26 @@ class TrainOpsSpec extends AnyFunSuite {
     val full = keptIds(dirB)
     assert(half == full.filter(_ <= 150L))
   }
+
+  test("hybrid RRF: fusion invariants over the sf0.001 corpus") {
+    val spark = SparkFixture.spark
+    val rows = TrainOps.hybridRrf(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.length == 10)
+    // ranks are 1..k and rrf is non-increasing with deterministic ties
+    assert(rows.map(_._1).toSeq == (1L to 10L))
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a._3 > b._3 || (a._3 == b._3 && a._2 < b._2) })
+    // every score is exactly the rank arithmetic (round-tripped at
+    // 6dp with Spark ROUND's HALF_UP decimal semantics)
+    def part(r: Long) = if (r > 0) 1.0 / (60.0 + r) else 0.0
+    rows.foreach { case (_, _, rrf, l, v) =>
+      assert(rrf == BigDecimal(part(l) + part(v))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    // the example doc itself never surfaces
+    assert(!rows.exists(_._2 == 0L))
+    // each hit came from at least one list
+    assert(rows.forall(r => r._4 > 0 || r._5 > 0))
+  }
 }
