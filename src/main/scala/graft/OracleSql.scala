@@ -512,6 +512,22 @@ object OracleSql {
        |ORDER BY sq.score DESC, sq.docid
        |LIMIT $k""".stripMargin
 
+  /** Batched multi-query top-k oracle: each registry query's proven
+    * single-query topK body, qid-tagged and UNION ALLed over one
+    * shared prelude — the per-query rows must equal running topK(q)
+    * alone, which is exactly what the engine's one-scan batch
+    * guarantees. */
+  def topKBatch(queries: Seq[(String, Query)], k: Int): String = {
+    val branches = queries.map { case (qid, q) =>
+      s"(SELECT ${sq(qid)} AS qid, " +
+        "CAST(row_number() OVER (ORDER BY sq.score DESC, sq.docid) " +
+        "AS BIGINT) AS rank, sq.docid, round(sq.score, 4) AS score " +
+        s"FROM ${scoreSql(q)} sq ORDER BY sq.score DESC, sq.docid " +
+        s"LIMIT $k)"
+    }.mkString("\nUNION ALL\n")
+    s"$prelude\nSELECT * FROM (\n$branches\n) ORDER BY qid, rank"
+  }
+
   /** Filtered top-k oracle (FilteredQuery + CachingWrapperFilter
     * analog): the filter GATES docids but contributes no score. */
   def topKFiltered(q: Query, filterWhere: String, k: Int): String =

@@ -46,6 +46,18 @@ object SparkEntry {
     * shapes chosen to exercise term, phrase, keyword-field and msm
     * membership through BOTH evaluators (MemoryIndex and the SQL
     * pipeline). */
+  /** Registry for the batched multi-query gate (one scan scores all
+    * four): AND, msm-OR, boosted bag, and required+excluded — the flat
+    * shapes [[Searcher.topKBatch]] accepts. */
+  private val BatchRegistry: Seq[(String, BoolQ)] = Seq(
+    "q_and" -> BoolQ(must = Seq(TermQ("merge"), TermQ("sort"))),
+    "q_msm" -> BoolQ(should = Seq(TermQ("scan"), TermQ("filter"),
+      TermQ("window")), minShouldMatch = 2),
+    "q_boost" -> BoolQ(should = Seq(BoostQ(TermQ("table"), 2.0),
+      TermQ("join"))),
+    "q_not" -> BoolQ(must = Seq(TermQ("merge")),
+      mustNot = Seq(TermQ("dup"))))
+
   private val PercolateRegistry: Seq[(String, Query)] = Seq(
     "q_phrase" -> PhraseQ(Seq("key" -> 0, "agg" -> 1)),
     "q_role" -> BoolQ(must = Seq(TermQ("merge"),
@@ -573,6 +585,18 @@ object SparkEntry {
       "SELECT * FROM (VALUES (1, 'fleisch'), (1, 'rind'), " +
         "(1, 'rindfleisch'), (3, 'dampf'), (3, 'dampfschiffahrt'), " +
         "(3, 'fahrt'), (3, 'schiff')) AS t(pos, term) ORDER BY pos, term"),
+    // batched multi-query top-k: one postings scan scores the whole
+    // registry; oracle = UNION ALL of the proven per-query topK bodies
+    // (per-query rows must equal running each query alone)
+    "ft_batch_topk" -> Raw(
+      (s, dir) => {
+        val idx = Engine.index(s, dir)
+        new Searcher(idx).topKBatch(BatchRegistry, 10)
+          .select(col("qid"), col("rank"), col("docid"),
+            round(col("score"), 4).as("score"))
+          .orderBy("qid", "rank")
+      },
+      OracleSql.topKBatch(BatchRegistry, 10)),
     // hyphenation decompounder (contrib Compound, Knuth–Liang): spans
     // between hyphenation points only, with the genitive-s retry —
     // "arbeits" misses the dictionary, "arbeit" (one char shorter)

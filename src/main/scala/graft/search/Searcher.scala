@@ -1074,6 +1074,80 @@ final class Searcher(idx: InvertedIndex, sim: Similarity = Bm25Sim) {
   def topK(q: Query, k: Int): DataFrame =
     score(q).orderBy(col("score").desc, col("docid").asc).limit(k)
 
+  /** Batched multi-query top-k: ONE postings scan over the union of a
+    * query registry's terms scores EVERY query at once — the query-set
+    * replay shape at cluster scale (N queries amortize the dominant
+    * cost, the scan, the way the percolator amortizes analysis; the
+    * reference replays its query set one IndexSearcher.Search at a
+    * time, one dictionary+postings walk EACH).
+    *
+    * Registry queries must be flat term-bag booleans (every clause a
+    * possibly boosted TermQ — the [[groupedBool]] single-scan shape);
+    * per-doc algebra and the ordered score fold replicate the
+    * single-query flat path exactly, so each query's rows are rank-
+    * and score-identical to its own topK run.
+    *
+    * Output (qid, rank, docid, score) ordered by (qid, rank). The
+    * per-query rank is a window partitioned by qid — one sort shuffle
+    * over all candidates of all queries; size the registry per job run
+    * accordingly (the scan amortization is the win, the window is the
+    * bound). */
+  def topKBatch(queries: Seq[(String, BoolQ)], k: Int): DataFrame = {
+    val spark = idx.docs.sparkSession
+    import spark.implicits._
+    val rows = Seq.newBuilder[(String, String, String, String, Double)]
+    val metas = Seq.newBuilder[(String, Int, Int, Int)]
+    queries.foreach { case (qid, q) =>
+      require(q.must.nonEmpty || q.should.nonEmpty,
+        s"empty BooleanQuery: $qid")
+      val cl = q.must.map((_, "m")) ++ q.should.map((_, "s")) ++
+        q.mustNot.map((_, "n"))
+      require(cl.size <= Searcher.MaxClauseCount,
+        s"too many boolean clauses (maxClauseCount=${Searcher.MaxClauseCount})")
+      cl.zipWithIndex.foreach { case ((c, oc), i) =>
+        val (t, b) = asSimpleTerm(c).getOrElse(sys.error(
+          s"topKBatch requires flat term-bag queries; clause $i of " +
+            s"'$qid' is not a (boosted) TermQ"))
+        rows += ((t, qid, f"$oc$i%03d", oc, b))
+      }
+      metas += ((qid, q.must.size, q.should.size, q.minShouldMatch))
+    }
+    val rs = rows.result()
+    val cmap = rs.toDF("term", "qid", "ord", "occur", "boost")
+    val meta = metas.result().toDF("qid", "n_must", "n_should", "msm")
+    val scored = termScores(rs.map(_._1).toSet)
+      .join(broadcast(cmap), Seq("term"))
+      .select(col("qid"), col("docid"), col("ord"), col("occur"),
+        (col("tscore") * col("boost")).as("score"))
+    def sumOf(tag: String): Column =
+      aggregate(filter(col("all"), x => x.getField("occur") === tag),
+        lit(0.0), (acc, x) => acc + x.getField("score"))
+    def cntOf(tag: String): Column =
+      size(filter(col("all"), x => x.getField("occur") === tag)).cast("long")
+    val agg = scored.groupBy(col("qid"), col("docid"))
+      .agg(sort_array(collect_list(struct(col("ord"), col("occur"),
+        col("score")))).as("all"))
+      .join(broadcast(meta), Seq("qid"))
+    // per-query boolean algebra — the groupedBool inner shape with the
+    // group constants as columns
+    val matched =
+      when(col("n_must") > 0,
+        cntOf("m") === col("n_must") &&
+          (col("n_should") === lit(0) || cntOf("s") >= col("msm")))
+        .otherwise(cntOf("s") >= greatest(lit(1), col("msm"))) &&
+        cntOf("n") === 0L
+    val scoredDocs = agg.filter(matched)
+      .select(col("qid"), col("docid"),
+        sim.applyCoordCol(sumOf("m") + sumOf("s"), cntOf("m") + cntOf("s"),
+          col("n_must") + col("n_should")).as("score"))
+    scoredDocs
+      .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("docid").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("docid"), col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Build a reusable cached filter (CachingWrapperFilter.cs:33 /
     * Filter.GetDocIdSet analog): the matching docid set is computed
     * ONCE and persisted (MEMORY_AND_DISK — spills, never recomputes),

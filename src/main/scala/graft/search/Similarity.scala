@@ -50,6 +50,12 @@ trait Similarity {
     * strategy's physical plans are byte-identical to the pre-strategy
     * engine. */
   def applyCoord(score: Column, overlap: Column, maxOverlap: Int): Column
+
+  /** Column-typed twin of [[applyCoord]] for plans where maxOverlap is
+    * data, not a plan-time constant (the batched multi-query scan:
+    * one row per query carries its own clause count). */
+  def applyCoordCol(score: Column, overlap: Column,
+      maxOverlap: Column): Column
 }
 
 /** BM25 (k1=1.2, b=0.75) — the engine default; formulas in [[Bm25]]. */
@@ -60,6 +66,8 @@ object Bm25Sim extends Similarity {
     Bm25.tfNorm(tf, len, avgdl)
   def applyCoord(score: Column, overlap: Column, maxOverlap: Int): Column =
     score
+  def applyCoordCol(score: Column, overlap: Column,
+      maxOverlap: Column): Column = score
 }
 
 /** The reference's DefaultSimilarity (classic TF-IDF). Operand order is
@@ -77,4 +85,7 @@ object ClassicSim extends Similarity {
     sqrt(tf) * (lit(1.0) / sqrt(len))
   def applyCoord(score: Column, overlap: Column, maxOverlap: Int): Column =
     score * (overlap.cast("double") / lit(maxOverlap.toDouble))
+  def applyCoordCol(score: Column, overlap: Column,
+      maxOverlap: Column): Column =
+    score * (overlap.cast("double") / maxOverlap.cast("double"))
 }
