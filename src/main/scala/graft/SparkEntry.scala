@@ -597,6 +597,18 @@ object SparkEntry {
           .orderBy("qid", "rank")
       },
       OracleSql.topKBatch(BatchRegistry, 10)),
+    // the same batch over the PERSISTED block store — storage must be
+    // invisible (the ft_seg_* discipline), and the union term set
+    // prunes blocks before the decode barrier like any single query
+    "ft_batch_topk_seg" -> Raw(
+      (s, dir) => {
+        val idx = Engine.indexSeg(s, dir)
+        new Searcher(idx).topKBatch(BatchRegistry, 10)
+          .select(col("qid"), col("rank"), col("docid"),
+            round(col("score"), 4).as("score"))
+          .orderBy("qid", "rank")
+      },
+      OracleSql.topKBatch(BatchRegistry, 10)),
     // hyphenation decompounder (contrib Compound, Knuth–Liang): spans
     // between hyphenation points only, with the genitive-s retry —
     // "arbeits" misses the dictionary, "arbeit" (one char shorter)
