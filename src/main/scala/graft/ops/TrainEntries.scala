@@ -289,6 +289,27 @@ object TrainEntries {
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
          |ORDER BY a, b""".stripMargin),
 
+    // event-time gap sessionization over the (otherwise untouched)
+    // events table — exact microsecond gap math + integer-cent sums,
+    // so the window algebra replays bit-identically
+    ("tx_sessions",
+      (s, d) => TrainOps.sessionize(s, d),
+      s"""WITH lagd AS (SELECT event_id, ts, user_id, value,
+         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM events),
+         |marks AS (SELECT *, CASE WHEN prev_ts IS NULL
+         |      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1
+         |    ELSE 0 END AS brk FROM lagd),
+         |sess AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+         |  FROM marks)
+         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+         |       min(ts) AS session_start, max(ts) AS session_end,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+         |FROM sess GROUP BY user_id, session_idx
+         |ORDER BY user_id, session_idx""".stripMargin),
+
     // ---- similarity search ----
     // hybrid lexical+vector query-by-example fused by RRF: fusion is
     // rank arithmetic (1/(60+rank)), so no float comparison crosses

@@ -1356,4 +1356,38 @@ object TrainOps {
       .filter(col("rk") <= k)
       .orderBy(col("source"), col("rk"))
   }
+
+  /** Event-time gap sessionization of the events table — the BATCH
+    * twin of [[graft.streaming.StreamingSessions]]' inactivity-timeout
+    * semantics, as pure window algebra: lag the per-user event-time,
+    * mark gaps > `gapSec`, running-sum the marks into session indexes,
+    * roll up. One shuffle (the per-user window); the session roll-up
+    * reuses the same partitioning. Determinism: gaps compare exact
+    * MICROSECOND integers (no float time math) and the value roll-up
+    * sums exact integer cents, so the oracle replays bit-identically.
+    * At 10¹²-event scale a pathological single user serializes into
+    * one partition's sort — sessionization inherently needs per-user
+    * time order; cap per-key history upstream (the streaming twin's
+    * watermark does exactly that). */
+  def sessionize(spark: SparkSession, sfDir: String,
+      gapSec: Long = 1800): DataFrame = {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    ev.select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > gapSec * 1000000L,
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("session_idx", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_value_c"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
 }
