@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Persisted IVF vector index — the vector twin of the text engine's
+  * segment store: TRAIN ONCE (the deterministic sampled Lloyd shared
+  * with [[TrainOps.annIvfKmeans]]), assign the full corpus once, and
+  * persist `(vec_id, embedding)` PARTITIONED BY cell alongside the
+  * centroid table, committed by an atomically-renamed manifest. A
+  * query then collects the tiny centroid table, picks its probe
+  * cells, and reads ONLY those cell partitions — `cell IN (...)` is a
+  * partition-pruning predicate, so at 10¹²-vector scale the exact
+  * rescore touches nprobe/cells of the data instead of scanning the
+  * corpus to recompute assignments per query (which is what the
+  * on-the-fly variant must do). Storage is invisible by construction:
+  * training, assignment, probe order, rescore and tie-breaks are the
+  * same arithmetic, so [[queryGate]] satisfies the same oracle as the
+  * on-the-fly ann_ivf_kmeans entry.
+  *
+  * Reference framing: a Lucene segment's term dictionary + postings
+  * become the centroid table + cell partitions; [[build]] is the
+  * IndexWriter commit (idempotent: an existing manifest with the same
+  * params is reused — the checkpoint-resume discipline of
+  * graft.index.SegmentStore). */
+object AnnIndex {
+
+  private val ManifestName = "manifest.json"
+
+  /** Deterministic per-(sfDir) root under the system tmpdir (the
+    * Engine.segRoot sanitize+hash discipline — sanitization alone can
+    * collide). */
+  def defaultRoot(sfDir: String): String = {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tag = Integer.toHexString(sfDir.hashCode)
+    s"${System.getProperty("java.io.tmpdir")}/graft_ann_${safe}_$tag"
+  }
+
+  /** Train + assign + persist; no-op when a manifest with the same
+    * params already exists. Returns the root. */
+  def build(spark: SparkSession, sfDir: String,
+      root0: String = null): String = {
+    val root = Option(root0).getOrElse(defaultRoot(sfDir))
+    val params = s"""{"cells":${TrainOps.IvfCells},""" +
+      s""""probes":${TrainOps.IvfProbes},""" +
+      s""""sample":${TrainOps.IvfTrainSample},""" +
+      s""""iters":${TrainOps.IvfKmeansIters}}"""
+    val manifest = new java.io.File(root, ManifestName)
+    if (manifest.isFile) {
+      val have = new String(java.nio.file.Files.readAllBytes(
+        manifest.toPath), "UTF-8")
+      if (have == params) return root // committed build, same params
+    }
+    val e = TrainOps.embeddings(spark, sfDir)
+    val cents = TrainOps.ivfTrainCentroids(e)
+    import spark.implicits._
+    // centroid table: (cell, centroid) — the broadcastable dictionary
+    cents.zipWithIndex.map { case (cv, c) => (c, cv.toSeq) }
+      .toDF("cell", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/centroids")
+    // cell partitions: the IVF "posting lists"
+    e.withColumn("cell", TrainOps.ivfCellCol(cents))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$root/cells")
+    // manifest last + atomic rename = the commit point
+    val tmp = new java.io.File(root, s"$ManifestName.tmp")
+    java.nio.file.Files.write(tmp.toPath, params.getBytes("UTF-8"))
+    if (!tmp.renameTo(manifest))
+      sys.error(s"ann index commit failed: $root")
+    root
+  }
+
+  /** Top-k for the embedding of `queryId` against the persisted index:
+    * centroids collected (broadcast-dictionary role), probe cells
+    * chosen driver-side, ONLY those partitions read and exactly
+    * rescored. */
+  def query(spark: SparkSession, root: String, qv: IndexedSeq[Double],
+      excludeId: Long, k: Int): DataFrame = {
+    require(new java.io.File(root, ManifestName).isFile,
+      s"no committed ann index at $root")
+    val cents: IndexedSeq[Array[Double]] =
+      spark.read.parquet(s"$root/centroids").orderBy("cell").collect()
+        .map(r => r.getSeq[Double](1).toArray).toIndexedSeq
+    val probed = TrainOps.ivfProbeCells(cents, qv, TrainOps.IvfProbes)
+    spark.read.parquet(s"$root/cells")
+      .filter(col("cell").isin(probed: _*)) // partition-pruned
+      .filter(col("vec_id") =!= excludeId)
+      .select(col("vec_id"),
+        TrainOps.cosToQueryD(col("embedding"), qv).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
+      .select(col("rank"), col("vec_id"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Gate entry: build (or reuse) the persisted index, query it with
+    * embedding 0 — must satisfy the SAME oracle as the on-the-fly
+    * k-means IVF entry. */
+  def queryGate(spark: SparkSession, sfDir: String,
+      queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val root = build(spark, sfDir)
+    val qv = TrainOps.embeddings(spark, sfDir)
+      .filter(col("vec_id") === queryId)
+      .select("embedding").collect()(0).getSeq[Float](0)
+      .map(_.toDouble).toIndexedSeq
+    query(spark, root, qv, queryId, k)
+  }
+}

@@ -438,6 +438,13 @@ object TrainEntries {
       (s, d) => TrainOps.annIvfKmeans(s, d),
       ivfKmeansSql),
 
+    // the PERSISTED IVF index (train once, cell-partitioned layout,
+    // probes = partition pruning) must satisfy the SAME oracle as the
+    // on-the-fly variant — vector storage must be invisible too
+    ("ann_ivf_seg",
+      (s, d) => AnnIndex.queryGate(s, d),
+      ivfKmeansSql),
+
     // ---- text analysis ----
     ("tx_tokens",
       (s, d) => TrainOps.tokenCounts(s, d),

@@ -998,18 +998,39 @@ object TrainOps {
   def annIvfKmeans(spark: SparkSession, sfDir: String, queryId: Long = 0L,
       k: Int = 10): DataFrame = {
     val e = embeddings(spark, sfDir)
-    // deterministic hash sample, ordered (h60, vec_id)
+    val cents = ivfTrainCentroids(e)
+    val qv = e.filter(col("vec_id") === queryId)
+      .select("embedding").collect()(0).getSeq[Float](0)
+      .map(_.toDouble).toIndexedSeq
+
+    val probed = ivfProbeCells(cents, qv, IvfProbes)
+    e.filter(col("vec_id") =!= queryId)
+      .withColumn("cell", ivfCellCol(cents))
+      .filter(col("cell").isin(probed: _*))
+      .select(col("vec_id"),
+        cosToQueryD(col("embedding"), qv).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
+      .select(col("rank"), col("vec_id"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Deterministic sampled-Lloyd centroid training (shared by the
+    * on-the-fly [[annIvfKmeans]] and the persisted [[AnnIndex]] — the
+    * two MUST train identically for storage to be invisible): hash
+    * sample ordered (h60, vec_id), init = the IvfCells smallest-hash
+    * members in vec_id order, IvfKmeansIters rounds of argmax-cos
+    * assignment (tie → lower cell) and vec_id-ordered elementwise
+    * means; empty cells keep their previous centroid. */
+  def ivfTrainCentroids(e: DataFrame): IndexedSeq[Array[Double]] = {
     val sample: Array[(Long, Array[Double])] = e
       .select(col("vec_id"), col("embedding"), h60(col("vec_id")).as("hk"))
       .orderBy(col("hk").asc, col("vec_id").asc).limit(IvfTrainSample)
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
-    // init: the IvfCells smallest-hash sample members, cell ids 0..C-1
-    // in vec_id order (the hash-sample init the untrained variant uses)
     var cents: IndexedSeq[Array[Double]] = sample.take(IvfCells)
       .sortBy(_._1).map(_._2).toIndexedSeq
     for (_ <- 1 to IvfKmeansIters) {
-      // assign sample → argmax cos, tie → lower cell id
       val asg = sample.map { case (vid, v) =>
         var best = 0; var bestCos = Double.NegativeInfinity
         var c = 0
@@ -1020,8 +1041,6 @@ object TrainOps {
         }
         (vid, best, v)
       }
-      // per-cell elementwise mean, members folded in vec_id order
-      // (sample is vec_id-unsorted — sort explicitly)
       cents = cents.indices.map { c =>
         val members = asg.filter(_._2 == c).sortBy(_._1).map(_._3)
         if (members.isEmpty) cents(c)
@@ -1037,32 +1056,27 @@ object TrainOps {
         }
       }
     }
-    val qv = e.filter(col("vec_id") === queryId)
-      .select("embedding").collect()(0).getSeq[Float](0)
-      .map(_.toDouble).toIndexedSeq
+    cents
+  }
 
-    // full-corpus assignment: broadcast-literal argmax, ties → lower cell
+  /** The full-corpus cell assignment column for a trained centroid
+    * set: broadcast-literal argmax cos, ties → lower cell id (shared
+    * by [[annIvfKmeans]] and [[AnnIndex.build]]). */
+  def ivfCellCol(cents: IndexedSeq[Array[Double]]): Column = {
     val scored = cents.zipWithIndex.map { case (cv, c) =>
       struct(cosToQueryD(col("embedding"), cv.toIndexedSeq).as("cos"),
         lit(-c).as("negid"))
     }
-    val cellCol = greatest(scored: _*).getField("negid") * -1
+    greatest(scored: _*).getField("negid") * -1
+  }
 
-    val probed = cents.zipWithIndex
+  /** Probe order for a query vector: cells by (cos desc, id asc). */
+  def ivfProbeCells(cents: IndexedSeq[Array[Double]],
+      qv: IndexedSeq[Double], nprobe: Int): Seq[Int] =
+    cents.zipWithIndex
       .map { case (cv, c) => c -> cosD(qv, cv.toIndexedSeq) }
       .sortBy { case (c, cos) => (-cos, c) }
-      .take(IvfProbes).map(_._1)
-
-    e.filter(col("vec_id") =!= queryId)
-      .withColumn("cell", cellCol)
-      .filter(col("cell").isin(probed: _*))
-      .select(col("vec_id"),
-        cosToQueryD(col("embedding"), qv).as("cos"))
-      .orderBy(col("cos").desc, col("vec_id").asc).limit(k)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
-      .select(col("rank"), col("vec_id"), round(col("cos"), 4).as("cos"))
-  }
+      .take(nprobe).map(_._1)
 
   // -------------------------------------------------------------------
   // Text analysis
