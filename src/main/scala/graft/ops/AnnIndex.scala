@@ -71,6 +71,26 @@ object AnnIndex {
     root
   }
 
+  /** Append a batch of `(vec_id, embedding)` rows to a committed
+    * index — the IndexWriter-append discipline for vectors: the
+    * centroid table is FROZEN (appends never retrain the dictionary,
+    * exactly like text segments never rewrite the term space), the new
+    * rows are assigned with it and written as additional files under
+    * the same cell partitions, immediately visible to [[query]].
+    * Centroid drift under heavy appends is the compaction story:
+    * rebuild with [[build]] on a fresh root, then swap — same as
+    * forceMerge. */
+  def append(spark: SparkSession, root: String, batch: DataFrame): Unit = {
+    require(new java.io.File(root, ManifestName).isFile,
+      s"no committed ann index at $root")
+    val cents: IndexedSeq[Array[Double]] =
+      spark.read.parquet(s"$root/centroids").orderBy("cell").collect()
+        .map(r => r.getSeq[Double](1).toArray).toIndexedSeq
+    batch.select(col("vec_id"), col("embedding"))
+      .withColumn("cell", TrainOps.ivfCellCol(cents))
+      .write.mode("append").partitionBy("cell").parquet(s"$root/cells")
+  }
+
   /** Top-k for the embedding of `queryId` against the persisted index:
     * centroids collected (broadcast-dictionary role), probe cells
     * chosen driver-side, ONLY those partitions read and exactly

@@ -51,6 +51,47 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(pf.contains("cell"), s"no cell partition filter: $pf")
   }
 
+  test("append: frozen centroids, new vectors immediately searchable") {
+    val spark = SparkFixture.spark
+    import org.apache.spark.sql.functions._
+    // build on the first 450 vectors only
+    val e = TrainOps.embeddings(spark, sf)
+    val subDir = java.nio.file.Files
+      .createTempDirectory("graft-annidx-sub").toString
+    e.filter(col("vec_id") < 450).write.mode("overwrite")
+      .parquet(s"$subDir/embeddings.parquet")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-annidx-app").toString
+    AnnIndex.build(spark, subDir, root)
+    // append the remaining 50
+    AnnIndex.append(spark, root, e.filter(col("vec_id") >= 450))
+
+    val qv = e.filter(col("vec_id") === 0L)
+      .select("embedding").collect()(0).getSeq[Float](0)
+      .map(_.toDouble).toIndexedSeq
+    val got = AnnIndex.query(spark, root, qv, 0L, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    // reference: the same frozen (450-trained) centroids assigning ALL
+    // 500 vectors in one pass, no persisted store involved
+    val cents = TrainOps.ivfTrainCentroids(
+      spark.read.parquet(s"$subDir/embeddings.parquet"))
+    val probed = TrainOps.ivfProbeCells(cents, qv, TrainOps.IvfProbes)
+    val want = e.withColumn("cell", TrainOps.ivfCellCol(cents))
+      .filter(col("cell").isin(probed: _*) && col("vec_id") =!= 0L)
+      .select(col("vec_id"),
+        TrainOps.cosToQueryD(col("embedding"), qv).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(10)
+      .collect().map(r => (r.getLong(0),
+        BigDecimal(r.getDouble(1)).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)).toSeq
+    assert(got.map(t => (t._2, t._3)) == want)
+    // the appended half actually participates (some vec_id >= 450 in
+    // the union of probed cells)
+    val cellsDf = spark.read.parquet(s"$root/cells")
+    assert(cellsDf.filter(col("vec_id") >= 450).count() == 50)
+  }
+
   test("query on an uncommitted root is a loud error") {
     val spark = SparkFixture.spark
     val e = intercept[IllegalArgumentException] {
