@@ -837,6 +837,61 @@ object OracleSql {
        |ORDER BY conv_id, turn_idx, query_id""".stripMargin
   }
 
+  /** Scored multi-query percolation oracle: membership per query via
+    * the corpus pipeline (same sets as [[percolateMulti]]), score via
+    * SINGLE-DOC BM25 — the doc is its own corpus, so numDocs = 1,
+    * df = 1 (idf = ln(1 + 0.5/1.5) per present term) and the length
+    * norm cancels (len/avgdl = 1 exactly). Supports the registry's
+    * percolation shapes: TermQ, flat BoolQ over TermQ + MUST-side
+    * KeywordQ (each matched keyword contributes the constant 1.0), and
+    * 2-term exact PhraseQ. */
+  def percolateScored(registry: Seq[(String, Query)]): String = {
+    val idf1 = "ln(1.0 + (1.0 - 1 + 0.5) / (1 + 0.5))"
+    val norm1 = "1.2 * (1.0 - 0.75 + 0.75 * 1.0)"
+    def bag(terms: Seq[String], constPart: Int): String = {
+      val inList = terms.map(sq).mkString(", ")
+      val const = if (constPart > 0) s"$constPart.0 + " else ""
+      s"(SELECT docid, ${const}sum(c ORDER BY term) AS score " +
+        s"FROM mcontrib WHERE term IN ($inList) GROUP BY docid)"
+    }
+    def phrase2(a: String, b: String, delta: Int): String =
+      s"""(SELECT z.docid,
+         |   (2 * $idf1) * (z.tfp * 2.2) / (z.tfp + $norm1) AS score
+         | FROM (SELECT pa.docid,
+         |         CAST(len(list_filter(pa.positions,
+         |           x -> list_contains(pb.positions, x + $delta)))
+         |           AS DOUBLE) AS tfp
+         |       FROM postings pa JOIN postings pb ON pa.docid = pb.docid
+         |       WHERE pa.term = ${sq(a)} AND pb.term = ${sq(b)}) z
+         | WHERE z.tfp > 0)""".stripMargin
+    def scoreExpr(q: Query): String = q match {
+      case TermQ(t) => bag(Seq(t), 0)
+      case BoolQ(m, s, _, _) =>
+        require(s.forall(_.isInstanceOf[TermQ]) &&
+          m.forall(c => c.isInstanceOf[TermQ] || c.isInstanceOf[KeywordQ]),
+          s"percolateScored: unsupported clause shape in $q")
+        val ts = (m ++ s).collect { case TermQ(t) => t }
+        bag(ts, m.count(_.isInstanceOf[KeywordQ]))
+      case PhraseQ(Seq((a, oa), (b, ob)), 0) => phrase2(a, b, ob - oa)
+      case other =>
+        sys.error(s"percolateScored: unsupported query shape $other")
+    }
+    val parts = registry.map { case (qid, q) =>
+      s"""SELECT d.conv_id, d.turn_idx, ${sq(qid)} AS query_id,
+         |       round(sc.score, 4) AS score
+         |FROM ${scoreSql(q)} sq
+         |     JOIN docs d ON d.docid = sq.docid
+         |     JOIN ${scoreExpr(q)} sc ON sc.docid = sq.docid""".stripMargin
+    }
+    s"""$prelude,
+       |mcontrib AS (
+       |  SELECT docid, term,
+       |         $idf1 * (tf * 2.2) / (tf + $norm1) AS c
+       |  FROM postings)
+       |${parts.mkString("\nUNION ALL\n")}
+       |ORDER BY conv_id, turn_idx, query_id""".stripMargin
+  }
+
   /** Count-only oracle (TotalHitCountCollector analog). */
   def countQ(q: Query): String =
     s"""$prelude

@@ -206,6 +206,17 @@ object SparkEntry {
           graft.model.Transcripts.fromDocuments(s, dir), PercolateRegistry)
         .orderBy("conv_id", "turn_idx", "query_id"),
       OracleSql.percolateMulti(PercolateRegistry)),
+    // SCORED percolation (the reference MemoryIndex.Search float): same
+    // registry, every alert ranked by single-doc BM25 — membership via
+    // the corpus pipeline, score via the N=1 formula (the length norm
+    // cancels), both replayed in SQL
+    "ft_percolate_scored" -> Raw(
+      (s, dir) => graft.streaming.StreamingPercolator.percolateScored(
+          graft.model.Transcripts.fromDocuments(s, dir), PercolateRegistry)
+        .select(col("conv_id"), col("turn_idx"), col("query_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("conv_id", "turn_idx", "query_id"),
+      OracleSql.percolateScored(PercolateRegistry)),
     // WordNet SynExpand analog: "table" expanded with boosted synonyms
     // (flat SHOULD rewrite — the oracle is the expanded boolean itself)
     "ft_synonym" -> TopK(Synonyms.expand("table",

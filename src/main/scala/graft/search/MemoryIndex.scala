@@ -90,6 +90,77 @@ final case class MemoryIndex(terms: Map[String, Vector[Int]],
     case other => throw new UnsupportedOperationException(
       s"percolation does not support ${other.getClass.getSimpleName}")
   }
+
+  /** Single-doc relevance — the reference MemoryIndex float score
+    * (`MemoryIndex.cs:97` Search over the one-doc RAM index). The
+    * document is its own corpus: numDocs = 1, every present term's
+    * df = 1, avgdl = this doc's length — so the engine's scoring math
+    * applies verbatim with those stats, and MemoryIndexSpec validates
+    * the way the reference's own TestMemoryIndex does: score equality
+    * against a REAL one-doc index (the distributed Searcher over a
+    * singleton corpus). None = no match. Defined for the
+    * percolation-relevant scoring subset (term / bool / boost /
+    * constant / keyword / dismax / phrase); other operators throw like
+    * [[matches]] does for scoring-only constructs. */
+  def score(q: Query, sim: Similarity = Bm25Sim): Option[Double] = {
+    val len: Long = terms.valuesIterator.map(_.size.toLong).sum
+    val avgdl = len.toDouble
+    val idf1 = sim.idf(1L, 1L)
+    def sc(q: Query): Option[Double] = q match {
+      case TermQ(t) =>
+        terms.get(t).map(ps =>
+          idf1 * sim.tfNormD(ps.size.toDouble, len, avgdl))
+      case MatchAllQ => Some(1.0)
+      case MatchNoneQ => None
+      case KeywordQ(f, v) =>
+        if (fields.get(f).contains(v)) Some(1.0) else None
+      case ConstantScoreQ(sub, s) => if (matches(sub)) Some(s) else None
+      case BoostQ(sub, b) => sc(sub).map(_ * b)
+      case bq: BoolQ =>
+        if (!matches(bq)) None
+        else Some(bq.must.map(sc(_).getOrElse(0.0)).sum +
+          bq.should.map(sc(_).getOrElse(0.0)).sum)
+      case DisMaxQ(ds, tie) =>
+        val hits = ds.flatMap(sc)
+        if (hits.isEmpty) None
+        else { val mx = hits.max; Some(mx + tie * (hits.sum - mx)) }
+      case p: PhraseQ =>
+        // every phrase term must be present (the engine's n-way join)
+        if (p.terms.exists { case (t, _) => !terms.contains(t) }) None
+        else {
+          val sumIdf = p.terms.size * idf1
+          val off0 = p.terms.head._2
+          val pos0 = terms(p.terms.head._1)
+          val tfp: Double =
+            if (p.slop == 0)
+              pos0.count(pp => p.terms.zipWithIndex.tail.forall {
+                case ((t, offk), _) => terms(t).contains(pp + offk - off0)
+              }).toDouble
+            else
+              pos0.iterator.map { pp =>
+                // per slot: minimal |displacement| among candidates
+                // pre-filtered to <= slop (the engine's N-term fold)
+                val dists = p.terms.zipWithIndex.tail.map {
+                  case ((t, offk), _) =>
+                    val gap = offk - off0
+                    val cands = terms(t).iterator
+                      .map(j => math.abs(j - pp - gap))
+                      .filter(_ <= p.slop)
+                    if (cands.isEmpty) Double.NaN else cands.min.toDouble
+                }
+                val total = dists.sum
+                if (total.isNaN || total > p.slop) 0.0
+                else 1.0 / (total + 1.0)
+              }.sum
+          if (tfp > 0) Some(sumIdf * sim.tfNormD(tfp, len, avgdl))
+          else None
+        }
+      case other => throw new UnsupportedOperationException(
+        s"single-doc scoring does not support " +
+          s"${other.getClass.getSimpleName}")
+    }
+    sc(q)
+  }
 }
 
 object MemoryIndex {

@@ -56,6 +56,11 @@ trait Similarity {
     * one row per query carries its own clause count). */
   def applyCoordCol(score: Column, overlap: Column,
       maxOverlap: Column): Column
+
+  /** Scalar twin of [[tfNorm]] for driver-side evaluators (the
+    * MemoryIndex single-doc scorer) — MUST mirror the column form's
+    * operand order exactly. */
+  def tfNormD(tf: Double, len: Long, avgdl: Double): Double
 }
 
 /** BM25 (k1=1.2, b=0.75) — the engine default; formulas in [[Bm25]]. */
@@ -68,6 +73,9 @@ object Bm25Sim extends Similarity {
     score
   def applyCoordCol(score: Column, overlap: Column,
       maxOverlap: Column): Column = score
+  def tfNormD(tf: Double, len: Long, avgdl: Double): Double =
+    (tf * (Bm25.K1 + 1)) /
+      (tf + Bm25.K1 * (1.0 - Bm25.B + Bm25.B * len / avgdl))
 }
 
 /** The reference's DefaultSimilarity (classic TF-IDF). Operand order is
@@ -88,4 +96,6 @@ object ClassicSim extends Similarity {
   def applyCoordCol(score: Column, overlap: Column,
       maxOverlap: Column): Column =
     score * (overlap.cast("double") / maxOverlap.cast("double"))
+  def tfNormD(tf: Double, len: Long, avgdl: Double): Double =
+    math.sqrt(tf) * (1.0 / math.sqrt(len.toDouble))
 }

@@ -43,6 +43,30 @@ object StreamingPercolator {
       .toDF("conv_id", "turn_idx", "query_id")
   }
 
+  /** Scored percolation sweep: like [[percolate]] but each alert
+    * carries the single-doc relevance (the reference MemoryIndex
+    * Search float — [[MemoryIndex.score]], engine-validated on a
+    * singleton corpus), so downstream alerting can RANK which standing
+    * queries a turn serves best instead of treating all matches alike.
+    * Same map-only scale shape: one inversion per turn amortized
+    * across the registry, no shuffle, no state. */
+  def percolateScored(turns: DataFrame, queries: Seq[(String, Query)],
+      kind: Analyzers.Kind = Analyzers.Standard): DataFrame = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns.select(col("conv_id"), col("turn_idx"), col("role"), col("text"))
+      .as[(String, Int, String, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (cid, tix, role, text) =>
+          val mi = MemoryIndex.of(text, kind, fields = Map("role" -> role))
+          queries.flatMap { case (qid, q) =>
+            mi.score(q).map(s => (cid, tix, qid, s))
+          }
+        }
+      }
+      .toDF("conv_id", "turn_idx", "query_id", "score")
+  }
+
   /** Start the continuous sweep: matches append to a parquet alert log.
     * Exactly-once courtesy of the stateless transform + the parquet
     * sink's per-batch commit protocol (replays rewrite the same files). */

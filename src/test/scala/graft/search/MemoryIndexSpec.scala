@@ -119,6 +119,45 @@ class MemoryIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("single-doc scoring equals the engine on a singleton corpus") {
+    // the reference's own TestMemoryIndex method: the MemoryIndex score
+    // must equal a REAL index holding just that document (there,
+    // MemoryIndex vs RAMDirectory; here, vs the distributed Searcher —
+    // numDocs = 1, df = 1, avgdl = the doc's own length)
+    val text = "error in the spark spark job table merge error spark"
+    import spark.implicits._
+    val one = Seq(graft.model.TranscriptTurn("c0", 0, "user", text, None,
+      new java.sql.Timestamp(1735689600000L))).toDS().toDF()
+    val idx = IndexBuilder.build(one, 1)
+    val sr = new Searcher(idx)
+    val mem = MemoryIndex.of(text, fields = Map("role" -> "user"))
+    val queries: Seq[Query] = Seq(
+      TermQ("spark"), TermQ("error"), TermQ("absent"),
+      BoolQ(must = Seq(TermQ("spark"), TermQ("error")),
+        should = Seq(TermQ("merge"), TermQ("nope"))),
+      BoolQ(should = Seq(TermQ("table"), TermQ("job"), TermQ("nope")),
+        minShouldMatch = 2),
+      BoolQ(must = Seq(TermQ("spark")), mustNot = Seq(TermQ("nope"))),
+      BoolQ(must = Seq(BoolQ(should = Seq(TermQ("job"),
+        TermQ("table"))), TermQ("error"))), // nested
+      BoostQ(TermQ("spark"), 2.5),
+      ConstantScoreQ(TermQ("table"), 3.0),
+      DisMaxQ(Seq(TermQ("spark"), TermQ("error"), TermQ("nope")), 0.3),
+      PhraseQ(Seq("table" -> 0, "merge" -> 1)),
+      PhraseQ(Seq("error" -> 0, "spark" -> 1), slop = 3),
+      PhraseQ(Seq("spark" -> 0, "table" -> 1), slop = 4),
+      KeywordQ("role", "user"), KeywordQ("role", "assistant"),
+      MatchAllQ)
+    queries.foreach { q =>
+      val engine = sr.score(q).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val ms = mem.score(q)
+      assert(engine.isEmpty == ms.isEmpty, s"$q: engine=$engine mem=$ms")
+      ms.foreach(s => assert(math.abs(engine(0L) - s) < 1e-9,
+        s"$q: engine=${engine(0L)} mem=$s"))
+    }
+  }
+
   test("random query trees: percolation == engine membership (property)") {
     import org.scalacheck.{Gen, rng}
     val t = Transcripts.synthetic(spark, 60, seed = 7L, partitions = 2)
