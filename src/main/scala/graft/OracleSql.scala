@@ -848,11 +848,26 @@ object OracleSql {
   def percolateScored(registry: Seq[(String, Query)]): String = {
     val idf1 = "ln(1.0 + (1.0 - 1 + 0.5) / (1 + 0.5))"
     val norm1 = "1.2 * (1.0 - 0.75 + 0.75 * 1.0)"
-    def bag(terms: Seq[String], constPart: Int): String = {
-      val inList = terms.map(sq).mkString(", ")
-      val const = if (constPart > 0) s"$constPart.0 + " else ""
-      s"(SELECT docid, ${const}sum(c ORDER BY term) AS score " +
-        s"FROM mcontrib WHERE term IN ($inList) GROUP BY docid)"
+    // fold contributions in CLAUSE order (the MemoryIndex.score fold),
+    // not term order: each clause is either a term (joined by its
+    // clause ordinal — a repeated term joins once PER CLAUSE, like the
+    // evaluator scores it) or a matched-keyword constant emitted at
+    // its ordinal; zero-contribution unmatched shoulds drop out of the
+    // sum exactly like adding 0.0 does
+    def fold(clauses: Seq[Either[String, Double]]): String = {
+      val termVals = clauses.zipWithIndex.collect {
+        case (Left(t), i) => s"(${sq(t)}, $i)" }
+      val termPart =
+        if (termVals.isEmpty) Nil
+        else Seq("SELECT m.docid, m.c, o.ord FROM mcontrib m JOIN " +
+          s"(VALUES ${termVals.mkString(", ")}) o(term, ord) " +
+          "ON o.term = m.term")
+      val constParts = clauses.zipWithIndex.collect {
+        case (Right(v), i) =>
+          s"SELECT docid, $v AS c, $i AS ord FROM doclens" }
+      s"""(SELECT docid, sum(c ORDER BY ord) AS score
+         | FROM (${(termPart ++ constParts).mkString("\n  UNION ALL ")}) z
+         | GROUP BY docid)""".stripMargin
     }
     def phrase2(a: String, b: String, delta: Int): String =
       s"""(SELECT z.docid,
@@ -865,13 +880,18 @@ object OracleSql {
          |       WHERE pa.term = ${sq(a)} AND pb.term = ${sq(b)}) z
          | WHERE z.tfp > 0)""".stripMargin
     def scoreExpr(q: Query): String = q match {
-      case TermQ(t) => bag(Seq(t), 0)
+      case TermQ(t) => fold(Seq(Left(t)))
       case BoolQ(m, s, _, _) =>
+        // SHOULD keywords are rejected: a per-doc maybe-matched
+        // constant cannot be folded without per-doc field data here
         require(s.forall(_.isInstanceOf[TermQ]) &&
           m.forall(c => c.isInstanceOf[TermQ] || c.isInstanceOf[KeywordQ]),
           s"percolateScored: unsupported clause shape in $q")
-        val ts = (m ++ s).collect { case TermQ(t) => t }
-        bag(ts, m.count(_.isInstanceOf[KeywordQ]))
+        fold((m ++ s).map {
+          case TermQ(t) => Left(t)
+          case _: KeywordQ => Right(1.0) // MUST keyword: matched = 1.0
+          case other => sys.error(s"unreachable: $other")
+        })
       case PhraseQ(Seq((a, oa), (b, ob)), 0) => phrase2(a, b, ob - oa)
       case other =>
         sys.error(s"percolateScored: unsupported query shape $other")

@@ -42,10 +42,6 @@ object SparkEntry {
       .map { case (w, st) => s"('$w', '$st')" }.mkString(", ") +
       ") AS t(word, stem) ORDER BY word")
 
-  /** Standing-query registry for the multi-query percolation gate —
-    * shapes chosen to exercise term, phrase, keyword-field and msm
-    * membership through BOTH evaluators (MemoryIndex and the SQL
-    * pipeline). */
   /** Registry for the batched multi-query gate (one scan scores all
     * four): AND, msm-OR, boosted bag, and required+excluded — the flat
     * shapes [[Searcher.topKBatch]] accepts. */
@@ -58,6 +54,10 @@ object SparkEntry {
     "q_not" -> BoolQ(must = Seq(TermQ("merge")),
       mustNot = Seq(TermQ("dup"))))
 
+  /** Standing-query registry for the multi-query percolation gates —
+    * shapes chosen to exercise term, phrase, keyword-field and msm
+    * membership (and single-doc scoring) through BOTH evaluators
+    * (MemoryIndex and the SQL pipeline). */
   private val PercolateRegistry: Seq[(String, Query)] = Seq(
     "q_phrase" -> PhraseQ(Seq("key" -> 0, "agg" -> 1)),
     "q_role" -> BoolQ(must = Seq(TermQ("merge"),

@@ -38,21 +38,37 @@ object AnnIndex {
   }
 
   /** Train + assign + persist; no-op when a manifest with the same
-    * params already exists. Returns the root. */
+    * params AND corpus fingerprint already exists (hyperparameters
+    * alone are not identity — regenerated data at the same path must
+    * invalidate the index). Returns the root. */
   def build(spark: SparkSession, sfDir: String,
       root0: String = null): String = {
     val root = Option(root0).getOrElse(defaultRoot(sfDir))
+    val e = TrainOps.embeddings(spark, sfDir)
+    // corpus fingerprint: one narrow-column agg (row count + h60-of-id
+    // XOR — order-independent and overflow-free under ANSI mode, it
+    // only needs to be deterministic). At warehouse scale swap this
+    // scan for the source table's snapshot id; the manifest contract
+    // stays the same.
+    val fpRow = e.select(TrainOps.h60(col("vec_id")).as("h"))
+      .agg(count(lit(1)), expr("bit_xor(h)")).collect()(0)
     val params = s"""{"cells":${TrainOps.IvfCells},""" +
       s""""probes":${TrainOps.IvfProbes},""" +
       s""""sample":${TrainOps.IvfTrainSample},""" +
-      s""""iters":${TrainOps.IvfKmeansIters}}"""
+      s""""iters":${TrainOps.IvfKmeansIters},""" +
+      s""""corpus_n":${fpRow.getLong(0)},""" +
+      s""""corpus_h":${fpRow.getLong(1)}}"""
     val manifest = new java.io.File(root, ManifestName)
     if (manifest.isFile) {
       val have = new String(java.nio.file.Files.readAllBytes(
         manifest.toPath), "UTF-8")
-      if (have == params) return root // committed build, same params
+      if (have == params) return root // committed build, same identity
+      // a mismatched committed manifest must not endorse the data
+      // this rebuild is about to overwrite: invalidate FIRST, so a
+      // crash mid-rebuild leaves an uncommitted (loudly unreadable)
+      // store, never a stale-manifest/new-data hybrid
+      java.nio.file.Files.delete(manifest.toPath)
     }
-    val e = TrainOps.embeddings(spark, sfDir)
     val cents = TrainOps.ivfTrainCentroids(e)
     import spark.implicits._
     // centroid table: (cell, centroid) — the broadcastable dictionary

@@ -118,8 +118,16 @@ final case class MemoryIndex(terms: Map[String, Vector[Int]],
       case BoostQ(sub, b) => sc(sub).map(_ * b)
       case bq: BoolQ =>
         if (!matches(bq)) None
-        else Some(bq.must.map(sc(_).getOrElse(0.0)).sum +
-          bq.should.map(sc(_).getOrElse(0.0)).sum)
+        else {
+          val raw = bq.must.map(sc(_).getOrElse(0.0)).sum +
+            bq.should.map(sc(_).getOrElse(0.0)).sum
+          // the engine's boolean coord slot (identity under BM25,
+          // overlap/maxOverlap under ClassicSim): overlap = matched
+          // positive clauses (all musts match here by construction)
+          Some(raw * sim.coordD(
+            bq.must.size + bq.should.count(matches),
+            bq.must.size + bq.should.size))
+        }
       case DisMaxQ(ds, tie) =>
         val hits = ds.flatMap(sc)
         if (hits.isEmpty) None

@@ -69,6 +69,19 @@ final class Searcher(idx: InvertedIndex, sim: Similarity = Bm25Sim) {
     case _ => None
   }
 
+  /** Ordered fold of occur-tagged clause contributions — THE shared
+    * scoring algebra of [[groupedBool]] and [[topKBatch]] (one
+    * definition so the batch-equals-single contract cannot drift):
+    * sum the `tag` entries of a sorted (…, ord, occur, score) struct
+    * array in array order. */
+  private def occSum(arr: Column, tag: String): Column =
+    aggregate(filter(arr, x => x.getField("occur") === tag),
+      lit(0.0), (acc, x) => acc + x.getField("score"))
+
+  /** Count of `tag` entries of the same struct array. */
+  private def occCnt(arr: Column, tag: String): Column =
+    size(filter(arr, x => x.getField("occur") === tag)).cast("long")
+
   /** One flattened clause-group of a boolean tree: a simple term clause
     * is a trivial group (nMust=1); a pure-term sub-BoolQ keeps its own
     * inner (nMust, nShould, msm) algebra evaluated per doc from the same
@@ -78,6 +91,9 @@ final class Searcher(idx: InvertedIndex, sim: Similarity = Bm25Sim) {
 
   /** Flatten a BoolQ whose clauses are all simple terms or PURE-TERM
     * sub-BoolQs into (rows = (term, gid, ord, occur, boost), groups).
+    * Ord/gid keys are %04d so lexicographic order == clause order all
+    * the way to MaxClauseCount (1024) — the sorted fold's order
+    * contract.
     * Deeper nesting returns None (the compositional path then recurses,
     * and each one-level-flattenable subtree still gets a single scan). */
   private def flattenBool(q: BoolQ)
@@ -90,7 +106,7 @@ final class Searcher(idx: InvertedIndex, sim: Similarity = Bm25Sim) {
       require(cl.size <= Searcher.MaxClauseCount,
         s"too many boolean clauses (maxClauseCount=${Searcher.MaxClauseCount})")
       val simple = cl.zipWithIndex.map { case ((c, oc), i) =>
-        asSimpleTerm(c).map { case (t, b) => (t, gid, f"$oc$i%03d", oc, b) }
+        asSimpleTerm(c).map { case (t, b) => (t, gid, f"$oc$i%04d", oc, b) }
       }
       if (simple.forall(_.isDefined)) Some(simple.map(_.get)) else None
     }
@@ -101,7 +117,7 @@ final class Searcher(idx: InvertedIndex, sim: Similarity = Bm25Sim) {
     require(outer.size <= Searcher.MaxClauseCount,
       s"too many boolean clauses (maxClauseCount=${Searcher.MaxClauseCount})")
     val parts = outer.zipWithIndex.map { case ((c, oc), i) =>
-      val gid = f"$oc$i%03d"
+      val gid = f"$oc$i%04d"
       asSimpleTerm(c) match {
         case Some((t, b)) =>
           Some((Seq((t, gid, "m000", "m", b)), FlatGroup(gid, oc, 1, 0, 0)))
@@ -142,11 +158,8 @@ final class Searcher(idx: InvertedIndex, sim: Similarity = Bm25Sim) {
       struct(col("gid"), col("ord"), col("occur"), col("score"))))
     def garr(g: FlatGroup): Column =
       filter(col("all"), x => x.getField("gid") === g.gid)
-    def sumOf(a: Column, tag: String): Column =
-      aggregate(filter(a, x => x.getField("occur") === tag),
-        lit(0.0), (acc, x) => acc + x.getField("score"))
-    def cntOf(a: Column, tag: String): Column =
-      size(filter(a, x => x.getField("occur") === tag)).cast("long")
+    def sumOf(a: Column, tag: String): Column = occSum(a, tag)
+    def cntOf(a: Column, tag: String): Column = occCnt(a, tag)
     val agg = scored.groupBy(col("docid")).agg(allSorted.as("all"))
     // per-group matched flag + score as derived columns (small, driver-
     // enumerated group list — clause count is capped at MaxClauseCount)
@@ -202,13 +215,13 @@ final class Searcher(idx: InvertedIndex, sim: Similarity = Bm25Sim) {
       val mustD =
         if (must.isEmpty) None
         else Some(detSum(must.zipWithIndex.map { case (c, i) =>
-          withOrd(score(c), f"m$i%03d") })
+          withOrd(score(c), f"m$i%04d") })
           .filter(col("cnt") === must.size)
           .select(col("docid"), col("score").as("mscore")))
       val shouldD =
         if (should.isEmpty) None
         else Some(detSum(should.zipWithIndex.map { case (c, i) =>
-          withOrd(score(c), f"s$i%03d") })
+          withOrd(score(c), f"s$i%04d") })
           .select(col("docid"), col("score").as("sscore"),
             col("cnt").as("scnt")))
       val combined = (mustD, shouldD) match {
@@ -674,7 +687,7 @@ final class Searcher(idx: InvertedIndex, sim: Similarity = Bm25Sim) {
       val spark = idx.docs.sparkSession
       import spark.implicits._
       val cl = ds.zipWithIndex.map { case (c, i) =>
-        val (t, b) = asSimpleTerm(c).get; (t, f"d$i%03d", b) }
+        val (t, b) = asSimpleTerm(c).get; (t, f"d$i%04d", b) }
       val cmap = cl.toDF("term", "ord", "boost")
       val rows = termScores(cl.map(_._1).toSet)
         .join(broadcast(cmap), Seq("term"))
@@ -686,7 +699,7 @@ final class Searcher(idx: InvertedIndex, sim: Similarity = Bm25Sim) {
           (col("mx") + lit(tie) * (col("sm") - col("mx"))).as("score"))
 
     case DisMaxQ(ds, tie) =>
-      val u = ds.zipWithIndex.map { case (c, i) => withOrd(score(c), f"d$i%03d") }
+      val u = ds.zipWithIndex.map { case (c, i) => withOrd(score(c), f"d$i%04d") }
         .reduce(_ unionByName _)
       u.groupBy(col("docid")).agg(
         max(col("score")).as("mx"), ordSumAgg.as("sm"))
@@ -1095,6 +1108,8 @@ final class Searcher(idx: InvertedIndex, sim: Similarity = Bm25Sim) {
   def topKBatch(queries: Seq[(String, BoolQ)], k: Int): DataFrame = {
     val spark = idx.docs.sparkSession
     import spark.implicits._
+    require(queries.map(_._1).distinct.size == queries.size,
+      "duplicate query ids in the batch registry")
     val rows = Seq.newBuilder[(String, String, String, String, Double)]
     val metas = Seq.newBuilder[(String, Int, Int, Int)]
     queries.foreach { case (qid, q) =>
@@ -1108,7 +1123,7 @@ final class Searcher(idx: InvertedIndex, sim: Similarity = Bm25Sim) {
         val (t, b) = asSimpleTerm(c).getOrElse(sys.error(
           s"topKBatch requires flat term-bag queries; clause $i of " +
             s"'$qid' is not a (boosted) TermQ"))
-        rows += ((t, qid, f"$oc$i%03d", oc, b))
+        rows += ((t, qid, f"$oc$i%04d", oc, b))
       }
       metas += ((qid, q.must.size, q.should.size, q.minShouldMatch))
     }
@@ -1119,11 +1134,8 @@ final class Searcher(idx: InvertedIndex, sim: Similarity = Bm25Sim) {
       .join(broadcast(cmap), Seq("term"))
       .select(col("qid"), col("docid"), col("ord"), col("occur"),
         (col("tscore") * col("boost")).as("score"))
-    def sumOf(tag: String): Column =
-      aggregate(filter(col("all"), x => x.getField("occur") === tag),
-        lit(0.0), (acc, x) => acc + x.getField("score"))
-    def cntOf(tag: String): Column =
-      size(filter(col("all"), x => x.getField("occur") === tag)).cast("long")
+    def sumOf(tag: String): Column = occSum(col("all"), tag)
+    def cntOf(tag: String): Column = occCnt(col("all"), tag)
     val agg = scored.groupBy(col("qid"), col("docid"))
       .agg(sort_array(collect_list(struct(col("ord"), col("occur"),
         col("score")))).as("all"))

@@ -61,6 +61,9 @@ trait Similarity {
     * MemoryIndex single-doc scorer) — MUST mirror the column form's
     * operand order exactly. */
   def tfNormD(tf: Double, len: Long, avgdl: Double): Double
+
+  /** Scalar twin of [[applyCoord]] (same evaluators). */
+  def coordD(overlap: Int, maxOverlap: Int): Double
 }
 
 /** BM25 (k1=1.2, b=0.75) — the engine default; formulas in [[Bm25]]. */
@@ -76,6 +79,7 @@ object Bm25Sim extends Similarity {
   def tfNormD(tf: Double, len: Long, avgdl: Double): Double =
     (tf * (Bm25.K1 + 1)) /
       (tf + Bm25.K1 * (1.0 - Bm25.B + Bm25.B * len / avgdl))
+  def coordD(overlap: Int, maxOverlap: Int): Double = 1.0
 }
 
 /** The reference's DefaultSimilarity (classic TF-IDF). Operand order is
@@ -98,4 +102,6 @@ object ClassicSim extends Similarity {
     score * (overlap.cast("double") / maxOverlap.cast("double"))
   def tfNormD(tf: Double, len: Long, avgdl: Double): Double =
     math.sqrt(tf) * (1.0 / math.sqrt(len.toDouble))
+  def coordD(overlap: Int, maxOverlap: Int): Double =
+    overlap.toDouble / maxOverlap.toDouble
 }
