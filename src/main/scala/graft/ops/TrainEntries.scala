@@ -289,6 +289,35 @@ object TrainEntries {
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
          |ORDER BY a, b""".stripMargin),
 
+    // nearest-centroid label-consistency (mislabel detector): centroids
+    // from EXACT 1e6-quantized integer sums (fold-order-free), cosine
+    // re-assignment, (label, pred) confusion matrix
+    ("tx_label_confusion",
+      (s, d) => TrainOps.labelConfusion(s, d),
+      s"""WITH expl AS (
+         |  SELECT label, dim,
+         |         CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+         |  FROM (SELECT label, unnest(embedding) AS x,
+         |               generate_subscripts(embedding, 1) AS dim
+         |        FROM embeddings) z),
+         |cent AS (
+         |  SELECT label AS clabel,
+         |         list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY dim) AS cvec
+         |  FROM (SELECT label, dim, sum(q) AS s, count(*) AS n
+         |        FROM expl GROUP BY label, dim) g
+         |  GROUP BY label),
+         |scored AS (
+         |  SELECT e.vec_id, e.label, c.clabel,
+         |         ${cosSql("e.embedding", "c.cvec")} AS cos
+         |  FROM embeddings e CROSS JOIN cent c),
+         |pred AS (
+         |  SELECT vec_id, label, clabel AS pred FROM
+         |    (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |       ORDER BY cos DESC, clabel) AS rn FROM scored) zz
+         |  WHERE rn = 1)
+         |SELECT label, pred, CAST(count(*) AS BIGINT) AS n
+         |FROM pred GROUP BY label, pred ORDER BY label, pred""".stripMargin),
+
     // event-time gap sessionization over the (otherwise untouched)
     // events table — exact microsecond gap math + integer-cent sums,
     // so the window algebra replays bit-identically

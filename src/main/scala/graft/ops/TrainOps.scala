@@ -1371,6 +1371,43 @@ object TrainOps {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** Nearest-centroid label-consistency check — the embedding-space
+    * mislabel detector (off-diagonal confusion mass = examples whose
+    * label disagrees with their neighborhood, the classic curation
+    * signal): per-label centroids from EXACT integer sums of
+    * 1e6-quantized components (posexplode + one (label, dim) shuffle —
+    * no giant per-label arrays, and integer sums are fold-order-free,
+    * so the oracle recomputes the centroids bit-identically), then
+    * every vector re-assigned to its nearest centroid by cosine
+    * (broadcast literals, map-only — the IVF assignment shape; ties →
+    * lower label) and the (label, pred) confusion matrix rolled up. */
+  def labelConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir)
+    val sums = e.select(col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"),
+        round(col("x").cast("double") * lit(1000000.0)).cast("long")
+          .as("q"))
+      .groupBy("label", "dim")
+      .agg(sum("q").as("s"), count(lit(1)).as("n"))
+      .collect()
+    val cents: Seq[(Int, Array[Double])] = sums.groupBy(_.getInt(0))
+      .toSeq.sortBy(_._1).map { case (l, rows) =>
+        val arr = new Array[Double](rows.map(_.getInt(1)).max + 1)
+        rows.foreach(r => arr(r.getInt(1)) =
+          r.getLong(2).toDouble / (r.getLong(3) * 1000000.0))
+        l -> arr
+      }
+    val scored = cents.map { case (l, cv) =>
+      struct(cosToQueryD(col("embedding"), cv.toIndexedSeq).as("cos"),
+        lit(-l).as("neg"))
+    }
+    val predCol = greatest(scored: _*).getField("neg") * -1
+    e.select(col("label"), predCol.as("pred"))
+      .groupBy("label", "pred").agg(count(lit(1)).as("n"))
+      .orderBy("label", "pred")
+  }
+
   /** Event-time gap sessionization of the events table — the BATCH
     * twin of [[graft.streaming.StreamingSessions]]' inactivity-timeout
     * semantics, as pure window algebra: lag the per-user event-time,
