@@ -318,6 +318,19 @@ object TrainEntries {
          |SELECT label, pred, CAST(count(*) AS BIGINT) AS n
          |FROM pred GROUP BY label, pred ORDER BY label, pred""".stripMargin),
 
+    // schema-on-read JSON extraction (events.props) with exact-integer
+    // roll-ups per event type
+    ("tx_json",
+      (s, d) => TrainOps.jsonStats(s, d),
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(min(k) AS BIGINT) AS k_min,
+        |       CAST(max(k) AS BIGINT) AS k_max,
+        |       CAST(sum(k) AS BIGINT) AS k_sum
+        |FROM (SELECT event_type,
+        |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events) z
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+
     // event-time gap sessionization over the (otherwise untouched)
     // events table — exact microsecond gap math + integer-cent sums,
     // so the window algebra replays bit-identically

@@ -1408,6 +1408,21 @@ object TrainOps {
       .orderBy("label", "pred")
   }
 
+  /** Schema-on-read JSON extraction over the events props column (the
+    * semi-structured payload every real event pipeline carries):
+    * get_json_object reaches the parquet scan as a plain projection —
+    * no UDF, stays inside whole-stage codegen — and the per-type
+    * roll-up is one shuffle on a 5-value key. Numeric stats stay in
+    * exact integers so the oracle replays bit-identically. */
+  def jsonStats(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min("k").as("k_min"),
+        max("k").as("k_max"), sum("k").as("k_sum"))
+      .orderBy("event_type")
+
   /** Event-time gap sessionization of the events table — the BATCH
     * twin of [[graft.streaming.StreamingSessions]]' inactivity-timeout
     * semantics, as pure window algebra: lag the per-user event-time,
