@@ -747,19 +747,41 @@ object TrainOps {
     else when(n2 === 0.0, lit(-1.0)).otherwise(dot / (sqrt(n2) * lit(qn)))
   }
 
-  /** Hybrid lexical+vector retrieval fused by reciprocal-rank fusion
-    * (RRF, Cormack/Clarke/Buettcher SIGIR'09: score = Σ 1/(k₀+rank)) —
-    * the query is document `queryId` by example: its embedding on the
-    * vector side, hand-picked salient terms on the lexical side, the
-    * example itself excluded from both candidate sets.
-    *
-    * Lexical side: whitespace-token BM25 (the engine [[graft.search
-    * .Bm25]] expressions; per-doc contributions folded in TERM order so
-    * the oracle's `sum(c ORDER BY term)` reproduces the double
-    * exactly). Vector side: exact cosine (the [[annBruteForce]] shape).
-    * Fusion is rank-arithmetic only — no float comparisons cross
-    * engines — and joins two ≤kEach-row frames, so at 100 TB the cost
-    * is the two top-k scans; the fusion is driver-trivial. */
+  /** Fuse two ranked top-k frames by reciprocal-rank fusion: full
+    * outer join on doc_id (two ≤k-row inputs — broadcast-trivial at
+    * any corpus scale), rrf = Σ 1/(k0+rank) over the lists the doc
+    * appears in, deterministic (rrf desc, doc_id) tie-break. Inputs
+    * carry (doc_id, lex_rank) / (doc_id, vec_rank); absence = rank 0.
+    * ANY ranked retrieval plugs in — at production scale the lexical
+    * frame comes from the inverted index (Searcher.topK over the same
+    * corpus), not a re-tokenizing scan. */
+  def rrfFuse(lexTop: DataFrame, vecTop: DataFrame, k: Int,
+      k0: Int): DataFrame = {
+    def part(rank: Column): Column =
+      when(rank > 0, lit(1.0) / (lit(k0.toDouble) + rank)).otherwise(0.0)
+    lexTop.join(vecTop, Seq("doc_id"), "full_outer")
+      .withColumn("lex_rank", coalesce(col("lex_rank"), lit(0L)))
+      .withColumn("vec_rank", coalesce(col("vec_rank"), lit(0L)))
+      .withColumn("rrf", part(col("lex_rank")) + part(col("vec_rank")))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), round(col("rrf"), 6).as("rrf"),
+        col("lex_rank"), col("vec_rank"))
+  }
+
+  /** Hybrid lexical+vector retrieval fused by RRF (Cormack/Clarke/
+    * Buettcher SIGIR'09: score = Σ 1/(k₀+rank)) — the query is
+    * document `queryId` by example: its embedding on the vector side,
+    * hand-picked salient terms on the lexical side, the example itself
+    * excluded from both candidate sets. The gate's lexical side is
+    * whitespace-token BM25 over the documents table (the engine
+    * [[graft.search.Bm25]] expressions, per-doc contributions folded
+    * in TERM order) chosen BECAUSE the DuckDB oracle can replay it
+    * end-to-end; the production lexical side is the inverted index —
+    * one Searcher.topK into [[rrfFuse]] instead of this scan. Vector
+    * side: exact cosine (the [[annBruteForce]] shape). Fusion is rank
+    * arithmetic only — no float comparison crosses engines. */
   def hybridRrf(spark: SparkSession, sfDir: String,
       queryTerms: Seq[String] = Seq("merge", "sort", "dup"),
       queryId: Long = 0L, kEach: Int = 20, k: Int = 10,
@@ -798,17 +820,7 @@ object TrainOps {
       .withColumn("vec_rank", row_number().over(
         Window.orderBy(col("cos").desc, col("doc_id"))).cast("long"))
       .select("doc_id", "vec_rank")
-    def part(rank: Column): Column =
-      when(rank > 0, lit(1.0) / (lit(k0.toDouble) + rank)).otherwise(0.0)
-    lexTop.join(vecTop, Seq("doc_id"), "full_outer")
-      .withColumn("lex_rank", coalesce(col("lex_rank"), lit(0L)))
-      .withColumn("vec_rank", coalesce(col("vec_rank"), lit(0L)))
-      .withColumn("rrf", part(col("lex_rank")) + part(col("vec_rank")))
-      .orderBy(col("rrf").desc, col("doc_id")).limit(k)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
-      .select(col("rank"), col("doc_id"), round(col("rrf"), 6).as("rrf"),
-        col("lex_rank"), col("vec_rank"))
+    rrfFuse(lexTop, vecTop, k, k0)
   }
 
   /** Brute-force cosine top-k for query vector = embedding of `queryId`.
