@@ -620,6 +620,27 @@ object SparkEntry {
           .orderBy("qid", "rank")
       },
       OracleSql.topKBatch(BatchRegistry, 10)),
+    // TeeSink family (contrib Sinks): one classic-chain analysis fans
+    // out into date-recognizer / token-range / token-type views
+    "ft_tee" -> Raw(
+      (s, dir) => {
+        import s.implicits._
+        Seq("meeting 2025-01-02 bob@example.com 3.14 u.s.a. " +
+          "rescheduled 2025-02-03").toDF("input")
+          .flatMap(r => graft.analysis.SinkFilters.tee(r.getString(0),
+            Seq(
+              "dates" -> graft.analysis.SinkFilters.DateSink(),
+              "first3" -> graft.analysis.SinkFilters.TokenRangeSink(0, 3),
+              "emails" -> graft.analysis.SinkFilters.TokenTypeSink(
+                graft.analysis.Analyzers.Email)))
+            .map { case (sink, ord, t) => (sink, ord, t.term) })
+          .toDF("sink", "ord", "term").orderBy("sink", "ord")
+      },
+      "SELECT * FROM (VALUES ('dates', 1, '2025-01-02'), " +
+        "('dates', 6, '2025-02-03'), ('emails', 2, 'bob@example.com'), " +
+        "('first3', 0, 'meeting'), ('first3', 1, '2025-01-02'), " +
+        "('first3', 2, 'bob@example.com')) AS t(sink, ord, term) " +
+        "ORDER BY sink, ord"),
     // hyphenation decompounder (contrib Compound, Knuth–Liang): spans
     // between hyphenation points only, with the genitive-s retry —
     // "arbeits" misses the dictionary, "arbeit" (one char shorter)

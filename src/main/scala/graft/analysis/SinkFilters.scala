@@ -1,0 +1,54 @@
+package graft.analysis
+
+/** TeeSink family analog (contrib Sinks: `TeeSinkTokenFilter.cs:68` +
+  * `DateRecognizerSinkFilter.cs`, `TokenRangeSinkFilter.cs`,
+  * `TokenTypeSinkFilter.cs`): the reference tees one token stream into
+  * sink streams, each gated by an `Accept(source)` predicate over the
+  * shared attribute state. Spark-first, the tee is ONE [[Analyzers
+  * .classicChain]] run per document fanned out into named filtered
+  * views — the typed token (the TypeAttribute) and the stream ordinal
+  * (the consumed-token count `TokenRangeSinkFilter` increments per
+  * token it SEES — ordinals here count the chain's surviving tokens,
+  * since the tee sits after the stop filter like a sink after its
+  * upstream filters) are the whole attribute surface the three
+  * reference sinks read. Each sink is a Serializable case class, so
+  * the sweep distributes as a map-only pass. */
+object SinkFilters {
+
+  sealed trait Sink extends Serializable {
+    def accept(t: Analyzers.TypedToken, ordinal: Int): Boolean
+  }
+
+  /** DateRecognizerSinkFilter analog — the reference accepts any term
+    * the ambient culture's DateTime.Parse understands; this takes an
+    * EXPLICIT pattern instead (deterministic and locale-free, the
+    * sandbox-honest variant of the same predicate). */
+  final case class DateSink(pattern: String = "yyyy-MM-dd") extends Sink {
+    @transient private lazy val fmt =
+      java.time.format.DateTimeFormatter.ofPattern(pattern)
+    def accept(t: Analyzers.TypedToken, ordinal: Int): Boolean =
+      try { java.time.LocalDate.parse(t.term, fmt); true }
+      catch { case _: java.time.format.DateTimeParseException => false }
+  }
+
+  /** TokenRangeSinkFilter analog: stream ordinal in [lower, upper). */
+  final case class TokenRangeSink(lower: Int, upper: Int) extends Sink {
+    def accept(t: Analyzers.TypedToken, ordinal: Int): Boolean =
+      ordinal >= lower && ordinal < upper
+  }
+
+  /** TokenTypeSinkFilter analog: the token's type tag matches. */
+  final case class TokenTypeSink(tpe: Analyzers.TokenType) extends Sink {
+    def accept(t: Analyzers.TypedToken, ordinal: Int): Boolean =
+      t.tpe == tpe
+  }
+
+  /** One analysis, every sink's view: (sink name, stream ordinal,
+    * token) for each sink that accepts the token. */
+  def tee(text: String, sinks: Seq[(String, Sink)])
+      : Vector[(String, Int, Analyzers.TypedToken)] =
+    Analyzers.classicChain(text).zipWithIndex.flatMap { case (t, ord) =>
+      sinks.collect { case (name, s) if s.accept(t, ord) =>
+        (name, ord, t) }
+    }
+}

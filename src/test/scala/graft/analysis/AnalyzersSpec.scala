@@ -301,4 +301,33 @@ class AnalyzersSpec extends AnyFunSuite {
     // positions preserved, not renumbered
     assert(Analyzers.lengthFilter(toks, 2, 10).map(_.pos) == Vector(1, 2))
   }
+
+  test("tee sinks: one analysis, date / range / type views") {
+    import SinkFilters._
+    val text = "meeting 2025-01-02 bob@example.com 3.14 u.s.a. " +
+      "rescheduled 2025-02-03"
+    // surviving classic-chain tokens (none are stopwords), ordinals:
+    // 0 meeting ALPHANUM, 1 2025-01-02 NUM, 2 bob@example.com EMAIL,
+    // 3 3.14 NUM, 4 usa ACRONYM (dots stripped), 5 rescheduled,
+    // 6 2025-02-03 NUM
+    val out = tee(text, Seq(
+      "dates" -> DateSink(),
+      "first3" -> TokenRangeSink(0, 3),
+      "emails" -> TokenTypeSink(Analyzers.Email)))
+    def terms(sink: String) =
+      out.collect { case (s, _, t) if s == sink => t.term }
+    assert(terms("dates") == Vector("2025-01-02", "2025-02-03"))
+    assert(terms("first3") == Vector("meeting", "2025-01-02",
+      "bob@example.com"))
+    assert(terms("emails") == Vector("bob@example.com"))
+    // ordinals are the consumed-token count, shared across sinks
+    assert(out.collect { case ("dates", o, _) => o } == Vector(1, 6))
+    // a token can land in several sinks (the tee, not a partition)
+    assert(out.count(_._3.term == "2025-01-02") == 2)
+    // stream ordinals count SURVIVING tokens: with a stopword ahead,
+    // ordinals shift (the sink sits after the stop filter)
+    val shifted = tee("the " + text, Seq("first3" -> TokenRangeSink(0, 3)))
+    assert(shifted.map(_._3.term) == Vector("meeting", "2025-01-02",
+      "bob@example.com"))
+  }
 }
