@@ -23,9 +23,13 @@ object SinkFilters {
     * the ambient culture's DateTime.Parse understands; this takes an
     * EXPLICIT pattern instead (deterministic and locale-free, the
     * sandbox-honest variant of the same predicate). */
-  final case class DateSink(pattern: String = "yyyy-MM-dd") extends Sink {
+  final case class DateSink(pattern: String = "uuuu-MM-dd") extends Sink {
+    // STRICT resolution: a date RECOGNIZER must reject 2025-02-30;
+    // the default SMART resolver would cap it to the month length
+    // ('uuuu' because strict 'yyyy' year-of-era demands an era field)
     @transient private lazy val fmt =
       java.time.format.DateTimeFormatter.ofPattern(pattern)
+        .withResolverStyle(java.time.format.ResolverStyle.STRICT)
     def accept(t: Analyzers.TypedToken, ordinal: Int): Boolean =
       try { java.time.LocalDate.parse(t.term, fmt); true }
       catch { case _: java.time.format.DateTimeParseException => false }

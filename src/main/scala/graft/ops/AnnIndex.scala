@@ -45,13 +45,18 @@ object AnnIndex {
       root0: String = null): String = {
     val root = Option(root0).getOrElse(defaultRoot(sfDir))
     val e = TrainOps.embeddings(spark, sfDir)
-    // corpus fingerprint: one narrow-column agg (row count + h60-of-id
-    // XOR — order-independent and overflow-free under ANSI mode, it
-    // only needs to be deterministic). At warehouse scale swap this
+    // corpus fingerprint: one full-scan agg of row count + a
+    // CONTENT-sensitive per-row hash XOR (id AND embedding — ids alone
+    // would match a regenerated table with the same sequential ids;
+    // XOR is order-independent and overflow-free under ANSI mode, and
+    // coalesces to 0 on an empty corpus). At warehouse scale swap this
     // scan for the source table's snapshot id; the manifest contract
     // stays the same.
-    val fpRow = e.select(TrainOps.h60(col("vec_id")).as("h"))
-      .agg(count(lit(1)), expr("bit_xor(h)")).collect()(0)
+    val fpRow = e.select(TrainOps.h60(concat(
+        col("vec_id").cast("string"), lit(":"),
+        col("embedding").cast("string"))).as("h"))
+      .agg(count(lit(1)),
+        expr("coalesce(bit_xor(h), CAST(0 AS BIGINT))")).collect()(0)
     val params = s"""{"cells":${TrainOps.IvfCells},""" +
       s""""probes":${TrainOps.IvfProbes},""" +
       s""""sample":${TrainOps.IvfTrainSample},""" +

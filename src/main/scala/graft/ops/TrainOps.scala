@@ -36,6 +36,9 @@ object TrainOps {
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
 
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+
   /** Raw word tokens (no stop filter — dedup must not drop stopwords). */
   private def toks(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
@@ -1410,11 +1413,20 @@ object TrainOps {
           r.getLong(2).toDouble / (r.getLong(3) * 1000000.0))
         l -> arr
       }
+    // degenerate corpora: zero labels → empty matrix (matches the
+    // oracle); one label → the constant prediction (greatest() needs
+    // two or more arguments)
+    if (cents.isEmpty)
+      return e.select(col("label"), col("label").as("pred"))
+        .groupBy("label", "pred").agg(count(lit(1)).as("n"))
+        .orderBy("label", "pred")
     val scored = cents.map { case (l, cv) =>
       struct(cosToQueryD(col("embedding"), cv.toIndexedSeq).as("cos"),
         lit(-l).as("neg"))
     }
-    val predCol = greatest(scored: _*).getField("neg") * -1
+    val predCol =
+      if (scored.size == 1) lit(cents.head._1)
+      else greatest(scored: _*).getField("neg") * -1
     e.select(col("label"), predCol.as("pred"))
       .groupBy("label", "pred").agg(count(lit(1)).as("n"))
       .orderBy("label", "pred")
@@ -1427,7 +1439,7 @@ object TrainOps {
     * roll-up is one shuffle on a 5-value key. Numeric stats stay in
     * exact integers so the oracle replays bit-identically. */
   def jsonStats(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/events.parquet")
+    events(spark, sfDir)
       .select(col("event_type"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .groupBy("event_type")
@@ -1449,7 +1461,7 @@ object TrainOps {
     * watermark does exactly that). */
   def sessionize(spark: SparkSession, sfDir: String,
       gapSec: Long = 1800): DataFrame = {
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = events(spark, sfDir)
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     ev.select(col("event_id"), col("ts"), col("user_id"), col("value"))

@@ -119,8 +119,11 @@ final case class MemoryIndex(terms: Map[String, Vector[Int]],
       case bq: BoolQ =>
         if (!matches(bq)) None
         else {
-          val raw = bq.must.map(sc(_).getOrElse(0.0)).sum +
-            bq.should.map(sc(_).getOrElse(0.0)).sum
+          // ONE flat fold over must ++ should in clause order — the
+          // association the percolateScored oracle's running ordinal
+          // sum reproduces exactly (two separate sub-sums would differ
+          // in the last ulp for mixed shapes)
+          val raw = (bq.must ++ bq.should).map(sc(_).getOrElse(0.0)).sum
           // the engine's boolean coord slot (identity under BM25,
           // overlap/maxOverlap under ClassicSim): overlap = matched
           // positive clauses (all musts match here by construction)

@@ -120,7 +120,7 @@ final class Searcher(idx: InvertedIndex, sim: Similarity = Bm25Sim) {
       val gid = f"$oc$i%04d"
       asSimpleTerm(c) match {
         case Some((t, b)) =>
-          Some((Seq((t, gid, "m000", "m", b)), FlatGroup(gid, oc, 1, 0, 0)))
+          Some((Seq((t, gid, "m0000", "m", b)), FlatGroup(gid, oc, 1, 0, 0)))
         case None => c match {
           case sub: BoolQ if sub.must.nonEmpty || sub.should.nonEmpty =>
             subRows(sub, gid).map(rs =>

@@ -329,5 +329,9 @@ class AnalyzersSpec extends AnyFunSuite {
     val shifted = tee("the " + text, Seq("first3" -> TokenRangeSink(0, 3)))
     assert(shifted.map(_._3.term) == Vector("meeting", "2025-01-02",
       "bob@example.com"))
+    // STRICT resolution: calendar-invalid strings are NOT dates
+    val bad = tee("2025-02-30 2025-04-31 2025-02-28",
+      Seq("dates" -> DateSink()))
+    assert(bad.map(_._3.term) == Vector("2025-02-28"))
   }
 }

@@ -51,6 +51,28 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(pf.contains("cell"), s"no cell partition filter: $pf")
   }
 
+  test("regenerated data at the same path invalidates the manifest") {
+    val spark = SparkFixture.spark
+    import org.apache.spark.sql.functions._
+    val e = TrainOps.embeddings(spark, sf)
+    val dataDir = java.nio.file.Files
+      .createTempDirectory("graft-annidx-regen").toString
+    e.write.mode("overwrite").parquet(s"$dataDir/embeddings.parquet")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-annidx-regen-root").toString
+    AnnIndex.build(spark, dataDir, root)
+    val m1 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/manifest.json")), "UTF-8")
+    // same ids, same count, DIFFERENT content — the id-only
+    // fingerprint this replaced would have matched
+    e.withColumn("embedding", reverse(col("embedding")))
+      .write.mode("overwrite").parquet(s"$dataDir/embeddings.parquet")
+    AnnIndex.build(spark, dataDir, root)
+    val m2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/manifest.json")), "UTF-8")
+    assert(m1 != m2, "content change must change the manifest")
+  }
+
   test("append: frozen centroids, new vectors immediately searchable") {
     val spark = SparkFixture.spark
     import org.apache.spark.sql.functions._
