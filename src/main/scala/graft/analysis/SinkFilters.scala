@@ -25,11 +25,29 @@ object SinkFilters {
     * sandbox-honest variant of the same predicate). */
   final case class DateSink(pattern: String = "uuuu-MM-dd") extends Sink {
     // STRICT resolution: a date RECOGNIZER must reject 2025-02-30;
-    // the default SMART resolver would cap it to the month length
-    // ('uuuu' because strict 'yyyy' year-of-era demands an era field)
+    // the default SMART resolver would cap it to the month length.
+    // Strict 'yyyy' (year-of-era) demands an era field, so a natural
+    // user pattern like "yyyy-MM-dd" would silently match NOTHING —
+    // normalize unquoted 'y' runs to 'u' (proleptic year) so custom
+    // patterns behave the way their authors mean.
+    private def normalized: String = {
+      val sb = new StringBuilder; var quoted = false
+      pattern.foreach { c =>
+        if (c == '\'') { quoted = !quoted; sb += c }
+        else sb += (if (c == 'y' && !quoted) 'u' else c)
+      }
+      sb.result()
+    }
     @transient private lazy val fmt =
-      java.time.format.DateTimeFormatter.ofPattern(pattern)
+      java.time.format.DateTimeFormatter.ofPattern(normalized)
         .withResolverStyle(java.time.format.ResolverStyle.STRICT)
+    // fail at CONSTRUCTION, not silently at match time: a known-good
+    // date must round-trip through the pattern or the sink is a
+    // dead-end (e.g. a time-field pattern can never parse a LocalDate)
+    require({
+      val probe = java.time.LocalDate.of(2000, 1, 15)
+      java.time.LocalDate.parse(probe.format(fmt), fmt) == probe
+    }, s"DateSink pattern '$pattern' cannot round-trip a LocalDate")
     def accept(t: Analyzers.TypedToken, ordinal: Int): Boolean =
       try { java.time.LocalDate.parse(t.term, fmt); true }
       catch { case _: java.time.format.DateTimeParseException => false }
