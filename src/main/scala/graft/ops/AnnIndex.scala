@@ -42,7 +42,7 @@ object AnnIndex {
     * alone are not identity — regenerated data at the same path must
     * invalidate the index). Returns the root. */
   def build(spark: SparkSession, sfDir: String,
-      root0: String = null): String = {
+      root0: String = null, cells: Int = TrainOps.IvfCells): String = {
     val root = Option(root0).getOrElse(defaultRoot(sfDir))
     val e = TrainOps.embeddings(spark, sfDir)
     // corpus fingerprint: one full-scan agg of row count + a
@@ -57,9 +57,9 @@ object AnnIndex {
         col("embedding").cast("string"))).as("h"))
       .agg(count(lit(1)),
         expr("coalesce(bit_xor(h), CAST(0 AS BIGINT))")).collect()(0)
-    val params = s"""{"cells":${TrainOps.IvfCells},""" +
+    val params = s"""{"cells":$cells,""" +
       s""""probes":${TrainOps.IvfProbes},""" +
-      s""""sample":${TrainOps.IvfTrainSample},""" +
+      s""""sample":${math.max(TrainOps.IvfTrainSample, 4 * cells)},""" +
       s""""iters":${TrainOps.IvfKmeansIters},""" +
       s""""corpus_n":${fpRow.getLong(0)},""" +
       s""""corpus_h":${fpRow.getLong(1)}}"""
@@ -74,14 +74,16 @@ object AnnIndex {
       // store, never a stale-manifest/new-data hybrid
       java.nio.file.Files.delete(manifest.toPath)
     }
-    val cents = TrainOps.ivfTrainCentroids(e)
+    val cents = TrainOps.ivfTrainCentroids(e, cells,
+      math.max(TrainOps.IvfTrainSample, 4 * cells))
     import spark.implicits._
     // centroid table: (cell, centroid) — the broadcastable dictionary
     cents.zipWithIndex.map { case (cv, c) => (c, cv.toSeq) }
       .toDF("cell", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(s"$root/centroids")
-    // cell partitions: the IVF "posting lists"
-    e.withColumn("cell", TrainOps.ivfCellCol(cents))
+    // cell partitions: the IVF "posting lists" — assignment is the
+    // broadcast-argmax scan (one pass over the corpus at ANY cell count)
+    TrainOps.ivfAssignCellsIdx(e, cents)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$root/cells")
     // manifest last + atomic rename = the commit point
@@ -107,8 +109,8 @@ object AnnIndex {
     val cents: IndexedSeq[Array[Double]] =
       spark.read.parquet(s"$root/centroids").orderBy("cell").collect()
         .map(r => r.getSeq[Double](1).toArray).toIndexedSeq
-    batch.select(col("vec_id"), col("embedding"))
-      .withColumn("cell", TrainOps.ivfCellCol(cents))
+    TrainOps.ivfAssignCellsIdx(
+        batch.select(col("vec_id"), col("embedding")), cents)
       .write.mode("append").partitionBy("cell").parquet(s"$root/cells")
   }
 
@@ -117,13 +119,14 @@ object AnnIndex {
     * chosen driver-side, ONLY those partitions read and exactly
     * rescored. */
   def query(spark: SparkSession, root: String, qv: IndexedSeq[Double],
-      excludeId: Long, k: Int): DataFrame = {
+      excludeId: Long, k: Int,
+      nprobe: Int = TrainOps.IvfProbes): DataFrame = {
     require(new java.io.File(root, ManifestName).isFile,
       s"no committed ann index at $root")
     val cents: IndexedSeq[Array[Double]] =
       spark.read.parquet(s"$root/centroids").orderBy("cell").collect()
         .map(r => r.getSeq[Double](1).toArray).toIndexedSeq
-    val probed = TrainOps.ivfProbeCells(cents, qv, TrainOps.IvfProbes)
+    val probed = TrainOps.ivfProbeCells(cents, qv, nprobe)
     spark.read.parquet(s"$root/cells")
       .filter(col("cell").isin(probed: _*)) // partition-pruned
       .filter(col("vec_id") =!= excludeId)

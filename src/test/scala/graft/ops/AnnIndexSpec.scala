@@ -99,7 +99,7 @@ class AnnIndexSpec extends AnyFunSuite {
     val cents = TrainOps.ivfTrainCentroids(
       spark.read.parquet(s"$subDir/embeddings.parquet"))
     val probed = TrainOps.ivfProbeCells(cents, qv, TrainOps.IvfProbes)
-    val want = e.withColumn("cell", TrainOps.ivfCellCol(cents))
+    val want = TrainOps.ivfAssignCellsIdx(e, cents)
       .filter(col("cell").isin(probed: _*) && col("vec_id") =!= 0L)
       .select(col("vec_id"),
         TrainOps.cosToQueryD(col("embedding"), qv).as("cos"))
