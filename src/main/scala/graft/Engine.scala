@@ -277,6 +277,41 @@ object Engine {
       .orderBy("rank")
   }
 
+  /** N-fragment scored variant of [[highlightTvec]] (the
+    * FastVectorHighlighter FieldFragList path): matches come from the
+    * persisted term vectors; fragments are scored/chunked exactly like
+    * [[Highlight.highlightN]], so both share one oracle. */
+  def highlightTvecN(spark: SparkSession, sfDir: String, q: Query,
+      k: Int, maxFrags: Int): DataFrame = {
+    import spark.implicits._
+    val idx = indexSeg(spark, sfDir)
+    val terms = QueryAst.terms(q)
+    val hits = new Searcher(idx).topK(q, k)
+      .withColumn("rank",
+        row_number().over(
+          Window.orderBy(col("score").desc, col("docid").asc)).cast("long"))
+      .select(col("rank"), col("docid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val tv = termVectorsOf(spark, sfDir, hits.map(_._2))
+      .filter(col("term").isin(terms.toSeq: _*))
+      .groupBy(col("docid"))
+      .agg(flatten(collect_list(col("positions"))).as("hitpos"))
+    hits.toDF("rank", "docid")
+      .join(tv, Seq("docid"), "left")
+      .join(idx.docs.select(col("docid"), col("text")), Seq("docid"))
+      .select(col("rank"), col("docid"), col("text"),
+        coalesce(col("hitpos"), array().cast("array<int>")).as("hitpos"))
+      .as[(Long, Long, String, Seq[Int])]
+      .flatMap { case (r, d, t, ps) =>
+        val raw = graft.analysis.Analyzer.rawTokens(t)
+        val hitSet = ps.toSet
+        Highlight.topFragments(raw, hitSet.contains,
+          Highlight.Window, maxFrags)
+          .map { case (f, sc, sn) => (r, d, f, sc, sn) }
+      }
+      .toDF("rank", "docid", "frag", "fscore", "snippet")
+  }
+
   def searcher(spark: SparkSession, sfDir: String): Searcher =
     new Searcher(index(spark, sfDir))
 

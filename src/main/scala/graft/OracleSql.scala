@@ -976,6 +976,47 @@ object OracleSql {
        |FROM best ORDER BY rank""".stripMargin
   }
 
+  /** N-fragment scored highlighter oracle (Highlighter.cs:137
+    * GetBestFragments / FastVectorHighlighter FieldFragList analog):
+    * consecutive non-overlapping `window`-token fragments
+    * (SimpleFragmenter), fragment score = query-term occurrence count,
+    * top `maxFrags` per hit by (score desc, position asc), zero-score
+    * fragments dropped — the exact arithmetic of
+    * Highlight.topFragments. */
+  def highlightN(q: Query, k: Int, window: Int, maxFrags: Int): String = {
+    val inList = QueryAst.terms(q).toSeq.sorted.map(sq).mkString(", ")
+    s"""$prelude,
+       |hits AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY sq.score DESC, sq.docid) AS BIGINT) AS rank,
+       |         sq.docid
+       |  FROM ${scoreSql(q)} sq
+       |  ORDER BY sq.score DESC, sq.docid
+       |  LIMIT $k),
+       |htoks AS (
+       |  SELECT h.rank, h.docid, r.toks, len(r.toks) AS n
+       |  FROM hits h JOIN rawtok r USING (docid)),
+       |fstarts AS (
+       |  SELECT rank, docid, toks, n,
+       |         unnest(range(1, n + 1, $window)) AS i
+       |  FROM htoks),
+       |fscored AS (
+       |  SELECT rank, docid, toks, n, i,
+       |         len(list_filter(toks[i:least(i + $window - 1, n)],
+       |           t -> t IN ($inList))) AS fscore
+       |  FROM fstarts),
+       |sel AS (
+       |  SELECT rank, docid, toks, n, i, fscore,
+       |         row_number() OVER (PARTITION BY docid ORDER BY
+       |           fscore DESC, i ASC) AS frag
+       |  FROM fscored WHERE fscore > 0)
+       |SELECT rank, docid, CAST(frag AS BIGINT) AS frag,
+       |  CAST(fscore AS BIGINT) AS fscore,
+       |  array_to_string(list_transform(toks[i:least(i + $window - 1, n)],
+       |    t -> CASE WHEN t IN ($inList) THEN '[' || t || ']' ELSE t END),
+       |    ' ') AS snippet
+       |FROM sel WHERE frag <= $maxFrags ORDER BY rank, frag""".stripMargin
+  }
+
   /** Score-breakdown oracle (Explain analog) — operand order identical
     * to Bm25.idfCol/tfNorm. */
   def explainTerm(t: String): String =

@@ -338,6 +338,24 @@ object SparkEntry {
       OracleSql.highlight(
         BoolQ(should = Seq(TermQ("table"), TermQ("merge"))), 10,
         Highlight.Window)),
+    // N-fragment SCORED highlighting (GetBestFragments / FieldFragList):
+    // top-3 non-overlapping fragments per hit with their scores, over
+    // both the re-analysis and the term-vectors path (one oracle)
+    "ft_highlight_multi" -> Raw(
+      (s, dir) => {
+        val idx = Engine.index(s, dir)
+        Highlight.highlightN(idx, new Searcher(idx),
+          BoolQ(should = Seq(TermQ("table"), TermQ("merge"))), 10, 3)
+      },
+      OracleSql.highlightN(
+        BoolQ(should = Seq(TermQ("table"), TermQ("merge"))), 10,
+        Highlight.Window, 3)),
+    "ft_highlight_multi_tvec" -> Raw(
+      (s, dir) => Engine.highlightTvecN(s, dir,
+        BoolQ(should = Seq(TermQ("table"), TermQ("merge"))), 10, 3),
+      OracleSql.highlightN(
+        BoolQ(should = Seq(TermQ("table"), TermQ("merge"))), 10,
+        Highlight.Window, 3)),
 
     // --- payload family (PayloadTermQuery + payload functions) ---
     // the payload flavor stores a 2.0 payload on every occurrence at

@@ -62,6 +62,56 @@ object Highlight {
     }.mkString(" ")
   }
 
+  /** Top-N SCORED fragments (Highlighter.cs:137 GetBestFragments /
+    * FastVectorHighlighter FieldFragList semantics): the token stream
+    * is chunked into consecutive `window`-token fragments
+    * (SimpleFragmenter shape — fragments never overlap; the last may
+    * be short), each fragment scores its query-term occurrence count,
+    * and the `maxFrags` best fragments with score > 0 come back
+    * best-first ((score desc, position asc) — the reference sorts its
+    * fragment array by score and drops zero-score fragments). Returns
+    * (frag 1..N in rank order, score, bracketed snippet). */
+  def topFragments(raw: Vector[String], hit: Int => Boolean,
+      window: Int, maxFrags: Int): Seq[(Long, Long, String)] = {
+    if (raw.isEmpty) return Seq.empty
+    (0 until raw.length by window)
+      .map { s =>
+        val end = math.min(s + window, raw.length)
+        (s, end, (s until end).count(hit))
+      }
+      .filter(_._3 > 0)
+      .sortBy { case (s, _, sc) => (-sc, s) }
+      .take(maxFrags)
+      .zipWithIndex
+      .map { case ((s, e, sc), fi) =>
+        ((fi + 1).toLong, sc.toLong,
+          (s until e).map(p =>
+            if (hit(p)) s"[${raw(p)}]" else raw(p)).mkString(" "))
+      }
+  }
+
+  /** N-fragment variant of [[highlight]]: one row per (hit, fragment),
+    * fragments ranked within each hit. */
+  def highlightN(idx: InvertedIndex, searcher: Searcher, q: Query,
+      k: Int, maxFrags: Int, window: Int = Window): DataFrame = {
+    val spark = idx.docs.sparkSession
+    import spark.implicits._
+    val terms = QueryAst.terms(q)
+    searcher.topK(q, k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("docid").asc)).cast("long"))
+      .join(idx.docs.select(col("docid"), col("text")), Seq("docid"))
+      .select(col("rank"), col("docid"), col("text"))
+      .as[(Long, Long, String)]
+      .flatMap { case (r, d, t) =>
+        val raw = Analyzer.rawTokens(t)
+        topFragments(raw, p => terms.contains(raw(p)), window, maxFrags)
+          .map { case (f, sc, sn) => (r, d, f, sc, sn) }
+      }
+      .toDF("rank", "docid", "frag", "fscore", "snippet")
+  }
+
   /** (rank, docid, snippet) for the query's top-k hits. Rank is an
     * explicit materialized column (row_number over the mandatory
     * (score desc, docid asc) order, computed over the k collected rows)
