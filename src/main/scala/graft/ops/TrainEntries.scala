@@ -602,6 +602,15 @@ object TrainEntries {
         radiusKm = 2500.0, k = 10),
       Geo.knnOracle(lat0 = 10.0, lon0 = 20.0, radiusKm = 2500.0, k = 10)),
 
+    // the PERSISTED cell-partitioned spatial index (contrib Spatial
+    // prefix/tier analog): radius queries route through a covering
+    // cell IN-list = partition pruning; same oracle as geo_knn — the
+    // tier must be invisible in the rows
+    ("geo_cells",
+      (s, d) => GeoIndex.knnGate(s, d, lat0 = 10.0, lon0 = 20.0,
+        radiusKm = 2500.0, k = 10),
+      Geo.knnOracle(lat0 = 10.0, lon0 = 20.0, radiusKm = 2500.0, k = 10)),
+
     // ---- PII redaction over deterministically injected PII ----
     ("tx_redact",
       (s, d) => TrainOps.redactGate(s, d),
