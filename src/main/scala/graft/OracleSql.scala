@@ -221,10 +221,12 @@ object OracleSql {
       multiTermSql(
         s"regexp_matches(term, ${sq(Searcher.globToRegex(pat))})", rw)
 
-    case TermRangeQ(lo, hi, il, ih, rw) =>
+    case TermRangeQ(lo, hi, il, ih, rw, coll) =>
+      // collated variant: DuckDB ships the same ICU locale collations
+      val t = coll.map(c => s"(term COLLATE $c)").getOrElse("term")
       val conds = Seq(
-        lo.map(v => s"term ${if (il) ">=" else ">"} ${sq(v)}"),
-        hi.map(v => s"term ${if (ih) "<=" else "<"} ${sq(v)}")).flatten
+        lo.map(v => s"$t ${if (il) ">=" else ">"} ${sq(v)}"),
+        hi.map(v => s"$t ${if (ih) "<=" else "<"} ${sq(v)}")).flatten
       val w = if (conds.isEmpty) "TRUE" else conds.mkString(" AND ")
       multiTermSql(w, rw)
 

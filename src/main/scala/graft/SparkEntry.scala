@@ -157,6 +157,11 @@ object SparkEntry {
     // fuzzified, globally best 8 variants ranked by sim² × source-idf
     "ft_fuzzy_like" -> TopK(FuzzyLikeThisQ("windoow streem tble", 2, 8)),
     "ft_term_range" -> Count(TermRangeQ(Some("query"), Some("sort"))),
+    // collated range (TermRangeQuery.cs:96 Collator ctor): the same
+    // range under ICU German collation — Spark's collate() and
+    // DuckDB's COLLATE both ship ICU, so the gate is fully oracled
+    "ft_term_range_coll" -> Count(TermRangeQ(Some("query"), Some("sort"),
+      collation = Some("de"))),
 
     // --- filters / keyword + numeric fields (§2.5 Filter family) ---
     "ft_keyword_role" -> TopK(BoolQ(

@@ -68,10 +68,18 @@ final case class MemoryIndex(terms: Map[String, Vector[Int]],
     case RegexQ(pat, _) =>
       // anchored whole-term match, like RegexTermEnum
       terms.keysIterator.exists(_.matches(pat))
-    case TermRangeQ(lo, hi, incLo, incHi, _) =>
+    case TermRangeQ(lo, hi, incLo, incHi, _, coll) =>
+      // collated variant: same ICU locale semantics as the Searcher
+      val cmp: (String, String) => Int = coll match {
+        case Some(c) =>
+          val ic = java.text.Collator.getInstance(
+            java.util.Locale.forLanguageTag(c))
+          (a, b) => ic.compare(a, b)
+        case None => (a, b) => a.compareTo(b)
+      }
       terms.keysIterator.exists { t =>
-        lo.forall(l => if (incLo) t >= l else t > l) &&
-          hi.forall(h => if (incHi) t <= h else t < h)
+        lo.forall(l => if (incLo) cmp(t, l) >= 0 else cmp(t, l) > 0) &&
+          hi.forall(h => if (incHi) cmp(t, h) <= 0 else cmp(t, h) < 0)
       }
     case FuzzyQ(t, maxEdits) =>
       // the Searcher's positive-similarity exclusion mirrored: a term

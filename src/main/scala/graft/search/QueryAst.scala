@@ -43,10 +43,15 @@ final case class PrefixQ(prefix: String,
 final case class WildcardQ(pattern: String,
     rewrite: MultiTermRewrite = ConstantScore) extends Query
 
-/** TermRangeQuery.cs:40 — lexicographic term range. */
+/** TermRangeQuery.cs:40 — lexicographic term range. `collation` is
+  * the reference's Collator ctor variant (TermRangeQuery.cs:96: range
+  * endpoints compared with a locale collator instead of codepoint
+  * order): an ICU locale tag (e.g. "de", "sv") applied to the
+  * dictionary compare on BOTH engine and oracle. */
 final case class TermRangeQ(lo: Option[String], hi: Option[String],
     incLo: Boolean = true, incHi: Boolean = true,
-    rewrite: MultiTermRewrite = ConstantScore) extends Query
+    rewrite: MultiTermRewrite = ConstantScore,
+    collation: Option[String] = None) extends Query
 
 /** FuzzyQuery.cs:41 — scoring-boolean rewrite; per-term boost =
   * 1 - dist/min(|term|,|query|) (FuzzyTermEnum.cs:135-178 similarity). */

@@ -448,10 +448,15 @@ final class Searcher(idx: InvertedIndex, sim: Similarity = Bm25Sim) {
       multiTerm(
         if (pfx.nonEmpty) col("term").startsWith(pfx) && rx else rx, rw)
 
-    case TermRangeQ(lo, hi, il, ih, rw) =>
+    case TermRangeQ(lo, hi, il, ih, rw, coll) =>
+      // collated variant (TermRangeQuery.cs:96): the dictionary compare
+      // runs under the ICU locale collation — native in Spark 4
+      // (collate() stays inside codegen), so the range is still a
+      // dictionary-scan predicate, never a driver loop
+      val t = coll.map(c => collate(col("term"), c)).getOrElse(col("term"))
       val conds = Seq(
-        lo.map(v => if (il) col("term") >= v else col("term") > v),
-        hi.map(v => if (ih) col("term") <= v else col("term") < v)).flatten
+        lo.map(v => if (il) t >= v else t > v),
+        hi.map(v => if (ih) t <= v else t < v)).flatten
       multiTerm(conds.reduceOption(_ && _).getOrElse(lit(true)), rw)
 
     case FuzzyQ(t, maxEdits) =>
