@@ -215,6 +215,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     Jvm.reexecIfOversizedHeap("graft.Bench", args)
+    Jvm.routeJvmLogToStderr() // stdout carries exactly one JSON line
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val skipScaling = sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")
@@ -585,8 +586,17 @@ object Bench {
         e.printStackTrace()
         s"""{"err":"${e.getClass.getSimpleName}"}"""
       }
-    println(
-      f"""{"metric":"total_query_sec","value":$total%.2f,"unit":"sec","queries":$qs,"flavor_build_sec":$fl,"wand":$wandJson,"ann":$annJson,"ann_clustered":$annClusteredJson,"sf1":$sf1Json,"sf":"$sfDir","build":$scalingJson}""")
+    val line =
+      f"""{"metric":"total_query_sec","value":$total%.2f,"unit":"sec","queries":$qs,"flavor_build_sec":$fl,"wand":$wandJson,"ann":$annJson,"ann_clustered":$annClusteredJson,"sf1":$sf1Json,"sf":"$sfDir","build":$scalingJson}"""
+    println(line)
+    // committed self-record (the CORRECTNESS_SELF.json pattern): if a
+    // driver-side BENCH_r{N}.json ever arrives damaged, the repo still
+    // carries the measurement. Best-effort — cwd may be read-only.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_SELF", "BENCH_SELF.json")),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -130,6 +130,7 @@ object GenScale extends Serializable {
   /** Ad-hoc CLI: GenScale <srcSfDir> <outDir> [scale] [seed]. */
   def main(args: Array[String]): Unit = {
     Jvm.reexecIfOversizedHeap("graft.GenScale", args)
+    Jvm.routeJvmLogToStderr()
     val src = args(0); val out = args(1)
     val scale = if (args.length > 2) args(2).toInt else 10
     val seed = if (args.length > 3) args(3).toLong else 94L

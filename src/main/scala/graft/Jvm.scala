@@ -14,6 +14,26 @@ object Jvm {
     * RE-EXECS into a child JVM with the tuned -Xmx8g (same classpath,
     * same module opens, stdio inherited — the caller reads the same
     * stdout). Opt out with SPARK_GRAFT_NO_REEXEC=1. */
+  /** JVM unified-logging WARNINGS print to stdout by default — under
+    * memory pressure (e.g. "[gc,alloc] Retried waiting for GCLocker"
+    * during a big parquet decode) they interleave with, and corrupt,
+    * the driver-contract one-JSON-line stdout of [[Bench]]. Re-route
+    * the default logging sink to stderr at runtime via the jcmd
+    * VM.log diagnostic command (first drop every configured output,
+    * then re-add warnings on stderr). Best-effort: a JVM without the
+    * DiagnosticCommand MBean just keeps the default. */
+  def routeJvmLogToStderr(): Unit = try {
+    val server = java.lang.management.ManagementFactory.getPlatformMBeanServer
+    val name =
+      new javax.management.ObjectName("com.sun.management:type=DiagnosticCommand")
+    def vmLog(args: String*): Unit =
+      server.invoke(name, "vmLog",
+        Array[AnyRef](args.toArray),
+        Array("[Ljava.lang.String;"))
+    vmLog("disable")
+    vmLog("output=stderr", "what=all=warning")
+  } catch { case _: Throwable => () }
+
   def reexecIfOversizedHeap(mainClass: String, args: Array[String]): Unit = {
     val cap = 12L << 30
     if (Runtime.getRuntime.maxMemory() <= cap ||

@@ -6,6 +6,7 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     Jvm.reexecIfOversizedHeap("graft.Verify", args)
+    Jvm.routeJvmLogToStderr()
     // optional third arg: only (re-)dump entries whose name contains it —
     // dev-iteration fast path; the driver always passes two args
     val (sfDir, outDir, filt) = args match {
