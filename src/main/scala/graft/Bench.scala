@@ -557,6 +557,13 @@ object Bench {
         val scale = sys.env.getOrElse("SPARK_GRAFT_SF1_SCALE", "10").toInt
         val dir = Files.createTempDirectory(benchFs, "sf1").toString
         val genSec = GenScale.generate(spark, sfDir, dir, scale)
+        // a real cluster holds partition SIZE roughly constant as data
+        // grows — scale the shuffle width with the corpus so the
+        // superlinear detector measures algorithmic blowup, not
+        // fixed-width spill (restored after the sweep)
+        val basePartitions = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions",
+          math.min(256, basePartitions.toInt * scale))
         val flav1 = Engine.prewarm(spark, dir)
         val fl1 = flav1.map { case (k, v) => f""""$k":$v%.3f""" }
           .mkString("{", ",", "}")
@@ -575,6 +582,7 @@ object Bench {
         }
         val q1 = res1.map { case (k, v) => f""""$k":$v%.3f""" }
           .mkString("{", ",", "}")
+        spark.conf.set("spark.sql.shuffle.partitions", basePartitions)
         deleteRec(java.nio.file.Paths.get(dir))
         f"""{"scale":$scale,"gen_sec":$genSec%.1f,""" +
           f""""total_sec":${res1.map(_._2).sum}%.2f,""" +

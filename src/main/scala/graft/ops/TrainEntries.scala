@@ -279,11 +279,16 @@ object TrainEntries {
     ("dd_simhash_pairs",
       (s, d) => TrainOps.dedupSimhash(s, d),
       s"""WITH $simhashCte,
+         |reps AS (SELECT simhash, min(doc_id) AS doc_id
+         |         FROM simh GROUP BY simhash),
          |ch AS (SELECT doc_id, simhash, c, (simhash >> (c * 15)) & 32767 AS chunk
-         |       FROM simh CROSS JOIN (SELECT unnest(generate_series(0,3)) AS c) cs),
+         |       FROM reps CROSS JOIN (SELECT unnest(generate_series(0,3)) AS c) cs),
+         |keep AS (SELECT c, chunk FROM ch GROUP BY c, chunk
+         |         HAVING count(*) <= ${TrainOps.SimhashChunkCap}),
+         |chk AS (SELECT ch.* FROM ch JOIN keep USING (c, chunk)),
          |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
          |                x.simhash AS sa, y.simhash AS sb
-         |         FROM ch x JOIN ch y ON x.c = y.c AND x.chunk = y.chunk
+         |         FROM chk x JOIN chk y ON x.c = y.c AND x.chunk = y.chunk
          |              AND x.doc_id < y.doc_id)
          |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 3

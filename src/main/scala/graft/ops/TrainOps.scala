@@ -296,17 +296,42 @@ object TrainOps {
       .orderBy("doc_id")
   }
 
+  /** Chunk-bucket cap for the simhash pair join — the [[LshBucketCap]]
+    * degenerate-quadratic guard: a 15-bit chunk value shared by more
+    * than this many DISTINCT simhash values is chunk-level boilerplate
+    * (e.g. an all-zeros low chunk on short docs) and its bucket is
+    * dropped from candidate generation; a true Hamming-≤3 pair is still
+    * found through any of its other three agreeing-or-near chunks whose
+    * bucket is below the cap. Replayed identically in the oracle. */
+  val SimhashChunkCap = 64
+
   /** SimHash near-dup pairs: block on equality of one of four 15-bit
     * chunks (a pair within Hamming distance 3 of a 60-bit hash must agree
-    * on ≥1 chunk — pigeonhole), verify with bit_count(xor) ≤ maxHamming. */
+    * on ≥1 chunk — pigeonhole), verify with bit_count(xor) ≤ maxHamming.
+    *
+    * Scale shape (the sf1 stress pass measured the naive all-pairs form
+    * at 89× wall for 10× data): identical simhashes collapse to their
+    * min-doc_id REPRESENTATIVE before the chunk join — on a
+    * duplication-heavy corpus the all-pairs closure of an identical-hash
+    * group is quadratic in the group, while the (simhash → members)
+    * grouping that recovers it is linear, so the pair output is over
+    * distinct hash values (every member of a group is Hamming-0 to its
+    * representative). Residual over-cap chunk buckets are dropped like
+    * [[dedupMinhashLsh]]'s. */
   def dedupSimhash(spark: SparkSession, sfDir: String,
       maxHamming: Int = 3): DataFrame = {
     val s = simhash(spark, sfDir)
-    val chunked = s.select(col("doc_id"), col("simhash"),
+    val reps = s.groupBy("simhash").agg(min("doc_id").as("doc_id"))
+    val chunked = reps.select(col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("chunk",
         expr("shiftright(simhash, cast(c * 15 as int)) & 32767"))
-    chunked.as("x").join(chunked.as("y"),
+      .localCheckpoint(false)
+    val overB = chunked.groupBy("c", "chunk")
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") > SimhashChunkCap)
+      .select("c", "chunk")
+    val kept = chunked.join(broadcast(overB), Seq("c", "chunk"), "left_anti")
+    kept.as("x").join(kept.as("y"),
         col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
@@ -396,11 +421,39 @@ object TrainOps {
           Window.partitionBy("doc_id").orderBy(col("df"), col("s"))).as("r"),
         count(lit(1)).over(Window.partitionBy("doc_id")).as("len"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-doc shingle-SET arrays ([[shingles]] is distinct per doc):
+    // verification is one array_intersect row per candidate instead of
+    // a candidates × shingles explode join — the sf1 stress pass
+    // measured the explode form at ~75× wall for 10× data, dominated
+    // by the verify shuffle
+    val docSets = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("s"))).as("ss"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val maxLen = Option(ranked.agg(max("len")).head.get(0))
       .map(_.asInstanceOf[Long]).getOrElse(1L)
     var t = maxLen
     var tPrev = maxLen + 1 // empty previous prefix: delta = whole prefix
-    var verified: DataFrame = null
+    // duplication fast-path (the [[dedupSimhash]] representative
+    // discipline): docs with IDENTICAL shingle sets pair at overlap =
+    // len — found linearly by a set-key groupBy, no prefix join. Only
+    // the k+1 smallest members per group can reach the deterministic
+    // (overlap desc, a, b) top-k, so the seed stays linear even under
+    // heavy duplication. Seeding extra verified pairs never breaks the
+    // certificate (generation completeness at t is untouched); it lets
+    // it fire at high t on duplication-heavy corpora, before the dense
+    // low-t candidate mass is ever generated.
+    // "\n" cannot appear inside a shingle (tokens are analyzer
+    // output joined by single spaces), so the set key is injective
+    val grouped = docSets.select(col("doc_id"),
+        md5(concat_ws("\n", col("ss"))).as("sk"), size(col("ss")).as("sl"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("sk").orderBy("doc_id")))
+      .filter(col("rn") <= k + 1)
+    var verified: DataFrame = grouped.as("x").join(grouped.as("y"),
+        col("x.sk") === col("y.sk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.sl").cast("long").as("i"))
+      .localCheckpoint(true)
     var done = false
     while (!done) {
       val prefAll = ranked.filter(col("r") <= col("len") - t + 1)
@@ -414,22 +467,28 @@ object TrainOps {
         .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
           greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
         .distinct()
-      val cand =
-        if (verified == null) gen
-        else gen.join(verified.select("a", "b"), Seq("a", "b"), "left_anti")
-      val newly = cand.join(sh.as("sa"), col("sa.doc_id") === col("a"))
-        .join(sh.as("sb"),
-          col("sb.doc_id") === col("b") && col("sa.s") === col("sb.s"))
-        .groupBy("a", "b").agg(count(lit(1)).as("i"))
-      verified = (if (verified == null) newly
-        else verified.unionByName(newly)).localCheckpoint(true)
+      val cand = gen.join(verified.select("a", "b"), Seq("a", "b"),
+        "left_anti")
+      val newly = cand
+        .join(docSets.as("da"), col("da.doc_id") === col("a"))
+        .join(docSets.as("db"), col("db.doc_id") === col("b"))
+        .select(col("a"), col("b"),
+          size(array_intersect(col("da.ss"), col("db.ss")))
+            .cast("long").as("i"))
+      verified = verified.unionByName(newly).localCheckpoint(true)
       // certificate: candidates at threshold t are COMPLETE (lemma), so
       // ≥ k verified pairs at overlap ≥ t pins the global top-k
       val enough = verified.filter(col("i") >= t).limit(k).count() == k
+      // ×0.8 descent, not halving: the delta joins make extra rounds
+      // nearly free (prefix zones partition across rounds), while each
+      // step down in t grows the candidate mass sharply on self-similar
+      // corpora — a gentler schedule lets the certificate fire before
+      // the dense zone opens
       if (enough || t == 1L) done = true
-      else { tPrev = t; t = math.max(1L, t / 2) }
+      else { tPrev = t; t = math.min(t - 1, math.max(1L, t * 4 / 5)) }
     }
     ranked.unpersist()
+    docSets.unpersist()
     verified.select(col("a"), col("b"), col("i").as("overlap"))
       .orderBy(col("overlap").desc, col("a").asc, col("b").asc)
       .limit(k)
@@ -574,13 +633,40 @@ object TrainOps {
     * random pair is 0.21. */
   val EmbedDim = 128
 
-  /** Signed-random-projection planes: 64 bits in 8 bands of 8. An 8-bit
-    * band is selective (random-pair collision 1/256 per band → ~3% of
-    * pairs become candidates, measured 29× reduction at sf0.01) while 8
-    * bands keep recall high where it matters (≥0.93 at cos 0.9, ≥0.99 at
-    * cos 0.95 by the SRP collision formula p = 1 − θ/π). */
+  /** Signed-random-projection banding at GATE scale: 64 bits in 8 bands
+    * of 8. An 8-bit band is selective (random-pair collision 1/256 per
+    * band → ~3% of pairs become candidates, measured 29× reduction at
+    * sf0.01) while 8 bands keep recall high where it matters (≥0.93 at
+    * cos 0.9, ≥0.99 at cos 0.95 by the SRP collision formula
+    * p = 1 − θ/π).
+    *
+    * These two constants are the FLOOR; the op itself widens bands with
+    * corpus size ([[srpBandBitsFor]]): a fixed 2^8 keyspace per band
+    * means expected bucket occupancy grows ∝ n, so within-bucket
+    * candidate generation grows ∝ n² — the ×10 scale-stress sweep
+    * measured dd_embed at 13.6× wall for 10× data, and one more decade
+    * would push EVERY bucket over [[SrpBucketCap]] (silent recall
+    * collapse). Holding occupancy constant (bits ≈ log2(n/target)) is
+    * the standard LSH scaling and keeps the random-collision candidate
+    * mass ≈ bands·target·n/2 — linear. The DuckDB oracle replays the
+    * gate-scale constants, which [[srpBandBitsFor]] reproduces exactly
+    * at every gate corpus size (≤ 2^13 docs → the 8-bit floor). */
   val SrpPlanes = 64
   val SrpBandBits = 8
+  val SrpBands = 8
+
+  /** Target expected bucket occupancy for [[srpBandBitsFor]]. */
+  val SrpBucketTarget = 32
+
+  /** Band width in bits for an n-doc corpus: max(floor, ⌈log2(n/target)⌉)
+    * — keeps expected bucket size ≈ [[SrpBucketTarget]] as n grows.
+    * Total planes = [[SrpBands]] × bits (the plane count grows with
+    * log n; the per-doc signature fold is partition-local either way). */
+  def srpBandBitsFor(n: Long): Int = {
+    val buckets = math.max(1L, n / SrpBucketTarget)
+    math.max(SrpBandBits, 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, buckets - 1)))
+  }
   val EmbedCosThreshold = 0.8
 
   /** SRP bucket-size cap — the [[LshBucketCap]] analog for the cosine
@@ -608,11 +694,16 @@ object TrainOps {
       .agg(sum(when(shiftright(col("h"), 7).bitwiseAND(lit(1L)) === 1L,
         lit(1L)).otherwise(lit(-1L))).as("v"))
 
-  /** SRP plane weights w(p,dim) ∈ {−1,+1} derived from h60Jvm — an
-    * 8 KB fixed matrix that rides the task closure. */
-  private lazy val srpWeights: Array[Array[Int]] =
-    Array.tabulate(SrpPlanes, EmbedDim)((p, i) =>
-      if ((h60Jvm(s"w:$p:$i") & 1L) == 1L) 1 else -1)
+  /** SRP plane weights w(p,dim) ∈ {−1,+1} derived from h60Jvm — a
+    * ≤ tens-of-KB fixed matrix that rides the task closure. Plane p's
+    * weights do not depend on the total plane count, so a wider matrix
+    * EXTENDS the gate-scale one (plane 0..63 identical at any width). */
+  private val srpWeightsCache =
+    scala.collection.concurrent.TrieMap.empty[Int, Array[Array[Int]]]
+  private def srpWeightsFor(planes: Int): Array[Array[Int]] =
+    srpWeightsCache.getOrElseUpdate(planes,
+      Array.tabulate(planes, EmbedDim)((p, i) =>
+        if ((h60Jvm(s"w:$p:$i") & 1L) == 1L) 1 else -1))
 
   /** Dense per-doc view of [[docEmbed]] in ONE grouped pass, computed
     * PARTITION-LOCALLY: the dense vector, its squared norm, and all SRP
@@ -634,23 +725,25 @@ object TrainOps {
   private[graft] def embVecsOf(spark: SparkSession, sfDir: String): DataFrame =
     embVecsCache.getOrElseUpdate(
       s"${spark.sparkContext.applicationId}:$sfDir", {
-        val v = embVecs(spark, docEmbed(spark, sfDir))
+        // parquet-metadata count: picks the corpus-sized band width
+        val n = docs(spark, sfDir).count()
+        val v = embVecs(spark, docEmbed(spark, sfDir), srpBandBitsFor(n))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         v.count()
         v
       })
 
-  private def embVecs(spark: SparkSession, emb: DataFrame): DataFrame = {
+  private def embVecs(spark: SparkSession, emb: DataFrame,
+      bandBits: Int): DataFrame = {
     import spark.implicits._
     val dim = EmbedDim
-    val planes = SrpPlanes
-    val bandBits = SrpBandBits
+    val planes = SrpBands * bandBits
     emb.groupBy("doc_id")
       .agg(collect_list(struct(col("dim").as("_1"), col("v").as("_2")))
         .as("dims"))
       .as[(Long, Seq[(Int, Long)])]
       .map { case (doc, dims) =>
-        val w = srpWeights
+        val w = srpWeightsFor(planes)
         val vec = new Array[Long](dim)
         dims.foreach { case (d, v) => vec(d) = v }
         var n2 = 0L
