@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.SparkSession
 
-import graft.index.IndexBuilder
+import graft.index.{IndexBuilder, SegmentStore}
 import graft.model.Transcripts
 
 /** Benchmark main — one JSON line on stdout.
@@ -44,13 +44,21 @@ object Bench {
   }
 
 
-  private def mkSession(cpus: Int, forBuild: Boolean): SparkSession = {
+  /** `shuffleParts` > 0 pins shuffle partitions independently of the
+    * core count — the query-scaling twin holds the PLAN constant (same
+    * partitioning, same tasks) while only the core count varies, exactly
+    * like scaling executors under a fixed spark.sql.shuffle.partitions
+    * on a real cluster. Default: partitions = cores (the build metric's
+    * regime, where the shuffle width is part of what scales). */
+  private def mkSession(cpus: Int, forBuild: Boolean,
+      shuffleParts: Int = -1): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        if (shuffleParts > 0) shuffleParts else cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.memory.fraction", memoryFraction)
       .config("spark.ui.enabled", "false")
@@ -344,6 +352,7 @@ object Bench {
         if (s.size % 2 == 1) s(s.size / 2)
         else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
       }
+      def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
       capProbe() // probe JIT warmup
       def pair(): Unit = {
         val p0 = capProbe()
@@ -370,12 +379,107 @@ object Bench {
           steals.forall(_ <= stealCap)) {
         pair(); extraPairs += 1
       }
+      // ---- query-side scaling twin (the metric's query half): batched
+      // BM25 top-k throughput over the SAME corpus at the same (N, 4N)
+      // pair. The workload is a 64-query registry (single-term / AND /
+      // msm-OR / boosted bags, drawn deterministically from the synthetic
+      // vocabulary's mid-frequency band) answered in ONE postings scan by
+      // Searcher.topKBatch — queries/sec is then scan throughput, the
+      // quantity that parallelizes, not lone-query latency (whose fixed
+      // planning overhead no cluster size removes). The segment store is
+      // built ONCE, untimed, and both levels read it: on a real cluster
+      // segments live in shared storage, so the build is not query work.
+      // Each level also returns its (qid, rank, docid, score) rows — the
+      // north metric's "top-10 rank-identical match rate" measured ACROSS
+      // PARALLELISM (scores rounded to 4 decimals, the gate discipline).
+      val qIdxRoot = Files.createTempDirectory(benchFs, "qidx").toString
+      val queryScalingJson = try {
+        import graft.search.{BoolQ, BoostQ, Searcher, TermQ}
+        // 4×nHigh-way store + shuffle granularity at BOTH levels: enough
+        // tasks that 12 cores stay busy (no straggler waste from 64 qids
+        // on 12 coarse tasks) while the plan stays IDENTICAL across the
+        // pair — only the core count varies
+        val qParts = 4 * nHigh
+        locally {
+          val s = mkSession(nHigh, forBuild = true, shuffleParts = qParts)
+          try IndexBuilder.buildSegments(s, s.read.parquet(inputPath),
+            qIdxRoot, numBatches = 2, numPartitions = qParts)
+          finally s.stop()
+        }
+        val registry: Seq[(String, BoolQ)] = {
+          val vocab = Transcripts.vocabulary
+          val rnd = new scala.util.Random(0xb5L)
+          // mid-frequency band: hot enough for postings in every block,
+          // cold enough that each term decodes a real (not degenerate)
+          // posting run
+          def w() = vocab(50 + rnd.nextInt(900))
+          (0 until 24).map(i => s"q_t$i" ->
+            BoolQ(should = Seq(TermQ(w())))) ++
+            (0 until 16).map(i => s"q_a$i" ->
+              BoolQ(must = Seq(TermQ(w()), TermQ(w())))) ++
+            (0 until 16).map(i => s"q_m$i" ->
+              BoolQ(should = Seq(TermQ(w()), TermQ(w()), TermQ(w())),
+                minShouldMatch = 2)) ++
+            (0 until 8).map(i => s"q_b$i" ->
+              BoolQ(should = Seq(BoostQ(TermQ(w()), 2.0), TermQ(w()))))
+        }
+        def runLevel(cpus: Int): (Double, Double, Map[String, Seq[(Int, Long, Double)]]) = {
+          val s = mkSession(cpus, forBuild = true, shuffleParts = qParts)
+          try {
+            val searcher = new Searcher(SegmentStore.open(s, qIdxRoot))
+            def rows() = searcher.topKBatch(registry, 10)
+              .selectExpr("qid", "CAST(rank AS INT) AS rank",
+                "CAST(docid AS BIGINT) AS docid", "round(score, 4) AS score")
+              .collect()
+            rows() // warm: plan + codegen + store caches at this level
+            val (j0, s0) = cpuJiffies()
+            val t0 = System.nanoTime()
+            val rs = rows()
+            val sec = (System.nanoTime() - t0) / 1e9
+            val (j1, s1) = cpuJiffies()
+            val steal =
+              if (j1 > j0) (s1 - s0).toDouble / (j1 - j0) else 0.0
+            val byQ = rs.map(r => (r.getString(0),
+                (r.getInt(1), r.getLong(2), r.getDouble(3))))
+              .groupBy(_._1).map { case (q, a) =>
+                q -> a.map(_._2).sortBy(_._1).toSeq
+              }
+            (sec, steal, byQ)
+          } finally s.stop()
+        }
+        val qLows = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val qHighs = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val qSteals = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var lowRows: Map[String, Seq[(Int, Long, Double)]] = Map.empty
+        var highRows: Map[String, Seq[(Int, Long, Double)]] = Map.empty
+        (1 to 2).foreach { _ =>
+          val (tl, sl, rl) = runLevel(nLow)
+          val (th, sh, rh) = runLevel(nHigh)
+          qLows += tl; qHighs += th; qSteals += sl; qSteals += sh
+          lowRows = rl; highRows = rh
+        }
+        val matchRate = registry.count { case (qid, _) =>
+          lowRows.getOrElse(qid, Nil) == highRows.getOrElse(qid, Nil)
+        }.toDouble / registry.size
+        val qEff = qLows.min / (4.0 * qHighs.min)
+        f"""{"queries":${registry.size},""" +
+          f""""t_n_sec":${qLows.min}%.2f,"t_4n_sec":${qHighs.min}%.2f,""" +
+          f""""t_n_all":${arr(qLows.toSeq)},"t_4n_all":${arr(qHighs.toSeq)},""" +
+          f""""steal_frac":${arr(qSteals.toSeq)},""" +
+          f""""qps_n":${registry.size / qLows.min}%.1f,""" +
+          f""""qps_4n":${registry.size / qHighs.min}%.1f,""" +
+          f""""topk_match_rate":$matchRate%.3f,""" +
+          f""""scaling_efficiency":$qEff%.3f}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] query scaling failed: $e")
+        e.printStackTrace()
+        s"""{"err":"${e.getClass.getSimpleName}"}"""
+      } finally deleteRec(java.nio.file.Paths.get(qIdxRoot))
       deleteRec(java.nio.file.Paths.get(inputPath))
       deleteRec(java.nio.file.Paths.get(warmPath))
       val (tLow, tHigh) = (tLows.min, tHighs.min)
       val thrLow = turns / tLow
       val thrHigh = turns / tHigh
-      def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
       val hwJson = hwCands
         .map { case (n, e) => f""""$n":$e%.3f""" }.mkString("{", ",", "}")
       scalingJson =
@@ -403,6 +507,7 @@ object Bench {
           f""""scaling_efficiency_clean_median":${
             median(if (cleanEffs.nonEmpty) cleanEffs.toSeq else pairEffs.toSeq)
           }%.3f,""" +
+          s""""query_scaling":$queryScalingJson,""" +
           f""""scaling_efficiency":${tLows.min / (4.0 * tHighs.min)}%.3f}"""
     }
 

@@ -196,8 +196,21 @@ object Engine {
     graft.ops.TrainOps.shingles(spark, sfDir)
     graft.ops.TrainOps.embVecsOf(spark, sfDir)
     graft.ops.TrainOps.lshBuckets(spark, sfDir)
+    // the persisted ANN (IVF cells) and spatial (grid cells) stores are
+    // store construction too — build/commit them here so ann_ivf_seg and
+    // geo_cells time partition-pruned queries, not first-touch builds
+    // (both are manifest-idempotent: a committed store is a no-op reuse)
+    val t2 = System.nanoTime()
+    graft.ops.AnnIndex.build(spark, sfDir)
+    val t3 = System.nanoTime()
+    graft.ops.GeoIndex.build(spark,
+      graft.ops.Geo.syntheticCoords(
+        graft.ops.TrainOps.docs(spark, sfDir).select(col("doc_id"))),
+      graft.ops.GeoIndex.defaultRoot(sfDir))
     flavors :+ ("tvec" -> (t1 - t0) / 1e9) :+
-      ("dds" -> (System.nanoTime() - t1) / 1e9)
+      ("dds" -> (t2 - t1) / 1e9) :+
+      ("anns" -> (t3 - t2) / 1e9) :+
+      ("geo" -> (System.nanoTime() - t3) / 1e9)
   }
 
   /** Conversation updated in the "upd" flavor + the text suffix appended

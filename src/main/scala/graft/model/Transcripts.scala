@@ -85,6 +85,12 @@ object Transcripts {
       }
     }.toDF()
   }
+
+  /** The synthetic corpus's vocabulary (Zipf rank order: index 0 is the
+    * hottest term) — exposed so benchmark workload generators can draw
+    * query terms with known frequency structure instead of duplicating
+    * the generator. */
+  def vocabulary: Array[String] = Vocab.words
 }
 
 private object Vocab {
