@@ -290,6 +290,43 @@ object Engine {
       .orderBy("rank")
   }
 
+  /** IDF-WEIGHTED N-fragment variant over the term-vectors path: the
+    * position→term identity from the vectors feeds the QueryScorer
+    * distinct-term weighting ([[Highlight.topFragmentsWeighted]]), so
+    * this and [[Highlight.highlightWeighted]] share one oracle. */
+  def highlightTvecWeighted(spark: SparkSession, sfDir: String, q: Query,
+      k: Int, maxFrags: Int): DataFrame = {
+    import spark.implicits._
+    val idx = indexSeg(spark, sfDir)
+    val weights = Highlight.termWeights(idx, q)
+    val hits = new Searcher(idx).topK(q, k)
+      .withColumn("rank",
+        row_number().over(
+          Window.orderBy(col("score").desc, col("docid").asc)).cast("long"))
+      .select(col("rank"), col("docid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val tv = termVectorsOf(spark, sfDir, hits.map(_._2))
+      .filter(col("term").isin(weights.keys.toSeq: _*))
+      .groupBy(col("docid"))
+      .agg(collect_list(struct(col("term"), col("positions"))).as("tpos"))
+    hits.toDF("rank", "docid")
+      .join(tv, Seq("docid"), "left")
+      .join(idx.docs.select(col("docid"), col("text")), Seq("docid"))
+      .select(col("rank"), col("docid"), col("text"),
+        coalesce(col("tpos"),
+          array().cast("array<struct<term:string,positions:array<int>>>"))
+          .as("tpos"))
+      .as[(Long, Long, String, Seq[(String, Seq[Int])])]
+      .flatMap { case (r, d, t, tp) =>
+        val raw = graft.analysis.Analyzer.rawTokens(t)
+        val at = tp.flatMap { case (term, ps) => ps.map(_ -> term) }.toMap
+        Highlight.topFragmentsWeighted(raw, at.get, weights,
+          Highlight.Window, maxFrags)
+          .map { case (f, sc, sn) => (r, d, f, sc, sn) }
+      }
+      .toDF("rank", "docid", "frag", "fscore", "snippet")
+  }
+
   /** N-fragment scored variant of [[highlightTvec]] (the
     * FastVectorHighlighter FieldFragList path): matches come from the
     * persisted term vectors; fragments are scored/chunked exactly like

@@ -299,6 +299,17 @@ object OracleSql {
       val conds = Seq(lo.map(v => s"$field >= $v"), hi.map(v => s"$field < $v")).flatten
       s"(SELECT docid, 1.0 AS score FROM docs WHERE ${conds.mkString(" AND ")})"
 
+    case DateRangeQ(field, lo, hi, res, il, ih) =>
+      val pat = Map(
+        "year" -> "%Y", "month" -> "%Y%m", "day" -> "%Y%m%d",
+        "hour" -> "%Y%m%d%H", "minute" -> "%Y%m%d%H%M",
+        "second" -> "%Y%m%d%H%M%S", "millisecond" -> "%Y%m%d%H%M%S%g")(res)
+      val key = s"strftime($field, '$pat')"
+      val conds = Seq(
+        lo.map(v => s"$key ${if (il) ">=" else ">"} ${sq(v)}"),
+        hi.map(v => s"$key ${if (ih) "<=" else "<"} ${sq(v)}")).flatten
+      s"(SELECT docid, 1.0 AS score FROM docs WHERE ${conds.mkString(" AND ")})"
+
     case ConstantScoreQ(sub, s) =>
       s"(SELECT docid, CAST($s AS DOUBLE) AS score FROM ${scoreSql(sub)} ${al()})"
 
@@ -1013,6 +1024,60 @@ object OracleSql {
        |  FROM fscored WHERE fscore > 0)
        |SELECT rank, docid, CAST(frag AS BIGINT) AS frag,
        |  CAST(fscore AS BIGINT) AS fscore,
+       |  array_to_string(list_transform(toks[i:least(i + $window - 1, n)],
+       |    t -> CASE WHEN t IN ($inList) THEN '[' || t || ']' ELSE t END),
+       |    ' ') AS snippet
+       |FROM sel WHERE frag <= $maxFrags ORDER BY rank, frag""".stripMargin
+  }
+
+  /** IDF-WEIGHTED N-fragment highlighter oracle (QueryScorer semantics:
+    * fragment score = Σ weight over DISTINCT matched terms,
+    * QueryScorer.cs:167-173; weight = boost × (ln(N/(df+1)) + 1),
+    * QueryTermExtractor.cs:70) — the exact arithmetic of
+    * Highlight.topFragmentsWeighted, fragment chunking and ranking
+    * identical to [[highlightN]]. */
+  def highlightWeighted(q: Query, k: Int, window: Int,
+      maxFrags: Int): String = {
+    val bs = QueryAst.termBoosts(q).toSeq.sortBy(_._1)
+    val inList = bs.map(t => sq(t._1)).mkString(", ")
+    val vals = bs.map { case (t, b) => s"(${sq(t)}, CAST($b AS DOUBLE))" }
+      .mkString(", ")
+    s"""$prelude,
+       |qw AS (
+       |  SELECT v.term,
+       |         v.b * (ln(CAST(s.n AS DOUBLE) / (coalesce(d.df, 0) + 1)) + 1.0) AS wt
+       |  FROM (VALUES $vals) v(term, b)
+       |  LEFT JOIN dict d USING (term) CROSS JOIN stats s),
+       |hits AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY sq.score DESC, sq.docid) AS BIGINT) AS rank,
+       |         sq.docid
+       |  FROM ${scoreSql(q)} sq
+       |  ORDER BY sq.score DESC, sq.docid
+       |  LIMIT $k),
+       |htoks AS (
+       |  SELECT h.rank, h.docid, r.toks, len(r.toks) AS n
+       |  FROM hits h JOIN rawtok r USING (docid)),
+       |fstarts AS (
+       |  SELECT rank, docid, toks, n,
+       |         unnest(range(1, n + 1, $window)) AS i
+       |  FROM htoks),
+       |fterms AS (
+       |  SELECT rank, docid, i,
+       |         unnest(list_distinct(list_filter(toks[i:least(i + $window - 1, n)],
+       |           t -> t IN ($inList)))) AS term
+       |  FROM fstarts),
+       |fsc AS (
+       |  SELECT f.rank, f.docid, f.i, sum(w.wt) AS fscore
+       |  FROM fterms f JOIN qw w USING (term)
+       |  GROUP BY f.rank, f.docid, f.i),
+       |sel AS (
+       |  SELECT s2.rank, s2.docid, s2.toks, s2.n, s2.i, f.fscore,
+       |         row_number() OVER (PARTITION BY s2.docid ORDER BY
+       |           f.fscore DESC, s2.i ASC) AS frag
+       |  FROM fsc f JOIN fstarts s2 USING (rank, docid, i)
+       |  WHERE f.fscore > 0)
+       |SELECT rank, docid, CAST(frag AS BIGINT) AS frag,
+       |  round(fscore, 4) AS fscore,
        |  array_to_string(list_transform(toks[i:least(i + $window - 1, n)],
        |    t -> CASE WHEN t IN ($inList) THEN '[' || t || ']' ELSE t END),
        |    ' ') AS snippet

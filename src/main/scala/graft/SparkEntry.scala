@@ -22,6 +22,11 @@ object SparkEntry {
   final case class Count(q: Query) extends Spec
   /** Facet counts over a keyword column — SimpleFacetedSearch analog. */
   final case class Facet(q: Query, field: String) extends Spec
+  /** Facet counts over the CROSS PRODUCT of ≥2 keyword columns — the
+    * reference's multi-group ctor (SimpleFacetedSearch.cs:60 expands
+    * all field lists into their value cross product and counts hits
+    * per combination). */
+  final case class FacetMulti(q: Query, fields: Seq[String]) extends Spec
   /** Raw SQL pair for index-table dumps and non-query ops. */
   final case class Raw(spark: (SparkSession, String) => DataFrame,
       sql: String) extends Spec
@@ -240,6 +245,8 @@ object SparkEntry {
 
     // --- collectors / facets / sort (§2.6) ---
     "ft_facet_role" -> Facet(TermQ("table"), "role"),
+    // cross-product facets (SimpleFacetedSearch.cs:60 multi-field ctor)
+    "ft_facet_multi" -> FacetMulti(TermQ("table"), Seq("role", "tool")),
 
     // TopFieldCollector / Sort / FieldComparator analog: "latest matching
     // turns by ts" and a two-key (field, score) sort
@@ -323,6 +330,13 @@ object SparkEntry {
     // field scope threads into groups: role applies to BOTH disjuncts
     "ft_field_group" -> TopK(QueryParser.parse(
       "role:(tool user) +table merge")),
+    // parser date ranges (GetRangeQuery QueryParser.cs:749 +
+    // SetDateResolution): endpoints parse as dates/times and become
+    // DateTools keys at the field's resolution, evaluated as a
+    // lexicographic range over the encoded timestamp
+    "ft_parse_daterange" -> TopK(QueryParser.parse(
+      "+merge +ts:[2025-01-01T02:00:00 TO 2025-01-01T05:00:00]",
+      Map("ts" -> "minute"))),
 
     // --- highlighter (contrib Highlighter / FastVectorHighlighter) ---
     // best-window snippets over the top-k hits; the tvec variant takes
@@ -361,6 +375,28 @@ object SparkEntry {
       OracleSql.highlightN(
         BoolQ(should = Seq(TermQ("table"), TermQ("merge"))), 10,
         Highlight.Window, 3)),
+    // IDF-WEIGHTED fragment scoring (QueryScorer.cs): fragment score =
+    // Σ boost·idf over DISTINCT matched terms, so a lone rare term
+    // ("dup", high idf) outranks repeated hot ones ("table", boosted
+    // but low idf) — rank-visible exactly where raw hit-count isn't;
+    // again over BOTH the re-analysis and the term-vectors path
+    "ft_highlight_weighted" -> Raw(
+      (s, dir) => {
+        val idx = Engine.index(s, dir)
+        Highlight.highlightWeighted(idx, new Searcher(idx),
+          BoolQ(should = Seq(BoostQ(TermQ("table"), 2.0), TermQ("dup"))),
+          10, 3)
+      },
+      OracleSql.highlightWeighted(
+        BoolQ(should = Seq(BoostQ(TermQ("table"), 2.0), TermQ("dup"))),
+        10, Highlight.Window, 3)),
+    "ft_highlight_weighted_tvec" -> Raw(
+      (s, dir) => Engine.highlightTvecWeighted(s, dir,
+        BoolQ(should = Seq(BoostQ(TermQ("table"), 2.0), TermQ("dup"))),
+        10, 3),
+      OracleSql.highlightWeighted(
+        BoolQ(should = Seq(BoostQ(TermQ("table"), 2.0), TermQ("dup"))),
+        10, Highlight.Window, 3)),
 
     // --- payload family (PayloadTermQuery + payload functions) ---
     // the payload flavor stores a 2.0 payload on every occurrence at
@@ -1027,6 +1063,21 @@ object SparkEntry {
              |SELECT d.$field, CAST(count(*) AS BIGINT) AS hits
              |FROM ${OracleSql.scoreSql(q)} sq JOIN docs d ON d.docid = sq.docid
              |GROUP BY d.$field ORDER BY d.$field""".stripMargin)
+      case FacetMulti(q, fields) =>
+        ((s, dir) => {
+          val idx = Engine.index(s, dir)
+          new Searcher(idx).score(q)
+            .join(idx.docs.select("docid", fields: _*), Seq("docid"))
+            .groupBy(fields.head, fields.tail: _*)
+            .agg(count(lit(1)).as("hits"))
+            .orderBy(fields.head, fields.tail: _*)
+        }, {
+          val cols = fields.map(f => s"d.$f").mkString(", ")
+          s"""${OracleSql.prelude}
+             |SELECT $cols, CAST(count(*) AS BIGINT) AS hits
+             |FROM ${OracleSql.scoreSql(q)} sq JOIN docs d ON d.docid = sq.docid
+             |GROUP BY $cols ORDER BY $cols""".stripMargin
+        })
       case Raw(f, sql) => (f, sql)
     }
 

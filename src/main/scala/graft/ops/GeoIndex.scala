@@ -136,11 +136,14 @@ object GeoIndex {
     val dLat = radiusKm / Geo.KmPerDeg
     val dLon = radiusKm / (Geo.KmPerDeg * cosLat0)
     val dy = (col("lat") - lit(lat0)) * lit(Geo.KmPerDeg)
-    val dx = (col("lon") - lit(lon0)) * lit(Geo.KmPerDeg * cosLat0)
+    // wrapped Δlon (the covering-cell enumeration already wraps; the
+    // residual filter and distance must too, or a query at lon 179°
+    // never sees a point at −179° even after its cell was read)
+    val dx = Geo.wrapDlon(col("lon"), lon0) * lit(Geo.KmPerDeg * cosLat0)
     spark.read.parquet(s"$root/cells")
       .filter(col("cell").isin(cells: _*)) // partition-pruned
       .filter(col("lat").between(lat0 - dLat, lat0 + dLat) &&
-        col("lon").between(lon0 - dLon, lon0 + dLon))
+        Geo.lonPred(col("lon"), lon0, dLon))
       .withColumn("dist_km", sqrt(dy * dy + dx * dx))
       .filter(col("dist_km") <= radiusKm)
       .orderBy(col("dist_km"), col(idCol))

@@ -616,6 +616,19 @@ object TrainEntries {
         radiusKm = 2500.0, k = 10),
       Geo.knnOracle(lat0 = 10.0, lon0 = 20.0, radiusKm = 2500.0, k = 10)),
 
+    // antimeridian seam: the query box crosses ±180, so far-side
+    // neighbors (a point at −179.5° is ~60 km from 179.9°) must come
+    // back through BOTH the scan path and the persisted cell path —
+    // Δlon wraps in the distance and the bbox splits into two ranges
+    ("geo_seam",
+      (s, d) => Geo.knnGate(s, d, lat0 = 0.0, lon0 = 179.5,
+        radiusKm = 1500.0, k = 10),
+      Geo.knnOracle(lat0 = 0.0, lon0 = 179.5, radiusKm = 1500.0, k = 10)),
+    ("geo_seam_cells",
+      (s, d) => GeoIndex.knnGate(s, d, lat0 = 0.0, lon0 = 179.5,
+        radiusKm = 1500.0, k = 10),
+      Geo.knnOracle(lat0 = 0.0, lon0 = 179.5, radiusKm = 1500.0, k = 10)),
+
     // ---- PII redaction over deterministically injected PII ----
     ("tx_redact",
       (s, d) => TrainOps.redactGate(s, d),

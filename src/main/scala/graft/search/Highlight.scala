@@ -90,6 +90,79 @@ object Highlight {
       }
   }
 
+  /** IDF-WEIGHTED top-N fragments (QueryScorer semantics: fragment
+    * score = Σ weight over the DISTINCT query terms present —
+    * QueryScorer.cs:167-173 adds each term's weight once per fragment;
+    * weight = boost × (ln(N/(df+1)) + 1), the
+    * QueryTermExtractor.GetIdfWeightedTerms formula at line 70). Same
+    * SimpleFragmenter chunking + (score desc, position asc) ranking as
+    * [[topFragments]]; `termAt` maps a token position to its matched
+    * query term (None = no match), so the re-analysis path (token
+    * equality) and the term-vectors path (position sets) share one
+    * scorer. Scores rounded to 4 decimals (cross-engine float guard). */
+  def topFragmentsWeighted(raw: Vector[String], termAt: Int => Option[String],
+      weights: Map[String, Double], window: Int,
+      maxFrags: Int): Seq[(Long, Double, String)] = {
+    if (raw.isEmpty) return Seq.empty
+    (0 until raw.length by window)
+      .map { s =>
+        val end = math.min(s + window, raw.length)
+        val found = (s until end).flatMap(termAt).distinct
+        (s, end, found.map(weights.getOrElse(_, 0.0)).sum)
+      }
+      .filter(_._3 > 0.0)
+      .sortBy { case (s, _, sc) => (-sc, s) }
+      .take(maxFrags)
+      .zipWithIndex
+      .map { case ((s, e, sc), fi) =>
+        ((fi + 1).toLong,
+          math.rint(sc * 10000.0) / 10000.0,
+          (s until e).map(p =>
+            if (termAt(p).isDefined) s"[${raw(p)}]" else raw(p)).mkString(" "))
+      }
+  }
+
+  /** Per-term QueryScorer weights from the index stats: boost ×
+    * (ln(N/(df+1)) + 1) — QueryTermExtractor.cs:70 exactly (absent
+    * terms keep df = 0, like Searcher.docFreq on an unseen term). The
+    * dictionary lookup is a ≤|query| row collect. */
+  def termWeights(idx: InvertedIndex, q: Query): Map[String, Double] = {
+    val boosts = QueryAst.termBoosts(q)
+    if (boosts.isEmpty) return Map.empty
+    val dfs = idx.termDict
+      .filter(col("term").isin(boosts.keys.toSeq: _*))
+      .select("term", "df").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = idx.numDocs.toDouble
+    boosts.map { case (t, b) =>
+      t -> b * (math.log(n / (dfs.getOrElse(t, 0L) + 1.0)) + 1.0)
+    }
+  }
+
+  /** Weighted variant of [[highlightN]]: fragments ranked by the
+    * idf-weighted distinct-term score instead of raw hit count. */
+  def highlightWeighted(idx: InvertedIndex, searcher: Searcher, q: Query,
+      k: Int, maxFrags: Int, window: Int = Window): DataFrame = {
+    val spark = idx.docs.sparkSession
+    import spark.implicits._
+    val weights = termWeights(idx, q)
+    searcher.topK(q, k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("docid").asc)).cast("long"))
+      .join(idx.docs.select(col("docid"), col("text")), Seq("docid"))
+      .select(col("rank"), col("docid"), col("text"))
+      .as[(Long, Long, String)]
+      .flatMap { case (r, d, t) =>
+        val raw = Analyzer.rawTokens(t)
+        topFragmentsWeighted(raw,
+          p => Some(raw(p)).filter(weights.contains),
+          weights, window, maxFrags)
+          .map { case (f, sc, sn) => (r, d, f, sc, sn) }
+      }
+      .toDF("rank", "docid", "frag", "fscore", "snippet")
+  }
+
   /** N-fragment variant of [[highlight]]: one row per (hit, fragment),
     * fragments ranked within each hit. */
   def highlightN(idx: InvertedIndex, searcher: Searcher, q: Query,

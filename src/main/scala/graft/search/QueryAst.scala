@@ -91,6 +91,17 @@ final case class KeywordQ(field: String, value: String) extends Query
 final case class RangeQ(field: String, loSql: Option[String],
     hiSql: Option[String]) extends Query
 
+/** Date range over DateTools-encoded sortable keys
+  * (QueryParser.GetRangeQuery, QueryParser.cs:749: date-parseable range
+  * endpoints become DateTools.DateToString terms at the field's
+  * configured resolution, then an ordinary lexicographic range). `lo`/
+  * `hi` are the ALREADY-ENCODED keys (e.g. "20250102" at day
+  * resolution); evaluation compares the encoded timestamp column —
+  * lexicographic == time order by the DateTools contract. */
+final case class DateRangeQ(field: String, lo: Option[String],
+    hi: Option[String], resolution: String,
+    includeLo: Boolean = true, includeHi: Boolean = true) extends Query
+
 /** SpanFirstQuery.cs:31 (single-term span): term occurrences at
   * position < end; freq = matching-occurrence count (width-0 spans →
   * sloppyFreq 1 each, SpanScorer.cs:28). */
@@ -367,6 +378,31 @@ object QueryAst {
       .map(_.term).distinct.take(Searcher.MaxClauseCount)
     if (toks.isEmpty) MatchNoneQ else BoolQ(should = toks.map(TermQ(_)))
   }
+  /** Leaf text terms with their effective boost (nested boosts
+    * multiply; a term reached twice keeps its HIGHEST weight — the
+    * QueryScorer "always use the highest scoring Weight" rule,
+    * QueryScorer.cs:120-127). Feeds the idf-weighted highlighter. */
+  def termBoosts(q: Query, b: Double = 1.0): Map[String, Double] = q match {
+    case TermQ(t) => Map(t -> b)
+    case BoostQ(s, bb) => termBoosts(s, b * bb)
+    case ConstantScoreQ(s, _) => termBoosts(s, b)
+    case BoolQ(m, s, _, _) => // NOT clauses never highlight
+      (m ++ s).map(termBoosts(_, b))
+        .foldLeft(Map.empty[String, Double]) { (acc, mm) =>
+          mm.foldLeft(acc) { case (a, (t, w)) =>
+            a.updated(t, math.max(a.getOrElse(t, 0.0), w))
+          }
+        }
+    case DisMaxQ(ds, _) => ds.map(termBoosts(_, b))
+      .foldLeft(Map.empty[String, Double]) { (acc, mm) =>
+        mm.foldLeft(acc) { case (a, (t, w)) =>
+          a.updated(t, math.max(a.getOrElse(t, 0.0), w))
+        }
+      }
+    case PhraseQ(ts, _) => ts.map(_._1 -> b).toMap
+    case _ => terms(q).map(_ -> b).toMap
+  }
+
   /** Collect every analyzed text term mentioned by leaf queries (for the
     * broadcast dictionary lookup at plan time). */
   def terms(q: Query): Set[String] = q match {

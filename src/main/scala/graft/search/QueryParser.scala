@@ -27,8 +27,16 @@ object QueryParser {
 
   private val KeywordFields = Set("role", "tool", "conv_id")
 
-  def parse(input: String): Query = {
-    val p = new P(input)
+  def parse(input: String): Query = parse(input, Map.empty[String, String])
+
+  /** `dateResolutions` is the reference's per-field SetDateResolution
+    * map (QueryParser.cs:344): a range on such a field whose endpoints
+    * parse as dates (ISO `yyyy-MM-dd`) is converted to DateTools keys
+    * at that resolution (GetRangeQuery, QueryParser.cs:749) — with the
+    * reference's inclusive-upper extension to 23:59:59.999 so the whole
+    * end day is included. */
+  def parse(input: String, dateResolutions: Map[String, String]): Query = {
+    val p = new P(input, dateRes = dateResolutions)
     val q = p.parseBool()
     p.skipWs()
     require(p.eof, s"unconsumed query input at ${p.pos}: '${p.rest}'")
@@ -57,8 +65,38 @@ object QueryParser {
   private case object Must extends Occur
   private case object MustNot extends Occur
 
+  private val IsoDate = """\d{4}-\d{2}-\d{2}""".r
+  private val IsoDateTime = """\d{4}-\d{2}-\d{2}T\d{2}:\d{2}(:\d{2})?""".r
+
+  /** Endpoint → DateTools key at `res` (GetRangeQuery's date path,
+    * QueryParser.cs:749). A date-only upper endpoint with `endOfDay`
+    * extends to 23:59:59.999 — the reference's inclusive extension so
+    * the whole end day matches. A time-carrying ISO endpoint (which the
+    * reference's DateTime.Parse also accepts) is taken literally —
+    * documented deviation: the reference's blanket 23:59:59.999 add
+    * assumes date-only input and would shift an explicit time by a
+    * day. None for open ends. */
+  private def dateKey(v: String, res: String,
+      endOfDay: Boolean): Option[String] =
+    if (v == "*" || v.isEmpty) None
+    else {
+      val t =
+        if (IsoDateTime.matches(v)) java.time.LocalDateTime.parse(v)
+        else {
+          val d = java.time.LocalDate.parse(v)
+          if (endOfDay) d.atTime(23, 59, 59, 999000000)
+          else d.atStartOfDay()
+        }
+      Some(t.format(java.time.format.DateTimeFormatter.ofPattern(
+        graft.model.DateTools.Patterns(res))))
+    }
+
+  private def isDateOrOpen(v: String): Boolean =
+    v == "*" || v.isEmpty || IsoDate.matches(v) || IsoDateTime.matches(v)
+
   private final class P(s: String,
-      defaultFields: Seq[(String, Double)] = Seq("text" -> 1.0)) {
+      defaultFields: Seq[(String, Double)] = Seq("text" -> 1.0),
+      dateRes: Map[String, String] = Map.empty) {
     var pos = 0
     def eof: Boolean = pos >= s.length
     def rest: String = s.substring(math.min(pos, s.length))
@@ -244,13 +282,25 @@ object QueryParser {
             require(!eof && (peek == ']' || peek == '}'), "expected range end")
             val incHi = peek == ']'
             pos += 1
-            def bound(v: String): Option[String] =
-              if (v == "*" || v.isEmpty) None
-              else Some(Analyzer.analyzeQuery(v).headOption.getOrElse(v))
-            // term ranges live in the analyzed term dictionary only
-            // Lucene 3.0 default rewrite: constant-score AUTO
-            Some(TermRangeQ(bound(lo), bound(hi), incLo, incHi,
-              rewrite = AutoRewrite))
+            // date path (GetRangeQuery, QueryParser.cs:749): the target
+            // field has a configured resolution and both endpoints are
+            // date-parseable → DateTools-encoded key range
+            val dated = targets.collectFirst {
+              case (f, _) if dateRes.contains(f) &&
+                isDateOrOpen(lo) && isDateOrOpen(hi) =>
+                val res = dateRes(f)
+                DateRangeQ(f, dateKey(lo, res, endOfDay = false),
+                  dateKey(hi, res, endOfDay = incHi), res, incLo, incHi)
+            }
+            dated.orElse {
+              def bound(v: String): Option[String] =
+                if (v == "*" || v.isEmpty) None
+                else Some(Analyzer.analyzeQuery(v).headOption.getOrElse(v))
+              // term ranges live in the analyzed term dictionary only
+              // Lucene 3.0 default rewrite: constant-score AUTO
+              Some(TermRangeQ(bound(lo), bound(hi), incLo, incHi,
+                rewrite = AutoRewrite))
+            }
           case _ =>
             val w = word()
             // syntax markers are detected on the RAW word (escaped ~ * ?

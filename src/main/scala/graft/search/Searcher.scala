@@ -581,6 +581,17 @@ final class Searcher(idx: InvertedIndex, sim: Similarity = Bm25Sim) {
       idx.docs.filter(conds.reduceOption(_ && _).getOrElse(lit(true)))
         .select(col("docid"), lit(1.0).as("score"))
 
+    case DateRangeQ(field, lo, hi, res, il, ih) =>
+      // the parser's GetRangeQuery date path (QueryParser.cs:749):
+      // compare the DateTools-encoded key — a monotone date_format, so
+      // Catalyst can still prune on the underlying timestamp column
+      val key = graft.model.DateTools.dateToString(col(field), res)
+      val conds = Seq(
+        lo.map(v => if (il) key >= v else key > v),
+        hi.map(v => if (ih) key <= v else key < v)).flatten
+      idx.docs.filter(conds.reduceOption(_ && _).getOrElse(lit(true)))
+        .select(col("docid"), lit(1.0).as("score"))
+
     case ConstantScoreQ(sub, s) =>
       score(sub).select(col("docid"), lit(s).as("score"))
 
