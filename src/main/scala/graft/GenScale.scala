@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   * parallelism, no data copied. The TPC-H tables are NOT generated:
   * no gate query reads them (they carry no text), and the stress pass
   * sweeps the gate queries. Everything is distributed generation —
-  * the driver holds only the ~31-term vocabulary and small marginal
-  * tables collected from the source. */
+  * the driver holds only CAPPED marginal tables collected from the
+  * source (top-50k unigrams, ≤100k sampled token lengths, the small
+  * lang/source CDFs): pointing this at an arbitrarily large source
+  * cannot blow the driver. */
 object GenScale extends Serializable {
 
   private def sampleCdf(cdf: Array[(Double, String)], u: Double): String = {
@@ -42,16 +44,25 @@ object GenScale extends Serializable {
     // ---- documents ----
     val src = spark.read.parquet(s"$srcDir/documents.parquet")
     val nDocs = src.count() * scale
-    // empirical unigram distribution over the whitespace tokens
+    // empirical unigram distribution over the whitespace tokens, capped
+    // at the 50k most frequent terms (the gate corpus has ~31 + doc-id
+    // tokens; on an arbitrary source the full map would be a driver
+    // bottleneck — the dropped tail is the sub-1-occurrence-in-50k mass,
+    // irrelevant to a stress corpus's term statistics)
     val uni = src.select(explode(split(col("text"), " ")).as("t"))
       .filter(length(col("t")) > 0)
-      .groupBy("t").count().collect()
+      .groupBy("t").count()
+      .orderBy(col("count").desc, col("t")).limit(50000).collect()
       .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
     val uniTotal = uni.map(_._2).sum.toDouble
     val uniCdf = { var acc = 0.0; uni.map { case (w, c) =>
       acc += c / uniTotal; (acc, w) } }
-    val lens = src.select(size(split(col("text"), " ")).as("n"))
-      .collect().map(_.getInt(0))
+    // token-length sample, capped likewise (deterministic: first 100k
+    // in doc order — lengths are not ordered by doc_id in any way that
+    // would bias a marginal distribution)
+    val lens = src.orderBy("doc_id")
+      .select(size(split(col("text"), " ")).as("n"))
+      .limit(100000).collect().map(_.getInt(0))
     val langCdf = cdfOf(src, "lang")
     val sourceCdf = cdfOf(src, "source")
     // duplicate rate: fraction of rows whose text equals an earlier row

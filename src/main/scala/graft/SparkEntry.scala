@@ -722,6 +722,17 @@ object SparkEntry {
         "AS t(pos, term) ORDER BY pos, term"),
     "ft_stem_pt" -> stemGate(StemVectors.portuguese,
       graft.analysis.PortugueseStemmer.stem),
+    // English "Porter2" (the Snowball English chain — distinct from the
+    // classic PorterStemFilter algorithm already gated via SnowballSpec)
+    "ft_stem_en2" -> stemGate(StemVectors.english,
+      graft.analysis.EnglishStemmer.stem),
+    // german2 variant: ae/oe/ue folded as umlauts in the prelude
+    "ft_stem_de2" -> stemGate(StemVectors.german2,
+      graft.analysis.German2Stemmer.stem),
+    "ft_stem_ro" -> stemGate(StemVectors.romanian,
+      graft.analysis.RomanianStemmer.stem),
+    "ft_stem_hu" -> stemGate(StemVectors.hungarian,
+      graft.analysis.HungarianStemmer.stem),
     "ft_stem_br" -> stemGate(StemVectors.brazilian,
       graft.analysis.BrazilianStemmer.stem),
     "ft_stem_fi" -> stemGate(StemVectors.finnish,

@@ -35,11 +35,8 @@ object GermanStemmer {
     if (i < s.length) i + 1 else s.length
   }
 
-  def stem(word: String): String = {
-    if (word == null || word.length < 2) return if (word == null) "" else word
-    var s = word.toLowerCase(java.util.Locale.ROOT).replace("ß", "ss")
-
-    // mark u/y between vowels as consonants
+  /** Mark u/y between vowels as consonants (shared prelude piece). */
+  private[analysis] def markUY(s: String): String = {
     val a = s.toCharArray
     var i = 1
     while (i < a.length - 1) {
@@ -47,8 +44,20 @@ object GermanStemmer {
         a(i) = a(i).toUpper
       i += 1
     }
-    s = new String(a)
+    new String(a)
+  }
 
+  def stem(word: String): String = {
+    if (word == null || word.length < 2) return if (word == null) "" else word
+    steps(markUY(word.toLowerCase(java.util.Locale.ROOT).replace("ß", "ss")))
+  }
+
+  /** Steps 1-3 + finalize, on a post-prelude (marked) word — shared
+    * with [[German2Stemmer]], whose prelude additionally folds
+    * ae/oe/ue; every rule from here on is identical between the two
+    * published algorithms. */
+  private[analysis] def steps(marked: String): String = {
+    var s = marked
     val r1 = math.max(regionAfter(s, 0), 3)
     val r2 = regionAfter(s, r1)
 

@@ -292,6 +292,88 @@ object StemVectors {
     // R1 floor: everything out of region survives
     "maan" -> "maan")
 
+  val german2: Seq[(String, String)] = Seq(
+    // ae/oe/ue fold to ä/ö/ü BEFORE regions/suffixes (the variant's
+    // whole point — the digraph counts as ONE vowel, so R1 moves left
+    // and suffixes strip where standard German leaves them)
+    "gruenen" -> "grun", "gruen" -> "grun",
+    "muede" -> "mud", "baeume" -> "baum", "schoene" -> "schon",
+    // qu protection: the u of qu is never folded
+    "quelle" -> "quell",
+    // marked vowel-u (baUen) is not a ue digraph
+    "bauen" -> "bau",
+    // shared-step anchors (identical to standard German)
+    "tische" -> "tisch", "ausmaß" -> "ausmass", "häufig" -> "haufig")
+
+  val hungarian: Seq[(String, String)] = Seq(
+    // case endings in R1 (consonant-start word: R1 after first vowel)
+    "házból" -> "ház", "házban" -> "ház", "házakat" -> "ház",
+    // case t, then final á→a, then singular-owner a
+    "házát" -> "ház",
+    // instrumental al after double consonant → delete + undouble
+    "fákkal" -> "fák",
+    // factive á after double consonant → delete + undouble
+    "házzá" -> "ház",
+    // owner chains: sing-owner m, then plur-owner ai
+    "házaim" -> "ház",
+    // case ként, then special án → a, then sing-owner a falls too
+    "óránként" -> "ór",
+    // the case list's ul consumes stul-words before case_other sees them
+    "házastul" -> "házast",
+    // é-possessive deletion
+    "pénzé" -> "pénz",
+    // plural ák → a; the digraph-aware R1 (ly counts as one consonant)
+    "almák" -> "alma", "olyan" -> "oly",
+    // sing-owner ja with no re-running of earlier steps
+    "munkája" -> "munká")
+
+  val romanian: Seq[(String, String)] = Seq(
+    // step 0 article/plural removal in R1
+    "copilului" -> "copil",     // ului deleted
+    "cartea" -> "cart",         // ea → e, then step-4 e
+    "lucrurile" -> "lucrur",    // ile → i (not after ab), then step-4 i
+    "abile" -> "abil",          // ile AFTER ab → blocked; step-4 e only
+    "informaţia" -> "inform",   // aţia → aţi, then verb aţi deleted
+    // step 1 combining suffixes (repeat) + step 2 standard suffixes
+    "creativitate" -> "creativ", // ivitate → iv in R1
+    "abilitate" -> "abil",       // combo out of R1 → step-2 itate in R2
+    "construcţiune" -> "construct", // iune after ţ → delete, ţ→t
+    "jurnalism" -> "jurnalist",  // ism → ist (normalized, not deleted)
+    "importantă" -> "import",    // antă in R2
+    "frumoasă" -> "frumoas",     // oasă outside R2 → step-4 ă only
+    // step 3 verb suffixes (only when steps 1-2 removed nothing)
+    "lucrează" -> "lucr",        // ează after consonant in RV
+    "mergem" -> "merg",          // em unconditional
+    "citise" -> "citis",         // ise matched but condition char < RV
+    // prelude U marking + step 4
+    "ploua" -> "plou")
+
+  val english: Seq[(String, String)] = Seq(
+    // whole-word exception lists (exception1 / post-1a exception2)
+    "skies" -> "sky", "dying" -> "die", "news" -> "news",
+    "inning" -> "inning", "proceed" -> "proceed",
+    // step 1a plural forms: sses, ied/ies short+long, gated s-deletion
+    "caresses" -> "caress", "ties" -> "tie", "cries" -> "cri",
+    "gaps" -> "gap", "gas" -> "gas", "kiwis" -> "kiwi",
+    // step 1b: eed→ee (then step-5 e), ed/ing deletion with the
+    // at/bl/iz +e, undouble, and short-word +e repairs
+    "agreed" -> "agre", "feed" -> "feed", "plastered" -> "plaster",
+    "motoring" -> "motor", "sing" -> "sing", "hopping" -> "hop",
+    "hoping" -> "hope", "sized" -> "size", "disabled" -> "disabl",
+    // step 1c y→i after a non-initial consonant
+    "cry" -> "cri", "by" -> "by", "say" -> "say",
+    // steps 2-4 suffix chains under R1/R2 gating
+    "consistency" -> "consist", "sensational" -> "sensat",
+    "rationalize" -> "ration", "conditional" -> "condit",
+    "adoption" -> "adopt", "quickly" -> "quick", "geology" -> "geolog",
+    "fluently" -> "fluentli", // entli matched but outside R1 → frozen
+    "generously" -> "generous", // gener R1-exception prefix
+    "generate" -> "generat",
+    "hopefulness" -> "hope", // fulness→ful (2), ful→∅ (3), e kept (5)
+    // step 5 + undouble interplay
+    "controlling" -> "control", "roll" -> "roll",
+    "happiness" -> "happi")
+
   val russian: Seq[(String, String)] = Seq(
     // noun endings in RV
     "книги" -> "книг", "книга" -> "книг", "процессы" -> "процесс",

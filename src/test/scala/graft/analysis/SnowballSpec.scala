@@ -38,6 +38,34 @@ class SnowballSpec extends AnyFunSuite {
     }
   }
 
+  test("English (Porter2) Snowball vectors (hand-derived)") {
+    StemVectors.english.foreach { case (w, want) =>
+      assert(EnglishStemmer.stem(w) == want,
+        s"$w: got ${EnglishStemmer.stem(w)}, want $want")
+    }
+  }
+
+  test("German2 Snowball vectors (hand-derived)") {
+    StemVectors.german2.foreach { case (w, want) =>
+      assert(German2Stemmer.stem(w) == want,
+        s"$w: got ${German2Stemmer.stem(w)}, want $want")
+    }
+  }
+
+  test("Romanian Snowball vectors (hand-derived)") {
+    StemVectors.romanian.foreach { case (w, want) =>
+      assert(RomanianStemmer.stem(w) == want,
+        s"$w: got ${RomanianStemmer.stem(w)}, want $want")
+    }
+  }
+
+  test("Hungarian Snowball vectors (hand-derived)") {
+    StemVectors.hungarian.foreach { case (w, want) =>
+      assert(HungarianStemmer.stem(w) == want,
+        s"$w: got ${HungarianStemmer.stem(w)}, want $want")
+    }
+  }
+
   test("Spanish analyzer chain: stop words gap positions, then stem") {
     val toks = Analyzers.tokenize(Analyzers.Spanish,
       "las canciones más significativas de la constitución")
