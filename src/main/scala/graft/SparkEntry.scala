@@ -733,6 +733,16 @@ object SparkEntry {
       graft.analysis.RomanianStemmer.stem),
     "ft_stem_hu" -> stemGate(StemVectors.hungarian,
       graft.analysis.HungarianStemmer.stem),
+    "ft_stem_tr" -> stemGate(StemVectors.turkish,
+      graft.analysis.TurkishStemmer.stem),
+    // the 1968 Lovins algorithm (longest-match, 29 context conditions,
+    // respell transformations)
+    "ft_stem_lovins" -> stemGate(StemVectors.lovins,
+      graft.analysis.LovinsStemmer.stem),
+    // Kraaij-Pohlmann Dutch (ij vowel units, vowel lengthening,
+    // ge-prefix/infix removal) — the kp chain, distinct from ft_stem_nl
+    "ft_stem_kp" -> stemGate(StemVectors.kp,
+      graft.analysis.KpStemmer.stem),
     "ft_stem_br" -> stemGate(StemVectors.brazilian,
       graft.analysis.BrazilianStemmer.stem),
     "ft_stem_fi" -> stemGate(StemVectors.finnish,

@@ -305,6 +305,69 @@ object StemVectors {
     // shared-step anchors (identical to standard German)
     "tische" -> "tisch", "ausmaß" -> "ausmass", "häufig" -> "haufig")
 
+  val kp: Seq[(String, String)] = Seq(
+    // en-removal with vowel lengthening (a/o/u and the gated e)
+    "hopen" -> "hoop", "nemen" -> "neem",
+    // en-removal + undoubling via Step 6
+    "bakken" -> "bak",
+    // heden → heid (1), heid deletion (3), then the -ge- INFIX pass
+    // fires on mogelijk too (no morphology guard in the algorithm)
+    "mogelijkheden" -> "molijk",
+    // diminutives: mpje → m; tje blocked by R1 → bare je fallback
+    "boompje" -> "boom", "katje" -> "kat",
+    // ies → ie
+    "tralies" -> "tralie",
+    // ge- prefix removal (after step-1 lengthening)
+    "gebroken" -> "brook",
+    // -ge- infix removal
+    "huisgenoot" -> "huisnoot",
+    // ieve → ief; final z → s; ing with e-lengthening
+    "actieve" -> "actief", "grenzen" -> "grens",
+    "wandeling" -> "wandeel")
+
+  val lovins: Seq[(String, String)] = Seq(
+    // longest-match ending whose condition FAILS removes nothing
+    "nationally" -> "nationally", // ationally matched, stem "n" < B's 3
+    "agrees" -> "agrees",         // es matched, E forbids stem-final e
+    // ending + respell chains
+    "induction" -> "induc",       // ion (Q), then uct→uc
+    "metrically" -> "meter",      // ically (A), then metr→meter
+    "analyzes" -> "analys",       // es (E), then yz→ys
+    "regularly" -> "regl",        // arly (K), then ul→l (not after a/i/o)
+    // plain endings and conditions
+    "bellies" -> "bel",           // ies (P), then undouble ll
+    "sensibilities" -> "sensibil",
+    "magnesium" -> "magnes",      // ium
+    "hopelessness" -> "hope",     // lessness
+    "linearly" -> "lin",          // early under Y (stem ends "in")
+    // respell-only paths, incl. the letter gates
+    "transmit" -> "transmis",     // mit→mis
+    "decipher" -> "decipher")     // her→hes BLOCKED after p
+
+  val turkish: Seq[(String, String)] = Seq(
+    // noun suffixes + final devoicing b→p
+    "kitabı" -> "kitap", "kitabın" -> "kitap",
+    // nominal-verb lAr branch clears the continue flag (postlude skipped)
+    "kitaplar" -> "kitap",
+    // ndA + lArI in one bracket
+    "evlerinde" -> "ev",
+    // the recursive ki-chain deletes an interior run
+    "odadaki" -> "oda",
+    // nominal verb: sUnUz; then yDU past tense
+    "güzelsiniz" -> "güzel", "geldi" -> "gel",
+    // ndAn + sU + lAr cascade
+    "kapılarından" -> "kapı",
+    // DUr with try-chain; then yA with buffer y
+    "türkiyedir" -> "türki",
+    // final ğ devoices to k
+    "dağı" -> "dak",
+    // reserved word: postlude (and its d-append) skipped
+    "adı" -> "ad",
+    // append-U after d: the accusative strips, the harmonizing u returns
+    "armudu" -> "armudu",
+    // single-syllable words are never touched
+    "ev" -> "ev")
+
   val hungarian: Seq[(String, String)] = Seq(
     // case endings in R1 (consonant-start word: R1 after first vowel)
     "házból" -> "ház", "házban" -> "ház", "házakat" -> "ház",

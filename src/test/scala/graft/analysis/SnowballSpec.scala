@@ -66,6 +66,27 @@ class SnowballSpec extends AnyFunSuite {
     }
   }
 
+  test("Turkish Snowball vectors (hand-derived)") {
+    StemVectors.turkish.foreach { case (w, want) =>
+      assert(TurkishStemmer.stem(w) == want,
+        s"$w: got ${TurkishStemmer.stem(w)}, want $want")
+    }
+  }
+
+  test("Lovins vectors (hand-derived)") {
+    StemVectors.lovins.foreach { case (w, want) =>
+      assert(LovinsStemmer.stem(w) == want,
+        s"$w: got ${LovinsStemmer.stem(w)}, want $want")
+    }
+  }
+
+  test("Kraaij-Pohlmann vectors (hand-derived)") {
+    StemVectors.kp.foreach { case (w, want) =>
+      assert(KpStemmer.stem(w) == want,
+        s"$w: got ${KpStemmer.stem(w)}, want $want")
+    }
+  }
+
   test("Spanish analyzer chain: stop words gap positions, then stem") {
     val toks = Analyzers.tokenize(Analyzers.Spanish,
       "las canciones más significativas de la constitución")
