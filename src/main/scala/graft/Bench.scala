@@ -325,6 +325,7 @@ object Bench {
     val turns = sys.env.get("SPARK_GRAFT_BENCH_TURNS").map(_.toLong)
       .getOrElse(if (nLow >= 8) 8000000L else 4000000L)
     var scalingJson = "null"
+    var scalingCompactJson = "null"
     if (!skipScaling) {
       // untimed: materialize the deterministic input + warmup corpus
       val inputPath = Files.createTempDirectory(benchFs, "input").toString
@@ -437,7 +438,7 @@ object Bench {
       // rounded to 4 decimals, the gate discipline); queries empty at
       // BOTH levels are excluded from the match count and reported.
       val qIdxRoot = Files.createTempDirectory(benchFs, "qidx").toString
-      val queryScalingJson = try {
+      val (queryScalingJson, queryScalingCompact) = try {
         import graft.search.{BoolQ, BoostQ, Searcher, TermQ}
         // 4×nHigh-way store + shuffle granularity at BOTH levels: enough
         // tasks that 12 cores stay busy (no straggler waste from 64 qids
@@ -560,7 +561,18 @@ object Bench {
         val overheadN = rN.map(r => tN(regSmall) - regSmall / r)
         val overhead4N = r4N.map(r => t4N(regSmall) - regSmall / r)
         def opt(o: Option[Double]) = o.map(v => f"$v%.3f").getOrElse("null")
-        f"""{"queries":$regBig,"queries_small":$regSmall,"pairs":$qPairs,""" +
+        // headline scalars go in BOTH records; the driver's 2000-char
+        // tail capture gets only these, the full arrays stay in
+        // BENCH_SELF.json
+        val compactQ =
+          f"""{"queries":$regBig,"pairs":$qPairs,""" +
+            f""""t_n_sec":${tN(regBig)}%.2f,"t_4n_sec":${t4N(regBig)}%.2f,""" +
+            f""""qps_n":${regBig / tN(regBig)}%.1f,""" +
+            f""""qps_4n":${regBig / t4N(regBig)}%.1f,""" +
+            s""""scan_scaling_efficiency":${opt(scanEff)},""" +
+            f""""topk_match_rate":$matchRate%.3f,""" +
+            f""""scaling_efficiency":$qEff%.3f}"""
+        val fullQ = f"""{"queries":$regBig,"queries_small":$regSmall,"pairs":$qPairs,""" +
           f""""t_n_sec":${tN(regBig)}%.2f,"t_4n_sec":${t4N(regBig)}%.2f,""" +
           f""""t_n_small_sec":${tN(regSmall)}%.2f,""" +
           f""""t_4n_small_sec":${t4N(regSmall)}%.2f,""" +
@@ -577,10 +589,12 @@ object Bench {
           f""""topk_match_rate":$matchRate%.3f,""" +
           s""""topk_empty_queries":$nEmpty,""" +
           f""""scaling_efficiency":$qEff%.3f}"""
+        (fullQ, compactQ)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] query scaling failed: $e")
         e.printStackTrace()
-        s"""{"err":"${e.getClass.getSimpleName}"}"""
+        val err = s"""{"err":"${e.getClass.getSimpleName}"}"""
+        (err, err)
       } finally deleteRec(java.nio.file.Paths.get(qIdxRoot))
       deleteRec(java.nio.file.Paths.get(inputPath))
       deleteRec(java.nio.file.Paths.get(warmPath))
@@ -616,11 +630,29 @@ object Bench {
           }%.3f,""" +
           s""""query_scaling":$queryScalingJson,""" +
           f""""scaling_efficiency":${tLows.min / (4.0 * tHighs.min)}%.3f}"""
+      // scalar twin of the block above for the driver's bounded tail
+      // capture — no arrays, no probe tables, full record in
+      // BENCH_SELF.json
+      scalingCompactJson =
+        f"""{"turns":$turns,"n_low":$nLow,"n_high":$nHigh,""" +
+          f""""hw_pair_eff":$hwEff%.3f,""" +
+          s""""gate_measurable":$gateMeasurable,""" +
+          s""""extra_pairs":$extraPairs,""" +
+          f""""t_n_sec":$tLow%.2f,"t_4n_sec":$tHigh%.2f,""" +
+          f""""turns_per_sec_n":$thrLow%.0f,"turns_per_sec_4n":$thrHigh%.0f,""" +
+          s""""query_scaling":$queryScalingCompact,""" +
+          f""""scaling_efficiency":${tLows.min / (4.0 * tHighs.min)}%.3f}"""
     }
 
     // ---- part 2: per-query wall time on the sf dir ----
     if (sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")) {
-      println(s"""{"metric":"build_only","build":$scalingJson}""")
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_SELF", "BENCH_SELF.json")),
+        (s"""{"metric":"build_only","build":$scalingJson}""" + "\n")
+          .getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+      println(s"""{"metric":"build_only","build":$scalingCompactJson}""")
       return
     }
     val spark = mkSession(cpus, forBuild = false)
@@ -864,7 +896,15 @@ object Bench {
             s""""flavor_build_sec":$fl1,""" +
             s""""build_superlinear_suspects":{${buildSuspects.mkString(",")}},""" +
             s""""superlinear_suspects":{${suspects.mkString(",")}}"""
-        (head + s""","queries":$q1}""", head + "}")
+        // compact twin: suspects only (the signal), flavor maps and the
+        // per-query sweep stay in the full record
+        val compactHead =
+          f"""{"scale":$scale,""" +
+            f""""total_sec":${res1.map(_._2).sum}%.2f,""" +
+            f""""base_total_sec":$total%.2f,""" +
+            s""""build_superlinear_suspects":{${buildSuspects.mkString(",")}},""" +
+            s""""superlinear_suspects":{${suspects.mkString(",")}}}"""
+        (head + s""","queries":$q1}""", compactHead)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 stress failed: $e")
         e.printStackTrace()
@@ -886,11 +926,23 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     // "queries" keeps the driver-contract shape but holds only the 8
-    // slowest entries; queries_n says how many the full record carries
+    // slowest entries; queries_n says how many the full record carries.
+    // The stdout line must survive a 2000-char tail capture WITH sbt's
+    // [success] trailer behind it, so every block here is the scalar
+    // twin; if it still somehow overruns the budget, drop blocks in
+    // diagnostic-value order rather than let the tail truncate the head.
     val slowest = results.sortBy(-_._2).take(8)
       .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    val compact =
-      f"""{"metric":"total_query_sec","value":$total%.2f,"unit":"sec","queries":$slowest,"queries_n":${results.size},"queries_retried":$retriedJson,"flavor_build_sec":$fl,"wand":$wandJson,"ann":$annJson,"ann_clustered":$annClusteredJson,"sf1":$sf1CompactJson,"sf":"$sfDir","build":$scalingJson,"full_record":"BENCH_SELF.json"}"""
+    def compactLine(withQueries: Boolean, withSf1: Boolean) =
+      f"""{"metric":"total_query_sec","value":$total%.2f,"unit":"sec",""" +
+        (if (withQueries) s""""queries":$slowest,""" else "") +
+        s""""queries_n":${results.size},""" +
+        (if (withSf1) s""""sf1":$sf1CompactJson,""" else "") +
+        s""""sf":"$sfDir","build":$scalingCompactJson,""" +
+        s""""full_record":"BENCH_SELF.json"}"""
+    val compact = Seq(compactLine(true, true), compactLine(true, false),
+      compactLine(false, false)).find(_.length <= 1700)
+      .getOrElse(compactLine(false, false))
     println(compact)
     spark.stop()
   }
