@@ -686,6 +686,42 @@ object TrainEntries {
          |  h % 997 AS chk
          |FROM m ORDER BY doc_id""".stripMargin),
 
+    // Real decode over real bytes: blobs are genuine BMP/WAV/Y4M files
+    // synthesized from documents.text; the engine parses them back with
+    // pure-JVM binary codecs (MediaCodecs) and the oracle recomputes
+    // the STRUCTURE each format must carry from the same generator
+    // arithmetic (sizes include every header/stride/marker byte, so a
+    // mis-parsed header or padding rule breaks the hash). The content
+    // feature (mean luma / mean |sample|) is proven by the round-trip
+    // spec instead — SQL cannot portably fold UTF-8 bytes.
+    ("mm_decode",
+      (s, d) => Multimodal.decoded(s, d),
+      """WITH p AS (SELECT doc_id,
+        |    CAST(doc_id % 3 AS INTEGER) AS k,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n,
+        |    CAST(8 + doc_id % 16 AS BIGINT) AS w,
+        |    CAST(4 + doc_id % 8 AS BIGINT) AS h,
+        |    CAST(1 + doc_id % 4 AS BIGINT) AS fr
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |         ELSE 'video' END AS kind,
+        |  CAST(CASE k WHEN 0 THEN 54 + ((3 * w + 3) // 4) * 4 * h
+        |              WHEN 1 THEN 44 + 2 * n
+        |              ELSE 36 + fr * 198 END AS BIGINT) AS n_bytes,
+        |  CAST(CASE k WHEN 0 THEN w WHEN 1 THEN 0 ELSE 16 END
+        |       AS INTEGER) AS width,
+        |  CAST(CASE k WHEN 0 THEN h WHEN 1 THEN 0 ELSE 8 END
+        |       AS INTEGER) AS height,
+        |  CAST(CASE k WHEN 0 THEN 1 WHEN 1 THEN 0 ELSE fr END
+        |       AS INTEGER) AS frames,
+        |  CAST(CASE k WHEN 1 THEN n ELSE 0 END AS BIGINT) AS n_samples,
+        |  CAST(CASE k WHEN 1 THEN 8000 ELSE 0 END
+        |       AS INTEGER) AS sample_rate,
+        |  CAST(CASE k WHEN 0 THEN 0 WHEN 1 THEN n * 1000 // 8000
+        |              ELSE fr * 40 END AS BIGINT) AS duration_ms
+        |FROM p ORDER BY doc_id""".stripMargin),
+
     // ---- dataset assembly: split / stratified sample / curation ----
     ("tx_split",
       (s, d) => TrainOps.splitCounts(s, d),
