@@ -119,6 +119,29 @@ object MediaCodecs {
     Decoded(width, height, 1, 0L, 0, 0L, if (n == 0) 0.0 else sum / n)
   }
 
+  /** Grayscale payload of a 24bpp BMP, row-major from the TOP (the
+    * decoder re-flips the bottom-up storage): value = (r+g+b)/3. */
+  def bmpGray(b: Array[Byte]): Array[Int] = {
+    val d = decodeBmp(b) // validates header/truncation
+    val (w, h) = (d.width, d.height)
+    val dataOff = le32(b, 10)
+    val stride = bmpStride(w)
+    val out = new Array[Int](w * h)
+    var row = 0
+    while (row < h) {
+      val srcRow = h - 1 - row // stored bottom-up
+      var x = 0
+      while (x < w) {
+        val off = dataOff + srcRow * stride + 3 * x
+        out(row * w + x) = ((b(off) & 0xff) + (b(off + 1) & 0xff) +
+          (b(off + 2) & 0xff)) / 3
+        x += 1
+      }
+      row += 1
+    }
+    out
+  }
+
   // ======================================================== WAV ====
 
   val WavSampleRate = 8000
@@ -187,6 +210,27 @@ object MediaCodecs {
     }
     Decoded(0, 0, 0, n.toLong, sampleRate,
       n.toLong * 1000 / sampleRate, if (n == 0) 0.0 else sum / n)
+  }
+
+  /** PCM16 sample payload of a mono WAV (chunk-walked like
+    * [[decodeWav]]). */
+  def wavSamples(b: Array[Byte]): Array[Short] = {
+    val d = decodeWav(b) // validates
+    // re-walk to the data chunk
+    var off = 12
+    var dataOff = -1
+    while (off + 8 <= b.length && dataOff < 0) {
+      val id = new String(b, off, 4, "US-ASCII")
+      val len = le32(b, off + 4)
+      if (id == "data") dataOff = off + 8
+      else off += 8 + len + (len & 1)
+    }
+    val out = new Array[Short](d.nSamples.toInt)
+    var i = 0
+    while (i < out.length) {
+      out(i) = le16(b, dataOff + 2 * i).toShort; i += 1
+    }
+    out
   }
 
   // ======================================================== Y4M ====
@@ -262,5 +306,24 @@ object MediaCodecs {
     }
     Decoded(w, h, frames, 0L, 0,
       frames.toLong * 1000 / fps, firstMean)
+  }
+
+  /** Frame-sample: (width, height, luma plane of frame 0, row-major).
+    * The frame-extraction op a video preprocessing pipeline runs. */
+  def y4mFirstFrameLuma(b: Array[Byte]): (Int, Int, Array[Int]) = {
+    decodeY4m(b) // validates header + all frame markers
+    val nl = b.indexOf('\n'.toByte)
+    val toks = new String(b, 0, nl, "US-ASCII").split(' ')
+    def tok(p: Char) = toks.find(t => t.nonEmpty && t.charAt(0) == p)
+      .map(_.drop(1))
+    val w = tok('W').get.toInt
+    val h = tok('H').get.toInt
+    var i = nl + 1 // first FRAME line
+    while (i < b.length && b(i) != '\n'.toByte) i += 1
+    val dataOff = i + 1
+    val luma = new Array[Int](w * h)
+    var j = 0
+    while (j < w * h) { luma(j) = b(dataOff + j) & 0xff; j += 1 }
+    (w, h, luma)
   }
 }

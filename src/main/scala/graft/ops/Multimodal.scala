@@ -164,4 +164,75 @@ object Multimodal {
   def decoded(spark: SparkSession, sfDir: String): DataFrame =
     decodeFeatures(realMediaTable(spark, sfDir))
       .drop("mean_val").orderBy("doc_id")
+
+  // ==================== media transforms (decode -> re-encode) =======
+
+  /** The three preprocessing transforms a training pipeline runs on
+    * media columns, each a REAL decode -> transform -> re-encode over
+    * the format bytes:
+    *  - image: 2x box-filter downscale (mean of each 2x2 cell; edge
+    *    cells average the pixels that exist), re-encoded as BMP;
+    *  - audio: 2x decimation (every even-index sample), re-encoded as
+    *    WAV — 8 kHz -> effectively 4 kHz content in a 8 kHz container
+    *    (rate metadata unchanged keeps the oracle arithmetic format-
+    *    local; a production resampler would rewrite the rate field);
+    *  - video: frame-sample — extract frame 0's luma plane as a
+    *    grayscale BMP still.
+    * Output blob is a well-formed file of the OUTPUT format, so
+    * transforms compose with [[decodeFeatures]]. */
+  def transformRow(m: MediaRow): MediaRow = m.kind match {
+    case "image" =>
+      val d = MediaCodecs.decodeBmp(m.blob)
+      val (w, h) = (d.width, d.height)
+      val ow = math.max(1, w / 2)
+      val oh = math.max(1, h / 2)
+      val px = MediaCodecs.bmpGray(m.blob)
+      MediaRow(m.doc_id, "image", MediaCodecs.encodeBmp(ow, oh, { k =>
+        val (ox, oy) = (k % ow, k / ow)
+        var sum = 0; var cnt = 0
+        var dy = 0
+        while (dy < 2) {
+          var dx = 0
+          while (dx < 2) {
+            val (x, y) = (2 * ox + dx, 2 * oy + dy)
+            if (x < w && y < h) { sum += px(y * w + x); cnt += 1 }
+            dx += 1
+          }
+          dy += 1
+        }
+        sum / cnt
+      }))
+    case "audio" =>
+      val s = MediaCodecs.wavSamples(m.blob)
+      val out = new Array[Short]((s.length + 1) / 2)
+      var i = 0
+      while (i < out.length) { out(i) = s(2 * i); i += 1 }
+      MediaRow(m.doc_id, "audio", MediaCodecs.encodeWav(out))
+    case _ =>
+      val (w, h, luma) = MediaCodecs.y4mFirstFrameLuma(m.blob)
+      MediaRow(m.doc_id, "image",
+        MediaCodecs.encodeBmp(w, h, k => luma(k)))
+  }
+
+  /** Gate query: full decode -> transform -> re-encode -> decode chain
+    * over the corpus; emits the OUTPUT structure (dims + exact byte
+    * size of the re-encoded file — wrong stride/padding/header breaks
+    * the hash). Partition-local end to end. */
+  def transformed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    realMediaTable(spark, sfDir)
+      .mapPartitions(_.grouped(DecodeBatch).flatMap(_.map { m =>
+        val t = transformRow(m)
+        val d = t.kind match {
+          case "image" => MediaCodecs.decodeBmp(t.blob)
+          case "audio" => MediaCodecs.decodeWav(t.blob)
+          case _       => MediaCodecs.decodeY4m(t.blob)
+        }
+        (m.doc_id, m.kind, t.kind, t.blob.length.toLong,
+          d.width, d.height, d.nSamples)
+      }))
+      .toDF("doc_id", "kind", "out_kind", "out_bytes", "out_width",
+        "out_height", "out_samples")
+      .orderBy("doc_id")
+  }
 }

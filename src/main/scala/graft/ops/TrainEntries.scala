@@ -722,6 +722,36 @@ object TrainEntries {
         |              ELSE fr * 40 END AS BIGINT) AS duration_ms
         |FROM p ORDER BY doc_id""".stripMargin),
 
+    // Media transforms: decode -> transform -> RE-ENCODE -> decode.
+    // image 2x box downscale (BMP out), audio 2x decimation (WAV out),
+    // video frame-0 extraction to a grayscale BMP still. The oracle
+    // recomputes the OUTPUT file's structure (dims + exact re-encoded
+    // byte size, stride padding included); payload content (box-filter
+    // means, even-index picks, frame-0 bytes) is the spec's round-trip.
+    ("mm_transform",
+      (s, d) => Multimodal.transformed(s, d),
+      """WITH p AS (SELECT doc_id,
+        |    CAST(doc_id % 3 AS INTEGER) AS k,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n,
+        |    CAST(8 + doc_id % 16 AS BIGINT) AS w,
+        |    CAST(4 + doc_id % 8 AS BIGINT) AS h
+        |  FROM documents),
+        |q AS (SELECT doc_id, k, w // 2 AS ow, h // 2 AS oh,
+        |             (n + 1) // 2 AS n2 FROM p)
+        |SELECT doc_id,
+        |  CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |         ELSE 'video' END AS kind,
+        |  CASE k WHEN 1 THEN 'audio' ELSE 'image' END AS out_kind,
+        |  CAST(CASE k WHEN 0 THEN 54 + ((3 * ow + 3) // 4) * 4 * oh
+        |              WHEN 1 THEN 44 + 2 * n2
+        |              ELSE 438 END AS BIGINT) AS out_bytes,
+        |  CAST(CASE k WHEN 0 THEN ow WHEN 1 THEN 0 ELSE 16 END
+        |       AS INTEGER) AS out_width,
+        |  CAST(CASE k WHEN 0 THEN oh WHEN 1 THEN 0 ELSE 8 END
+        |       AS INTEGER) AS out_height,
+        |  CAST(CASE k WHEN 1 THEN n2 ELSE 0 END AS BIGINT) AS out_samples
+        |FROM q ORDER BY doc_id""".stripMargin),
+
     // ---- dataset assembly: split / stratified sample / curation ----
     ("tx_split",
       (s, d) => TrainOps.splitCounts(s, d),

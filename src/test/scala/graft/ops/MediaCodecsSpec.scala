@@ -152,6 +152,44 @@ class MediaCodecsSpec extends AnyFunSuite {
     }
   }
 
+  // ==================== transforms ====================
+
+  test("image transform: 2x box downscale averages each 2x2 cell") {
+    // 4x2 -> 2x1, row-major rows (1,2,3,4)/(5,6,7,8):
+    // cell(0,0)={1,2,5,6} mean 3; cell(1,0)={3,4,7,8} mean 5
+    val src = MediaCodecs.encodeBmp(4, 2, Array(1, 2, 3, 4, 5, 6, 7, 8))
+    val out = Multimodal.transformRow(MediaRow(0L, "image", src))
+    val d = MediaCodecs.decodeBmp(out.blob)
+    assert(d.width == 2 && d.height == 1)
+    assert(MediaCodecs.bmpGray(out.blob).toSeq == Seq(3, 5))
+  }
+
+  test("image transform: odd dims average only existing edge pixels") {
+    // 3x3 -> 1x1 (w/2=1, h/2=1): only the top-left 2x2 cell survives
+    val src = MediaCodecs.encodeBmp(3, 3,
+      Array(10, 20, 99, 30, 40, 99, 99, 99, 99))
+    val out = Multimodal.transformRow(MediaRow(0L, "image", src))
+    assert(MediaCodecs.bmpGray(out.blob).toSeq == Seq(25))
+  }
+
+  test("audio transform: 2x decimation keeps even-index samples") {
+    val src = MediaCodecs.encodeWav(Array[Short](100, -1, 200, -2, 300))
+    val out = Multimodal.transformRow(MediaRow(1L, "audio", src))
+    assert(MediaCodecs.wavSamples(out.blob).toSeq ==
+      Seq[Short](100, 200, 300))
+  }
+
+  test("video transform: frame-0 luma becomes a grayscale BMP still") {
+    val src = MediaCodecs.encodeY4m(2, (f, j) => if (f == 0) j % 256 else 0)
+    val out = Multimodal.transformRow(MediaRow(2L, "video", src))
+    assert(out.kind == "image")
+    val d = MediaCodecs.decodeBmp(out.blob)
+    assert(d.width == 16 && d.height == 8)
+    assert(out.blob.length == MediaCodecs.bmpSize(16, 8)) // oracle's 438
+    assert(MediaCodecs.bmpGray(out.blob).toSeq ==
+      (0 until 128).map(_ % 256))
+  }
+
   // ==================== Spark path end-to-end ====================
 
   test("decoded(): real decode over the corpus, no shuffle before sort") {
