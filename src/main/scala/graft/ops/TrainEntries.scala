@@ -671,6 +671,39 @@ object TrainEntries {
            |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
       }),
 
+    // Cross-document exact-substring duplication: per-doc counts of
+    // word 8-grams shared with ANY other document (suffix-array dedup's
+    // detection half, integerized). The oracle replays the identical
+    // gram extraction and the >= 2-distinct-docs rule.
+    ("dd_substring",
+      (s, d) => TrainOps.substringDup(s, d),
+      {
+        val n = TrainOps.DecontamN
+        s"""WITH toksd AS (
+           |  SELECT doc_id, $tokSql AS t FROM documents),
+           |base AS (SELECT doc_id, t FROM toksd WHERE len(t) >= $n),
+           |grams AS (
+           |  SELECT doc_id,
+           |         ${h60(s"array_to_string(list_slice(t, i, i + ${n - 1}), ' ')")} AS g
+           |  FROM (SELECT doc_id, t,
+           |               unnest(generate_series(1, len(t) - ${n - 1})) AS i
+           |        FROM base)),
+           |pdg AS (SELECT g, doc_id, CAST(count(*) AS BIGINT) AS m
+           |        FROM grams GROUP BY g, doc_id),
+           |dup AS (SELECT g FROM pdg GROUP BY g HAVING count(*) >= 2),
+           |per AS (SELECT doc_id,
+           |          CAST(count(*) AS BIGINT) AS n_dup_grams,
+           |          CAST(sum(m) AS BIGINT) AS n_dup_instances
+           |        FROM pdg JOIN dup USING (g) GROUP BY doc_id)
+           |SELECT b.doc_id,
+           |  CAST(len(b.t) - ${n - 1} AS BIGINT) AS n_grams,
+           |  CAST(COALESCE(p.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           |  CAST(COALESCE(p.n_dup_instances, 0) AS BIGINT)
+           |    AS n_dup_instances
+           |FROM base b LEFT JOIN per p USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+      }),
+
     // ---- multimodal plumbing (decode step stubbed — see Multimodal) ----
     ("mm_features",
       (s, d) => Multimodal.features(s, d),

@@ -1456,6 +1456,54 @@ object TrainOps {
       .orderBy("doc_id")
   }
 
+  /** Cross-document exact-substring duplication (the detection half of
+    * suffix-array training-data dedup, integerized so the oracle can
+    * verify it exactly): for each doc, how many of its word 8-gram
+    * INSTANCES — and how many distinct grams — also occur in at least
+    * one OTHER document. The per-doc duplicated fraction
+    * (n_dup_instances / n_grams) is the removal signal a pipeline
+    * thresholds on; boilerplate, licenses and crawl templates light up.
+    *
+    * Scale shape (contrast the pairwise dd_* family — this one is
+    * per-GRAM, never per-pair): three linear shuffles, no quadratic
+    * step anywhere. (1) (gram, doc) pre-aggregation with map-side
+    * combine collapses within-doc repeats first, so a doc that repeats
+    * one gram 1000× ships one row; (2) gram-level doc-count — a hot
+    * gram (stopword run shared by every doc) costs ONE aggregation row,
+    * not a candidate explosion; (3) the dup-flag join is co-partitioned
+    * on the gram hash from shuffle (2), then one per-doc count. */
+  def substringDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = DecontamN
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= n)
+    val grams = d
+      .withColumn("g", explode(
+        transform(sequence(lit(1), size(col("t")) - (n - 1)),
+          i => h60(concat_ws(" ", slice(col("t"), i, lit(n)))))))
+      .select(col("doc_id"), col("g"))
+    // one row per (gram, doc) with its within-doc multiplicity
+    val perDocGram = grams.groupBy("g", "doc_id")
+      .agg(count(lit(1)).as("m"))
+    // grams held by >= 2 distinct docs (rows of perDocGram ARE distinct
+    // docs per gram)
+    val dupGrams = perDocGram.groupBy("g")
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("g")
+    val per = perDocGram.join(dupGrams, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_grams"),
+        sum("m").as("n_dup_instances"))
+    d.select(col("doc_id"),
+        (size(col("t")) - (n - 1)).cast("long").as("n_grams"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("n_dup_instances"), lit(0L)).as("n_dup_instances"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------------------
   // Dataset assembly: split / stratified sample / per-source curation
   // -------------------------------------------------------------------

@@ -240,6 +240,23 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("substringDup counts cross-doc 8-gram sharing exactly") {
+    val spark = SparkFixture.spark
+    val rows = TrainOps.substringDup(spark, plantedDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // base text = 17 tokens -> 10 grams; docs 1 and 2 are identical so
+    // every gram is shared; doc 3 appends 7 tokens (24 -> 17 grams) and
+    // shares exactly the 10 windows that lie fully inside the base
+    assert(rows(1L) == ((10L, 10L, 10L)))
+    assert(rows(2L) == ((10L, 10L, 10L)))
+    assert(rows(3L) == ((17L, 10L, 10L)))
+    // the disjoint docs and the i-salted fillers share nothing: every
+    // 8-token window of a filler contains an i-specific token
+    assert((4L to 20L).forall(id => rows(id)._2 == 0L && rows(id)._3 == 0L))
+    assert(rows(4L)._1 == 7L && rows(5L)._1 == 8L && rows(6L)._1 == 12L)
+  }
+
   test("dedupClusters groups the planted near-dups into one cluster") {
     val spark = SparkFixture.spark
     // docs 1, 2, 3 pair up pairwise (1-2 identical, 3 an edit of both)
