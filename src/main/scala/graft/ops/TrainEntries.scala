@@ -505,6 +505,32 @@ object TrainEntries {
       s"""WITH $qualityCtes
          |SELECT doc_id, quality FROM q ORDER BY doc_id""".stripMargin),
 
+    // Rare-trigram LM filter (integerized KenLM/CCNet analog): count of
+    // character-trigram instances whose corpus frequency is at or below
+    // greatest(absolute floor, ppm of total instances). The oracle
+    // rebuilds the same corpus model, total and rare set in SQL.
+    ("tx_lm_rare",
+      (s, d) => TrainOps.lmRareScore(s, d),
+      s"""WITH d AS (SELECT doc_id,
+         |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+         |      AS s
+         |  FROM documents),
+         |tri AS (SELECT doc_id, substring(s, i, 3) AS tg
+         |        FROM (SELECT doc_id, s,
+         |                unnest(generate_series(1, length(s) - 2)) AS i
+         |              FROM d WHERE length(s) >= 3)),
+         |rare AS (SELECT tg FROM tri GROUP BY tg
+         |         HAVING count(*) <= greatest(${TrainOps.RareTrigramMax},
+         |           (SELECT count(*) FROM tri)
+         |             * ${TrainOps.RareTrigramPpm} // 1000000)),
+         |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rare
+         |        FROM tri JOIN rare USING (tg) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(greatest(length(s) - 2, 0) AS BIGINT) AS n_trigrams,
+         |  CAST(COALESCE(p.n_rare, 0) AS BIGINT) AS n_rare
+         |FROM d LEFT JOIN per p USING (doc_id)
+         |ORDER BY doc_id""".stripMargin),
+
     ("tx_langid",
       (s, d) => TrainOps.langId(s, d),
       s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),

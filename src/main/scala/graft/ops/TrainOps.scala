@@ -1456,6 +1456,58 @@ object TrainOps {
       .orderBy("doc_id")
   }
 
+  /** Rarity rule for character trigrams: rare iff corpus frequency <=
+    * greatest(RareTrigramMax, total_instances * RareTrigramPpm / 1e6).
+    * The ppm half keeps the op meaningful at any scale (an absolute
+    * cutoff silently degrades to a no-op as the corpus grows — at
+    * sf0.01 the frequency FLOOR is already 20); the absolute floor
+    * keeps tiny corpora (unit tests, cold-start sources) sensitive. */
+  val RareTrigramMax = 4L
+  val RareTrigramPpm = 200L
+
+  /** Rare-character-trigram quality score — the integerized analog of
+    * the CCNet/KenLM language-model filter: documents whose character
+    * distribution deviates from the corpus (gibberish, encoding
+    * damage, code dumped into a prose field) contain trigrams the
+    * corpus-wide model has barely seen. Emits per doc the trigram
+    * count and how many of its trigram INSTANCES have corpus frequency
+    * <= [[RareTrigramMax]]; the pipeline thresholds on n_rare /
+    * n_trigrams.
+    *
+    * Scale shape: the model space is CHARACTER-bounded — at most
+    * 37^3 ≈ 50k distinct trigrams over [a-z0-9 ] no matter how many
+    * petabytes flow through — so the count step is one map-side-combined
+    * shuffle onto a tiny key space and the rare set broadcasts to a
+    * map-only scoring join. No per-doc state, no skew risk (a hot
+    * trigram is one count row). */
+  def lmRareScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")),
+      lit("[^a-z0-9]+"), lit(" ")))
+    val d = docs(spark, sfDir).select(col("doc_id"), norm.as("s"))
+    val tris = d.filter(length(col("s")) >= 3)
+      .withColumn("tg", explode(
+        transform(sequence(lit(1), length(col("s")) - 2),
+          i => col("s").substr(i, lit(3)))))
+      .select(col("doc_id"), col("tg"))
+    // total instance count rides along as a broadcast 1-row frame so
+    // the rarity threshold is part of the plan (no driver-side action)
+    val total = tris.agg(count(lit(1)).as("total"))
+    val rare = tris.groupBy("tg").agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(total))
+      .filter(col("freq") <= greatest(lit(RareTrigramMax),
+        expr(s"total * $RareTrigramPpm div 1000000")))
+      .select("tg")
+    val perDoc = tris.join(broadcast(rare), Seq("tg"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_rare"))
+    d.select(col("doc_id"),
+        greatest(length(col("s")) - 2, lit(0)).cast("long")
+          .as("n_trigrams"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_trigrams"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"))
+      .orderBy("doc_id")
+  }
+
   /** Cross-document exact-substring duplication (the detection half of
     * suffix-array training-data dedup, integerized so the oracle can
     * verify it exactly): for each doc, how many of its word 8-gram

@@ -240,6 +240,33 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  /** Corpus where doc 1 is gibberish (unique trigrams, each freq 1 <=
+    * the absolute floor) and the rest share one repeated prose line
+    * whose trigrams are all frequent. */
+  private lazy val gibberishDir: String = {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    val prose = "the planner merges sorted runs into one segment " * 4
+    val docs = (2L to 30L).map((_, prose)) :+
+      ((1L, "qzx jvq wqk xbv zzj pqv kqx vjz bqw jxq"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    docs.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("lmRareScore flags the gibberish doc via the absolute floor") {
+    val spark = SparkFixture.spark
+    val rows = TrainOps.lmRareScore(spark, gibberishDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the gibberish doc: nearly all its trigrams are corpus-unique
+    val (n1, rare1) = rows(1L)
+    assert(n1 > 0 && rare1 > n1 / 2, s"gibberish ($n1, $rare1)")
+    // prose docs: every trigram occurs in 29 docs x 4 repeats — none
+    // rare under the floor (tiny corpus => ppm half is < floor)
+    assert((2L to 30L).forall(id => rows(id)._2 == 0L))
+  }
+
   test("substringDup counts cross-doc 8-gram sharing exactly") {
     val spark = SparkFixture.spark
     val rows = TrainOps.substringDup(spark, plantedDir).collect()
