@@ -1489,11 +1489,14 @@ object TrainOps {
         transform(sequence(lit(1), length(col("s")) - 2),
           i => col("s").substr(i, lit(3)))))
       .select(col("doc_id"), col("tg"))
-    // total instance count rides along as a broadcast 1-row frame so
-    // the rarity threshold is part of the plan (no driver-side action)
-    val total = tris.agg(count(lit(1)).as("total"))
+    // the total instance count comes from the MODEL (sum of its <=37^3
+    // freq rows under an all-rows window — one partition of <=50k rows,
+    // not a corpus pass), so the whole rare-set derivation costs one
+    // corpus scan + one tiny-key shuffle
     val rare = tris.groupBy("tg").agg(count(lit(1)).as("freq"))
-      .crossJoin(broadcast(total))
+      .withColumn("total", sum("freq").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
       .filter(col("freq") <= greatest(lit(RareTrigramMax),
         expr(s"total * $RareTrigramPpm div 1000000")))
       .select("tg")
@@ -1522,8 +1525,15 @@ object TrainOps {
     * combine collapses within-doc repeats first, so a doc that repeats
     * one gram 1000× ships one row; (2) gram-level doc-count — a hot
     * gram (stopword run shared by every doc) costs ONE aggregation row,
-    * not a candidate explosion; (3) the dup-flag join is co-partitioned
-    * on the gram hash from shuffle (2), then one per-doc count. */
+    * not a candidate explosion; (3) the dup-flag join broadcasts when
+    * the dup set is small and falls back to a co-partitioned shuffle
+    * join otherwise (AQE decides), then one per-doc count. The gram
+    * explode feeds two consumers (the per-doc side and the dup-set
+    * side) and is deliberately recomputed rather than window-counted
+    * within one pass: a per-gram window would buffer a hot gram's
+    * entire doc list in one partition — the skew wall this shape
+    * exists to avoid. At production scale the (gram, doc) frame would
+    * be checkpointed once to serve both consumers. */
   def substringDup(spark: SparkSession, sfDir: String): DataFrame = {
     val n = DecontamN
     val d = docs(spark, sfDir)
