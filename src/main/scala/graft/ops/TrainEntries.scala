@@ -409,6 +409,27 @@ object TrainEntries {
          |       vec_id, round(cos, 4) AS cos
          |FROM hits ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin),
 
+    // Hard-negative mining: per query, top-5 by cosine BELOW the
+    // near-positive band (0.3 on this diffuse synthetic space, so the
+    // exclusion provably removes the closest vectors); self excluded.
+    ("ann_hardneg",
+      (s, d) => TrainOps.annHardNegatives(s, d, Seq(0L, 1L, 2L, 3L),
+        k = 5, simHi = 0.3),
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+         |           FROM embeddings WHERE vec_id IN (0, 1, 2, 3)),
+         |hits AS (SELECT q.qid, e.vec_id,
+         |           ${cosSql("e.embedding", "q.qv")} AS cos
+         |         FROM embeddings e CROSS JOIN q
+         |         WHERE e.vec_id != q.qid),
+         |band AS (SELECT * FROM hits WHERE cos < 0.3),
+         |r AS (SELECT qid, vec_id, cos,
+         |        row_number() OVER (PARTITION BY qid
+         |          ORDER BY cos DESC, vec_id) AS rank
+         |      FROM band)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id,
+         |       round(cos, 4) AS cos
+         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
+
     ("ann_srp",
       (s, d) => TrainOps.annSrp(s, d),
       {

@@ -843,6 +843,46 @@ object TrainOps {
     else when(n2 === 0.0, lit(-1.0)).otherwise(dot / (sqrt(n2) * lit(qn)))
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the k MOST similar corpus vectors whose cosine stays
+    * BELOW a near-positive band `simHi` — the "hardest negatives"
+    * batch construction wants (too-similar vectors are presumed
+    * positives/near-dups and excluded; self is always excluded).
+    * `simHi` is space-dependent: ~0.95 for a trained embedding space
+    * with planted positives, lower for diffuse spaces (the gate runs
+    * 0.3 against the synthetic corpus so the exclusion provably
+    * bites).
+    *
+    * Scale shape: the Q query vectors ride into ONE corpus scan as a
+    * literal struct array (Q is a training-batch constant, not data-
+    * sized), the band filter drops rows before the shuffle, and the
+    * per-query top-k is a window over Q partitions. One scan, one
+    * Q-key shuffle, no Q×N materialization beyond the map-side
+    * explode. */
+  def annHardNegatives(spark: SparkSession, sfDir: String,
+      queryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L), k: Int = 5,
+      simHi: Double = 0.95): DataFrame = {
+    val e = embeddings(spark, sfDir)
+    val qs = e.filter(col("vec_id").isin(queryIds: _*))
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val cosStructs = array(qs.map { case (qid, qv) =>
+      struct(lit(qid).as("qid"),
+        cosToQuery(col("embedding"), qv).as("cos"))
+    }: _*)
+    e.select(col("vec_id"), explode(cosStructs).as("qc"))
+      .select(col("qc.qid").as("qid"), col("vec_id"),
+        col("qc.cos").as("cos"))
+      .filter(col("vec_id") =!= col("qid") && col("cos") < simHi)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("qid", "rank")
+  }
+
   /** Fuse two ranked top-k frames by reciprocal-rank fusion: full
     * outer join on doc_id (two ≤k-row inputs — broadcast-trivial at
     * any corpus scale), rrf = Σ 1/(k0+rank) over the lists the doc

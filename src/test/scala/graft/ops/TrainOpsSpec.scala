@@ -224,6 +224,37 @@ class TrainOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("annHardNegatives excludes self and the near-positive band") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    def vec(id: Long): Seq[Float] =
+      (0 until TrainOps.AnnDim).map(i =>
+        ((TrainOps.h60Jvm(s"e:$id:$i") % 1000) / 500.0 - 1.0).toFloat)
+    // vec 1 duplicates the query (cos 1.0) -> inside the 0.95 band,
+    // must NOT appear as a negative; vec 2 is a slight perturbation
+    // (still > 0.95) -> also excluded; the rest are random
+    val near = vec(0L).zipWithIndex.map { case (x, i) =>
+      if (i == 0) x + 0.05f else x }
+    val rows = (0L to 60L).map(id => (id,
+      if (id == 1L) vec(0L) else if (id == 2L) near else vec(id)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-hneg").toString
+    rows.toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = TrainOps.annHardNegatives(spark, dir, Seq(0L), k = 5)
+      .collect().map(r => (r.getLong(2), r.getDouble(3)))
+    assert(out.length == 5)
+    // the planted positives never surface as negatives
+    assert(!out.exists(x => x._1 == 0L || x._1 == 1L || x._1 == 2L))
+    assert(out.forall(_._2 < 0.95))
+    // and the list is the DESCENDING head of the remaining similarity
+    assert(out.map(_._2).toSeq == out.map(_._2).sorted.reverse.toSeq)
+    // sanity: the perturbation really was in the excluded band
+    val all = TrainOps.annHardNegatives(spark, dir, Seq(0L), k = 5,
+      simHi = 1.1).collect().map(r => (r.getLong(2), r.getDouble(3)))
+    assert(all.take(2).map(_._1).toSet == Set(1L, 2L))
+    assert(all.head._2 == 1.0 && all(1)._2 > 0.95)
+  }
+
   test("connectedComponents: chains, stars and singleton-free output") {
     val spark = SparkFixture.spark
     import spark.implicits._
